@@ -1,0 +1,93 @@
+"""pytensor_tpu: a TPU-native expression compiler.
+
+A ground-up rebuild of PyTensor's capabilities (define / rewrite / compile
+mathematical expression graphs, the computational backend of PyMC) where
+the only production backend is XLA: graphs lower to StableHLO via jax,
+fused hot paths can emit Pallas kernels, matmuls ride the MXU, shared
+variable updates ride buffer donation, and multi-chip scaling rides
+jax.sharding meshes (see `parallel`).
+
+Public API parallels the reference top level
+(/root/reference/pytensor/__init__.py:18-38): function, grad/Lop/Rop,
+shared, scan, ifelse, OpFromGraph, config, dprint.
+"""
+
+from pytensor_tpu.config import config  # noqa: F401
+
+__version__ = "0.1.0"
+
+from pytensor_tpu.graph.basic import Apply, Constant, Variable  # noqa: F401
+from pytensor_tpu.graph.op import Op  # noqa: F401
+from pytensor_tpu.graph.fg import FunctionGraph  # noqa: F401
+from pytensor_tpu.graph.replace import clone_replace, graph_replace, vectorize_graph  # noqa: F401
+from pytensor_tpu.compile.maker import function  # noqa: F401
+from pytensor_tpu.compile.sharedvalue import shared  # noqa: F401
+from pytensor_tpu.compile.io import In, Out  # noqa: F401
+from pytensor_tpu.compile.mode import FAST_COMPILE, FAST_RUN, Mode, get_mode  # noqa: F401
+from pytensor_tpu.gradient import (  # noqa: F401
+    Lop,
+    Rop,
+    grad,
+    hessian,
+    jacobian,
+    pullback,
+    pushforward,
+    verify_grad,
+)
+from pytensor_tpu.printing import debugprint, dprint, pydotprint  # noqa: F401
+from pytensor_tpu.updates import OrderedUpdates  # noqa: F401
+
+import pytensor_tpu.tensor as tensor  # noqa: F401
+
+# rewrite packs register into optdb at import time
+import pytensor_tpu.tensor.rewriting  # noqa: F401
+
+
+def __getattr__(name):
+    if name == "scan":
+        from pytensor_tpu.scan.basic import scan
+
+        return scan
+    if name == "map":
+        from pytensor_tpu.scan.views import map
+
+        return map
+    if name == "reduce":
+        from pytensor_tpu.scan.views import reduce
+
+        return reduce
+    if name == "foldl":
+        from pytensor_tpu.scan.views import foldl
+
+        return foldl
+    if name == "foldr":
+        from pytensor_tpu.scan.views import foldr
+
+        return foldr
+    if name == "ifelse":
+        from pytensor_tpu.ifelse import ifelse
+
+        return ifelse
+    if name == "OpFromGraph":
+        from pytensor_tpu.compile.builders import OpFromGraph
+
+        return OpFromGraph
+    if name == "sparse":
+        import pytensor_tpu.sparse as sparse
+
+        return sparse
+    if name == "xtensor":
+        import pytensor_tpu.xtensor as xtensor
+
+        return xtensor
+    if name == "parallel":
+        import pytensor_tpu.parallel as parallel
+
+        return parallel
+    raise AttributeError(f"module pytensor_tpu has no attribute {name}")
+
+
+def get_underlying_scalar_constant(v):
+    from pytensor_tpu.tensor.basic import get_scalar_constant_value
+
+    return get_scalar_constant_value(v)

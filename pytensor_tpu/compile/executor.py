@@ -1,0 +1,162 @@
+"""Function: the compiled callable runtime.
+
+Parallels /root/reference/pytensor/compile/executor.py (Function:40,
+__call__:651): fill inputs -> run the linked executable -> write shared
+updates back -> return outputs.  On the XLA path the "VM" is one jitted
+call whose shared arguments are donated device buffers, so NUTS-style
+inner loops never leave the chip (SURVEY §3.3: per-call overhead is the
+latency floor — trust_input + device-resident shared state address it).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import numpy as np
+
+from pytensor_tpu.config import config
+from pytensor_tpu.link.basic import PerformLinker
+from pytensor_tpu.link.xla.linker import XlaLinker
+from pytensor_tpu.tensor.type import TensorType
+
+
+class Function:
+    def __init__(self, linker, fgraph, explicit_inputs, shared_vars, update_pairs,
+                 n_user_outputs, unpack_single, name=None, trust_input=False,
+                 profile=False, mode=None):
+        self.linker = linker
+        self.fgraph = fgraph
+        self.maker = self  # reference-compat alias (f.maker.fgraph)
+        self.explicit_inputs = explicit_inputs
+        self.shared_vars = shared_vars
+        self.update_pairs = update_pairs
+        self.n_user_outputs = n_user_outputs
+        self.unpack_single = unpack_single
+        self.name = name
+        self.trust_input = trust_input
+        self.profile = profile
+        self.mode = mode
+        self.call_count = 0
+        self.call_time = 0.0
+        self.compile_time = 0.0
+        self.rewrite_time = 0.0
+
+        self._containers = [sv.container for sv in shared_vars]
+        # positions of updated shared inputs (for donation)
+        upd_shared = {id(k) for k, _ in update_pairs}
+        n_explicit = len(explicit_inputs)
+        self._update_out_start = n_user_outputs
+        self._updated_containers = [
+            shared_vars[i].container
+            for i in range(len(shared_vars))
+            if id(shared_vars[i]) in upd_shared
+        ]
+        # map update outputs -> containers in pair order
+        self._update_containers_ordered = [k.container for k, _ in update_pairs]
+
+        self._input_types = [wi.variable.type for wi in explicit_inputs]
+        self._input_names = {}
+        for idx, wi in enumerate(explicit_inputs):
+            if wi.name:
+                self._input_names[wi.name] = idx
+
+        if isinstance(linker, XlaLinker):
+            donate = ()
+            if config.xla__donate_updates:
+                donate = tuple(
+                    n_explicit + i
+                    for i, sv in enumerate(shared_vars)
+                    if id(sv) in upd_shared
+                )
+            self.vm = linker.make_jax_fn(donate_argnums=donate)
+            self._backend = "xla"
+        else:
+            run, input_storage, output_storage = linker.make_thunk()
+            self._run = run
+            self._input_storage = input_storage
+            self._output_storage = output_storage
+
+            def vm(*vals):
+                for s, v in zip(input_storage, vals):
+                    s[0] = v
+                res = run()
+                # clear input cells so we don't pin memory
+                return tuple(res)
+
+            self.vm = vm
+            self._backend = "py"
+
+    # --- value access -------------------------------------------------------
+    def __contains__(self, item):
+        return item in self._input_names
+
+    def __call__(self, *args, **kwargs):
+        t0 = time.perf_counter() if self.profile else 0.0
+        n_expected = len(self.explicit_inputs)
+        if kwargs:
+            args = list(args) + [None] * (n_expected - len(args))
+            for k, v in kwargs.items():
+                if k not in self._input_names:
+                    raise TypeError(f"unknown input name {k!r}")
+                args[self._input_names[k]] = v
+        if len(args) != n_expected:
+            raise TypeError(f"expected {n_expected} inputs, got {len(args)}")
+        if self.trust_input:
+            vals = list(args)
+        else:
+            vals = []
+            for a, t, wi in zip(args, self._input_types, self.explicit_inputs):
+                try:
+                    if self._backend == "xla" and not isinstance(a, np.ndarray):
+                        # allow device arrays straight through if type-compatible
+                        import jax
+
+                        if isinstance(a, jax.Array):
+                            vals.append(a)
+                            continue
+                    vals.append(t.filter(a, strict=wi.strict,
+                                         allow_downcast=wi.allow_downcast))
+                except Exception as e:
+                    raise TypeError(
+                        f"Bad input argument for {wi.variable}: {e}"
+                    ) from e
+        shared_vals = [c.storage[0] for c in self._containers]
+        results = self.vm(*vals, *shared_vals)
+        if not isinstance(results, tuple):
+            results = (results,)
+        outputs = list(results[: self.n_user_outputs])
+        updates = results[self.n_user_outputs:]
+        for c, v in zip(self._update_containers_ordered, updates):
+            c.storage[0] = v
+        if self._backend == "py":
+            # host outputs: return copies so later calls can't alias
+            outputs = [o for o in outputs]
+        self.call_count += 1
+        if self.profile:
+            self.call_time += time.perf_counter() - t0
+        if self.unpack_single and len(outputs) == 1:
+            return outputs[0]
+        if self.n_user_outputs == 0:
+            return []
+        return outputs
+
+    def copy(self, share_memory=False, swap=None, name=None):
+        """Recompile sharing (or swapping) shared variables."""
+        raise NotImplementedError("Function.copy: planned")
+
+    def free(self):
+        if self._backend == "py":
+            for s in self._run.storage_map.values():
+                s[0] = None
+
+    def dprint(self, **kwargs):
+        from pytensor_tpu.printing import debugprint
+
+        return debugprint(self.fgraph, **kwargs)
+
+    def get_shared(self):
+        return list(self.shared_vars)
+
+    def __str__(self):
+        return f"Function({self.name or 'anonymous'}, backend={self._backend})"

@@ -1,0 +1,174 @@
+"""Linker protocol, Container, and the numpy oracle VM.
+
+Parallels /root/reference/pytensor/link/basic.py (Container:30, Linker:138,
+PerformLinker:273) and link/utils.py ``raise_with_op``.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from typing import Any, Callable, Sequence
+
+from pytensor_tpu.graph.basic import Constant, Variable
+from pytensor_tpu.graph.fg import FunctionGraph
+
+
+class Container:
+    """A one-element storage cell shared between graph and runtime."""
+
+    __slots__ = ("type", "storage", "readonly", "strict", "allow_downcast", "name")
+
+    def __init__(self, type, storage=None, readonly=False, strict=False,
+                 allow_downcast=None, name=None):
+        self.type = type
+        self.storage = storage if storage is not None else [None]
+        self.readonly = readonly
+        self.strict = strict
+        self.allow_downcast = allow_downcast
+        self.name = name
+
+    @property
+    def value(self):
+        return self.storage[0]
+
+    @value.setter
+    def value(self, v):
+        if self.readonly:
+            raise Exception(f"Cannot set readonly container {self.name}")
+        if v is None:
+            self.storage[0] = None
+            return
+        self.storage[0] = self.type.filter(
+            v, strict=self.strict, allow_downcast=self.allow_downcast
+        )
+
+    data = value
+
+    def __str__(self):
+        return f"<{self.storage[0]}>"
+
+
+def raise_with_op(fgraph, node, exc_info=None):
+    """Re-raise the current exception annotated with the failing node and
+    the user-level creation trace (reference link/utils.py:271)."""
+    if exc_info is None:
+        exc_info = sys.exc_info()
+    exc_type, exc_value, exc_trace = exc_info
+    trace_info = ""
+    for v in node.outputs:
+        tr = getattr(v.tag, "trace", None)
+        if tr:
+            trace_info = "".join(traceback.format_list(tr[0][-2:]))
+            break
+    detail = (
+        f"\nApply node that caused the error: {node}"
+        f"\nInputs types: {[getattr(i, 'type', None) for i in node.inputs]}"
+    )
+    if trace_info:
+        detail += f"\nVariable created at:\n{trace_info}"
+    args = exc_value.args if exc_value.args else ("",)
+    exc_value.args = (str(args[0]) + detail, *args[1:])
+    raise exc_value.with_traceback(exc_trace)
+
+
+class Linker:
+    """Interface: accept a FunctionGraph, produce a callable + io storage."""
+
+    def accept(self, fgraph: FunctionGraph, no_recycling=(), profile=None):
+        self.fgraph = fgraph
+        return self
+
+    def make_thunk(self, input_storage=None, output_storage=None, storage_map=None):
+        raise NotImplementedError
+
+
+class PerformLinker(Linker):
+    """One Python thunk per node, evaluated in topological order.
+
+    This is the testing oracle: pure numpy semantics, no XLA.
+    """
+
+    def __init__(self, allow_gc: bool = True):
+        self.allow_gc = allow_gc
+        self.fgraph = None
+
+    def make_thunk(self, input_storage=None, output_storage=None, storage_map=None,
+                   **kwargs):
+        fgraph = self.fgraph
+        order = fgraph.toposort()
+        if storage_map is None:
+            storage_map = {}
+        for var in fgraph.variables:
+            if var not in storage_map:
+                if isinstance(var, Constant):
+                    storage_map[var] = [var.data]
+                else:
+                    storage_map[var] = [None]
+        # also map orphan constants referenced by nodes
+        for node in order:
+            for i in node.inputs:
+                if i not in storage_map:
+                    storage_map[i] = [i.data if isinstance(i, Constant) else None]
+        if input_storage is None:
+            input_storage = [storage_map[i] for i in fgraph.inputs]
+        else:
+            for i, s in zip(fgraph.inputs, input_storage):
+                storage_map[i] = s
+        if output_storage is None:
+            output_storage = [storage_map[o] for o in fgraph.outputs]
+        else:
+            for o, s in zip(fgraph.outputs, output_storage):
+                storage_map[o] = s
+
+        compute_map = {var: [False] for var in storage_map}
+        thunks = []
+        for node in order:
+            thunk = node.op.make_thunk(node, storage_map, compute_map)
+            thunk.node = node
+            thunks.append(thunk)
+
+        def run():
+            for thunk in thunks:
+                try:
+                    thunk()
+                except Exception:
+                    raise_with_op(fgraph, thunk.node)
+            return [s[0] for s in output_storage]
+
+        run.storage_map = storage_map
+        run.thunks = thunks
+        run.input_storage = input_storage
+        run.output_storage = output_storage
+        run.allow_gc = self.allow_gc
+        return run, input_storage, output_storage
+
+
+class WrapLinker(Linker):
+    """Run per-node callbacks around another linker's thunks (the
+    MonitorMode hook point)."""
+
+    def __init__(self, linker: PerformLinker, wrapper: Callable):
+        self.linker = linker
+        self.wrapper = wrapper
+
+    def accept(self, fgraph, **kwargs):
+        self.fgraph = fgraph
+        self.linker.accept(fgraph, **kwargs)
+        return self
+
+    def make_thunk(self, **kwargs):
+        run, input_storage, output_storage = self.linker.make_thunk(**kwargs)
+        wrapper = self.wrapper
+        thunks = run.thunks
+
+        def wrapped_run():
+            for thunk in thunks:
+                wrapper(self.fgraph, thunk, thunk.node)
+            return [s[0] for s in run.output_storage]
+
+        wrapped_run.storage_map = run.storage_map
+        wrapped_run.thunks = thunks
+        wrapped_run.input_storage = input_storage
+        wrapped_run.output_storage = output_storage
+        return wrapped_run, input_storage, output_storage

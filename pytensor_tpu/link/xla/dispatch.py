@@ -1,0 +1,462 @@
+"""Per-Op XLA lowerings (``xla_funcify``).
+
+The analog of the reference's jax dispatch (link/jax/dispatch/*), but as
+the primary backend rather than an alternative: every Op registers a
+function ``(op, node) -> callable(*inputs) -> outputs`` built from
+jax.numpy / lax, tuned for TPU (dot_general on the MXU, static shapes).
+"""
+
+from __future__ import annotations
+
+from functools import singledispatch
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Constant
+from pytensor_tpu.tensor.type import TensorType
+
+
+@singledispatch
+def xla_funcify(op, node=None, **kwargs):
+    raise NotImplementedError(
+        f"No XLA lowering registered for op {op} ({type(op).__name__})"
+    )
+
+
+def typify(value):
+    """Convert a stored container value to a jax-compatible value."""
+    return value
+
+
+def eager_perform(op, node, inputs, output_storage):
+    """Default Op.perform: run the XLA lowering eagerly on host arrays.
+
+    Keeps the numpy oracle total over the long tail of ops that have no
+    hand-written perform.
+    """
+    fn = xla_funcify(op, node=node)
+    res = fn(*inputs)
+    if not isinstance(res, (list, tuple)):
+        res = [res]
+    for o, s, r in zip(node.outputs, output_storage, res):
+        if isinstance(o.type, TensorType):
+            s[0] = np.asarray(r, dtype=o.type.numpy_dtype)
+        else:
+            s[0] = r
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+def _cast_outputs(node, res):
+    """Force output dtypes to the graph-declared ones (oracle parity)."""
+    jnp = _jnp()
+    if not isinstance(res, (list, tuple)):
+        res = (res,)
+    out = []
+    for o, r in zip(node.outputs, res):
+        if isinstance(o.type, TensorType) and hasattr(r, "dtype") and str(r.dtype) != o.type.dtype:
+            r = r.astype(o.type.dtype)
+        out.append(r)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def _concrete(x, what="value"):
+    """Require a trace-time concrete value (static shapes under jit)."""
+    import jax
+
+    try:
+        return jax.core.concrete_or_error(None, x, f"{what} must be concrete under jit")
+    except Exception:
+        return np.asarray(x)
+
+
+# --- registrations ----------------------------------------------------------
+
+def register_all():
+    """Import-time registration of lowerings for every core op."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pytensor_tpu.compile.ops import DeepCopyOp, TypeCastingOp, ViewOp
+    from pytensor_tpu.gradient import (
+        DisconnectedGrad,
+        GradClip,
+        GradScale,
+        UndefinedGrad,
+        ZeroGrad,
+    )
+    from pytensor_tpu.tensor.basic import (
+        Alloc,
+        AllocEmpty,
+        ARange,
+        ExtractDiag,
+        Eye,
+        Join,
+        MakeVector,
+        Nonzero,
+        Split,
+    )
+    from pytensor_tpu.tensor.elemwise import CAReduce, DimShuffle, Elemwise
+    from pytensor_tpu.tensor.math import Argmax, Dot
+    from pytensor_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape, Unbroadcast
+    from pytensor_tpu.tensor.subtensor import (
+        DYN,
+        AdvancedIncSubtensor,
+        AdvancedIncSubtensor1,
+        AdvancedSubtensor,
+        AdvancedSubtensor1,
+        IncSubtensor,
+        Subtensor,
+        _build_index,
+    )
+    from pytensor_tpu.tensor.type_other import MakeSlice
+
+    @xla_funcify.register(Elemwise)
+    def _elemwise(op, node=None, **kw):
+        jax_fn = op.scalar_op.jax_fn
+
+        def elemwise(*args):
+            return _cast_outputs(node, jax_fn(*args))
+
+        return elemwise
+
+    @xla_funcify.register(DimShuffle)
+    def _dimshuffle(op, node=None, **kw):
+        transposition = op.transposition
+        nshuffle = len(op.shuffle)
+        augment = op.augment
+
+        def dimshuffle(x):
+            res = jnp.transpose(x, transposition)
+            shape = list(res.shape[:nshuffle])
+            for a in augment:
+                shape.insert(a, 1)
+            return jnp.reshape(res, shape)
+
+        return dimshuffle
+
+    @xla_funcify.register(CAReduce)
+    def _careduce(op, node=None, **kw):
+        name = op.scalar_op.name
+        axis = op.axis
+        out_dtype = node.outputs[0].type.dtype
+        fns = {
+            "add": jnp.sum, "mul": jnp.prod, "maximum": jnp.max,
+            "minimum": jnp.min, "and_": jnp.all, "or_": jnp.any,
+        }
+        fn = fns[name]
+
+        def careduce(x):
+            if name in ("add", "mul"):
+                r = fn(x, axis=axis, dtype=out_dtype if out_dtype != "bool" else None)
+            else:
+                r = fn(x, axis=axis)
+            return _cast_outputs(node, r)
+
+        return careduce
+
+    @xla_funcify.register(Alloc)
+    def _alloc(op, node=None, **kw):
+        def alloc(value, *shape):
+            shp = tuple(int(_concrete(s, "Alloc shape")) for s in shape)
+            return jnp.broadcast_to(value, shp)
+
+        return alloc
+
+    @xla_funcify.register(AllocEmpty)
+    def _alloc_empty(op, node=None, **kw):
+        dtype = op.dtype
+
+        def alloc_empty(*shape):
+            shp = tuple(int(_concrete(s, "AllocEmpty shape")) for s in shape)
+            return jnp.zeros(shp, dtype=dtype)
+
+        return alloc_empty
+
+    @xla_funcify.register(MakeVector)
+    def _make_vector(op, node=None, **kw):
+        dtype = op.dtype
+
+        def make_vector(*scalars):
+            return jnp.stack([jnp.asarray(s, dtype=dtype) for s in scalars]) \
+                if scalars else jnp.zeros((0,), dtype=dtype)
+
+        return make_vector
+
+    @xla_funcify.register(Join)
+    def _join(op, node=None, **kw):
+        def join(axis, *tensors):
+            a = int(_concrete(axis, "Join axis"))
+            return _cast_outputs(node, jnp.concatenate(tensors, axis=a))
+
+        return join
+
+    @xla_funcify.register(Split)
+    def _split(op, node=None, **kw):
+        n = op.len_splits
+
+        def split(x, axis, splits):
+            a = int(_concrete(axis, "Split axis"))
+            sp = np.asarray(_concrete(splits, "Split sizes"))
+            idx = np.cumsum(sp[:-1])
+            return tuple(jnp.split(x, idx, axis=a))
+
+        return split
+
+    @xla_funcify.register(ARange)
+    def _arange(op, node=None, **kw):
+        dtype = op.dtype
+
+        def arange(start, stop, step):
+            return jnp.arange(
+                _concrete(start, "arange start"),
+                _concrete(stop, "arange stop"),
+                _concrete(step, "arange step"),
+                dtype=dtype,
+            )
+
+        return arange
+
+    @xla_funcify.register(Eye)
+    def _eye(op, node=None, **kw):
+        dtype = op.dtype
+
+        def eye(n, m, k):
+            return jnp.eye(int(_concrete(n)), int(_concrete(m)), int(_concrete(k)),
+                           dtype=dtype)
+
+        return eye
+
+    @xla_funcify.register(ExtractDiag)
+    def _extract_diag(op, node=None, **kw):
+        def extract_diag(x):
+            return jnp.diagonal(x, op.offset, op.axis1, op.axis2)
+
+        return extract_diag
+
+    @xla_funcify.register(Nonzero)
+    def _nonzero(op, node=None, **kw):
+        def nonzero(x):
+            raise NotImplementedError(
+                "Nonzero has a data-dependent output shape and cannot be "
+                "compiled for TPU; use switch/where masking instead."
+            )
+
+        return nonzero
+
+    @xla_funcify.register(Shape)
+    def _shape(op, node=None, **kw):
+        def shape(x):
+            return jnp.asarray(jnp.shape(x), dtype="int64")
+
+        return shape
+
+    @xla_funcify.register(Shape_i)
+    def _shape_i(op, node=None, **kw):
+        i = op.i
+
+        def shape_i(x):
+            return jnp.asarray(jnp.shape(x)[i], dtype="int64")
+
+        return shape_i
+
+    @xla_funcify.register(SpecifyShape)
+    def _specify_shape(op, node=None, **kw):
+        def specify_shape(x, *shape):
+            for d, s in enumerate(shape):
+                if s is not None:
+                    sv = int(_concrete(s, "SpecifyShape dim"))
+                    if x.shape[d] != sv:
+                        raise AssertionError(
+                            f"SpecifyShape: dim {d} is {x.shape[d]}, expected {sv}"
+                        )
+            return x
+
+        return specify_shape
+
+    @xla_funcify.register(Unbroadcast)
+    def _unbroadcast(op, node=None, **kw):
+        return lambda x: x
+
+    @xla_funcify.register(Reshape)
+    def _reshape(op, node=None, **kw):
+        ndim = op.ndim
+
+        def reshape(x, shp):
+            shp = np.asarray(_concrete(shp, "Reshape shape")).astype("int64")
+            return jnp.reshape(x, tuple(int(s) for s in shp))
+
+        return reshape
+
+    @xla_funcify.register(Subtensor)
+    def _subtensor(op, node=None, **kw):
+        idx_list = op.idx_list
+
+        def subtensor(x, *dyn):
+            it = iter(dyn)
+            idx = []
+            for e in idx_list:
+                if e == DYN:
+                    idx.append(next(it))
+                elif isinstance(e, (int, np.integer)):
+                    idx.append(int(e))
+                else:
+                    _, a, b, c = e
+                    a2 = next(it) if a == DYN else a
+                    b2 = next(it) if b == DYN else b
+                    c2 = next(it) if c == DYN else c
+                    idx.append(slice(
+                        None if a2 is None else int(_concrete(a2, "slice bound")),
+                        None if b2 is None else int(_concrete(b2, "slice bound")),
+                        None if c2 is None else int(_concrete(c2, "slice bound")),
+                    ))
+            return x[tuple(idx)]
+
+        return subtensor
+
+    @xla_funcify.register(IncSubtensor)
+    def _inc_subtensor(op, node=None, **kw):
+        idx_list = op.idx_list
+        set_mode = op.set_instead_of_inc
+
+        def inc_subtensor(x, y, *dyn):
+            it = iter(dyn)
+            idx = []
+            for e in idx_list:
+                if e == DYN:
+                    idx.append(next(it))
+                elif isinstance(e, (int, np.integer)):
+                    idx.append(int(e))
+                else:
+                    _, a, b, c = e
+                    a2 = next(it) if a == DYN else a
+                    b2 = next(it) if b == DYN else b
+                    c2 = next(it) if c == DYN else c
+                    idx.append(slice(
+                        None if a2 is None else int(_concrete(a2)),
+                        None if b2 is None else int(_concrete(b2)),
+                        None if c2 is None else int(_concrete(c2)),
+                    ))
+            ref = x.at[tuple(idx)]
+            return ref.set(y) if set_mode else ref.add(y)
+
+        return inc_subtensor
+
+    @xla_funcify.register(AdvancedSubtensor1)
+    def _adv_sub1(op, node=None, **kw):
+        def adv_sub1(x, ilist):
+            return jnp.take(x, ilist, axis=0)
+
+        return adv_sub1
+
+    @xla_funcify.register(AdvancedIncSubtensor1)
+    def _adv_incsub1(op, node=None, **kw):
+        set_mode = op.set_instead_of_inc
+
+        def adv_incsub1(x, y, ilist):
+            ref = x.at[ilist]
+            return ref.set(y) if set_mode else ref.add(y)
+
+        return adv_incsub1
+
+    def _adv_index(idx_list, ind):
+        it = iter(ind)
+        idx = []
+        for e in idx_list:
+            if e == DYN:
+                idx.append(next(it))
+            elif isinstance(e, (int, np.integer)):
+                idx.append(int(e))
+            elif e == "none":
+                idx.append(None)
+            else:
+                _, a, b, c = e
+                idx.append(slice(a, b, c))
+        return tuple(idx)
+
+    @xla_funcify.register(AdvancedSubtensor)
+    def _adv_sub(op, node=None, **kw):
+        idx_list = op.idx_list
+
+        def adv_sub(x, *ind):
+            return x[_adv_index(idx_list, ind)]
+
+        return adv_sub
+
+    @xla_funcify.register(AdvancedIncSubtensor)
+    def _adv_incsub(op, node=None, **kw):
+        idx_list = op.idx_list
+        set_mode = op.set_instead_of_inc
+
+        def adv_incsub(x, y, *ind):
+            ref = x.at[_adv_index(idx_list, ind)]
+            return ref.set(y) if set_mode else ref.add(y)
+
+        return adv_incsub
+
+    @xla_funcify.register(Dot)
+    def _dot(op, node=None, **kw):
+        from pytensor_tpu.config import config
+
+        precision = None if config.matmul_precision == "default" else config.matmul_precision
+
+        def dot(x, y):
+            return _cast_outputs(node, jnp.dot(x, y, precision=precision))
+
+        return dot
+
+    @xla_funcify.register(Argmax)
+    def _argmax(op, node=None, **kw):
+        axis = op.axis
+
+        def argmax(x):
+            if axis is None:
+                return jnp.argmax(x.reshape(-1)).astype("int64")
+            if len(axis) == 1:
+                return jnp.argmax(x, axis=axis[0]).astype("int64")
+            keep = [d for d in range(x.ndim) if d not in axis]
+            perm = keep + list(axis)
+            xt = jnp.transpose(x, perm)
+            xt = xt.reshape(xt.shape[: len(keep)] + (-1,))
+            return jnp.argmax(xt, axis=-1).astype("int64")
+
+        return argmax
+
+    @xla_funcify.register(DeepCopyOp)
+    @xla_funcify.register(ViewOp)
+    @xla_funcify.register(TypeCastingOp)
+    @xla_funcify.register(ZeroGrad)
+    @xla_funcify.register(DisconnectedGrad)
+    @xla_funcify.register(UndefinedGrad)
+    @xla_funcify.register(GradClip)
+    @xla_funcify.register(GradScale)
+    def _identity(op, node=None, **kw):
+        return lambda x: x
+
+    @xla_funcify.register(MakeSlice)
+    def _make_slice(op, node=None, **kw):
+        def make_slice(*args):
+            return slice(*(None if a is None else int(_concrete(a)) for a in args))
+
+        return make_slice
+
+
+register_all_done = False
+
+
+def ensure_registered():
+    global register_all_done
+    if not register_all_done:
+        register_all()
+        register_all_done = True

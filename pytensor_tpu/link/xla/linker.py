@@ -1,0 +1,120 @@
+"""The XLA linker: whole graph -> one jitted XLA executable.
+
+The TPU-native replacement for the reference's CLinker/CVM/Numba stack
+(SURVEY §7): the rewritten FunctionGraph is traced once into jax, jit
+compiles it to a single XLA executable, shared-variable updates ride
+buffer donation (input_output_aliases) so training loops never leave the
+chip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from pytensor_tpu.config import config
+from pytensor_tpu.graph.basic import Constant
+from pytensor_tpu.graph.fg import FunctionGraph
+from pytensor_tpu.link.basic import Linker, raise_with_op
+from pytensor_tpu.link.xla.dispatch import ensure_registered, xla_funcify
+from pytensor_tpu.tensor.type import TensorType
+
+_x64_initialized = False
+
+
+def ensure_x64():
+    global _x64_initialized
+    if not _x64_initialized:
+        import jax
+
+        if config.enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        _x64_initialized = True
+
+
+def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
+    """Build a python callable applying each node's XLA lowering in
+    topological order (the trace that jit compiles)."""
+    ensure_registered()
+    order = fgraph.toposort()
+    node_fns = []
+    for node in order:
+        fn = xla_funcify(node.op, node=node)
+        node_fns.append((fn, node))
+    constants = [v for v in fgraph.variables if isinstance(v, Constant)]
+    # orphan constants may be referenced without being in fgraph.variables
+    for fn, node in node_fns:
+        for i in node.inputs:
+            if isinstance(i, Constant) and i not in constants:
+                constants.append(i)
+    const_vals = {}
+    import jax.numpy as jnp
+
+    for c in constants:
+        if isinstance(c.type, TensorType):
+            const_vals[c] = jnp.asarray(c.data)
+        else:
+            const_vals[c] = c.data
+
+    inputs = list(fgraph.inputs)
+    outputs = list(fgraph.outputs)
+
+    def compiled(*args):
+        storage = dict(const_vals)
+        for var, val in zip(inputs, args):
+            storage[var] = val
+        for fn, node in node_fns:
+            vals = [storage[i] for i in node.inputs]
+            try:
+                res = fn(*vals)
+            except Exception:
+                raise_with_op(fgraph, node)
+            if len(node.outputs) == 1 and not isinstance(res, tuple):
+                storage[node.outputs[0]] = res
+            else:
+                if not isinstance(res, (list, tuple)):
+                    res = (res,)
+                for o, r in zip(node.outputs, res):
+                    storage[o] = r
+        return tuple(storage[o] for o in outputs)
+
+    return compiled
+
+
+class XlaLinker(Linker):
+    """Linker producing a jitted callable over (explicit + shared) inputs."""
+
+    # rewrite tags this backend requires / cannot use (consumed by Mode)
+    required_rewrites = ("xla",)
+    incompatible_rewrites = ("inplace", "cxx_only")
+
+    def __init__(self, donate_argnums: Sequence[int] = (), jit: bool | None = None,
+                 device=None, in_shardings=None, out_shardings=None, mesh=None):
+        self.donate_argnums = tuple(donate_argnums)
+        self.jit = config.xla__jit if jit is None else jit
+        self.device = device
+        self.in_shardings = in_shardings
+        self.out_shardings = out_shardings
+        self.mesh = mesh
+        self.fgraph = None
+
+    def accept(self, fgraph, no_recycling=(), profile=None):
+        self.fgraph = fgraph
+        return self
+
+    def make_jax_fn(self, donate_argnums=None):
+        import jax
+
+        ensure_x64()
+        fn = fgraph_to_jax(self.fgraph)
+        if not self.jit:
+            return fn
+        donate = donate_argnums if donate_argnums is not None else self.donate_argnums
+        kwargs = {}
+        if self.in_shardings is not None:
+            kwargs["in_shardings"] = self.in_shardings
+        if self.out_shardings is not None:
+            kwargs["out_shardings"] = self.out_shardings
+        jitted = jax.jit(fn, donate_argnums=donate or (), **kwargs)
+        return jitted

@@ -1,0 +1,181 @@
+"""pytensor_tpu.tensor: the tensor op library (import as ``pt``)."""
+
+from pytensor_tpu.tensor.type import *  # noqa: F401,F403
+from pytensor_tpu.tensor.type import TensorType  # noqa: F401
+from pytensor_tpu.tensor.variable import TensorConstant, TensorVariable  # noqa: F401
+from pytensor_tpu.tensor.basic import *  # noqa: F401,F403
+from pytensor_tpu.tensor.basic import (  # noqa: F401
+    alloc,
+    arange,
+    as_tensor_variable,
+    as_tensor,
+    cast,
+    concatenate,
+    constant,
+    diag,
+    diagonal,
+    expand_dims,
+    eye,
+    fill,
+    full,
+    full_like,
+    get_scalar_constant_value,
+    identity_like,
+    join,
+    moveaxis,
+    ones,
+    ones_like,
+    shape_padaxis,
+    shape_padleft,
+    shape_padright,
+    split,
+    stack,
+    swapaxes,
+    tile,
+    transpose,
+    tri,
+    tril,
+    triu,
+    where,
+    zeros,
+    zeros_like,
+)
+from pytensor_tpu.tensor.math import *  # noqa: F401,F403
+from pytensor_tpu.tensor import math  # noqa: F401
+from pytensor_tpu.tensor.math import (  # noqa: F401
+    abs,
+    add,
+    all,
+    any,
+    argmax,
+    argmin,
+    cos,
+    dot,
+    eq,
+    exp,
+    ge,
+    gt,
+    le,
+    log,
+    lt,
+    matmul,
+    max,
+    maximum,
+    mean,
+    min,
+    minimum,
+    mul,
+    neq,
+    outer,
+    pow,
+    prod,
+    sigmoid,
+    sin,
+    softplus,
+    sqr,
+    sqrt,
+    std,
+    sub,
+    sum,
+    switch,
+    tanh,
+    tensordot,
+    true_div,
+    var,
+)
+from pytensor_tpu.tensor.shape import (  # noqa: F401
+    Reshape,
+    Shape,
+    Shape_i,
+    SpecifyShape,
+    flatten,
+    reshape,
+    shape,
+    shape_tuple,
+    specify_broadcastable,
+    specify_shape,
+    unbroadcast,
+)
+from pytensor_tpu.tensor.subtensor import (  # noqa: F401
+    AdvancedIncSubtensor,
+    AdvancedIncSubtensor1,
+    AdvancedSubtensor,
+    AdvancedSubtensor1,
+    IncSubtensor,
+    Subtensor,
+    flip,
+    inc_subtensor,
+    set_subtensor,
+    take,
+    take_along_axis,
+)
+from pytensor_tpu.tensor.elemwise import CAReduce, DimShuffle, Elemwise  # noqa: F401
+from pytensor_tpu.tensor import extra_ops  # noqa: F401
+from pytensor_tpu.tensor.extra_ops import (  # noqa: F401
+    bartlett,
+    bincount,
+    broadcast_arrays,
+    broadcast_to,
+    cumprod,
+    cumsum,
+    diff,
+    fill_diagonal,
+    linspace,
+    logspace,
+    repeat,
+    searchsorted,
+    squeeze,
+    unique,
+)
+from pytensor_tpu.tensor.sort import argsort, sort, topk  # noqa: F401
+from pytensor_tpu.tensor.sharedvar import TensorSharedVariable  # noqa: F401
+
+
+def _lazy_submodules():
+    # linalg / random / special are imported on attribute access to keep
+    # import time low (reference exposes pt.linalg / pt.random the same way)
+    pass
+
+
+def __getattr__(name):
+    if name in ("linalg", "slinalg", "nlinalg"):
+        import pytensor_tpu.tensor.linalg as linalg
+
+        return linalg
+    if name == "random":
+        import pytensor_tpu.tensor.random as random
+
+        return random
+    if name == "special":
+        import pytensor_tpu.tensor.special as special
+
+        return special
+    if name == "fft":
+        import pytensor_tpu.tensor.fft as fft
+
+        return fft
+    if name == "signal":
+        import pytensor_tpu.tensor.signal as signal
+
+        return signal
+    if name == "einsum_mod":
+        import pytensor_tpu.tensor.einsum as einsum_mod
+
+        return einsum_mod
+    if name == "einsum":
+        from pytensor_tpu.tensor.einsum import einsum
+
+        return einsum
+    if name == "optimize":
+        import pytensor_tpu.tensor.optimize as optimize
+
+        return optimize
+    if name == "pad":
+        from pytensor_tpu.tensor.pad import pad
+
+        return pad
+    if name == "blockwise":
+        import pytensor_tpu.tensor.blockwise as blockwise
+
+        return blockwise
+    raise AttributeError(f"module pytensor_tpu.tensor has no attribute {name}")

@@ -1,0 +1,433 @@
+"""DimShuffle, Elemwise, CAReduce.
+
+Parallels /root/reference/pytensor/tensor/elemwise.py (DimShuffle:41,
+Elemwise:375, CAReduce:1233).  TPU-first differences: no C strided-loop
+codegen (elemwise_cgen.py) — the XLA lowering is a jnp ufunc call that the
+compiler fuses, and hot fused subgraphs can emit a single Pallas kernel
+(link/pallas).  Gradients call the scalar op's tensor-level grad rule
+directly instead of lifting scalar graphs (``_bgrad``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pytensor_tpu.config import config
+from pytensor_tpu.graph.basic import Apply, Variable
+from pytensor_tpu.graph.null_type import DisconnectedType, NullType
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.scalar.basic import ScalarOp
+from pytensor_tpu.tensor.type import TensorType
+
+
+def broadcast_static_shapes(*shapes: tuple) -> tuple:
+    """Merge static shapes under numpy broadcasting (None = unknown)."""
+    ndim = max((len(s) for s in shapes), default=0)
+    padded = [(None,) * (ndim - len(s)) + tuple(s) for s in shapes]
+    # treat missing (padded) dims as 1
+    padded = [
+        tuple(1 if (i < ndim - len(orig)) else d for i, d in enumerate(p))
+        for orig, p in zip(shapes, padded)
+    ]
+    out = []
+    for dims in zip(*padded):
+        known = {d for d in dims if d is not None and d != 1}
+        if len(known) > 1:
+            raise ValueError(f"Cannot broadcast shapes {shapes}")
+        if known:
+            out.append(known.pop())
+        elif any(d is None for d in dims):
+            out.append(None)
+        else:
+            out.append(1)
+    return tuple(out)
+
+
+class DimShuffle(Op):
+    """Transpose / broadcast-insert / squeeze in one op.
+
+    ``new_order`` mixes input axis indices and "x" (new length-1 axis).
+    Dropped axes must be statically length 1.
+    """
+
+    __props__ = ("input_ndim", "new_order")
+    view_map = {0: [0]}
+
+    def __init__(self, input_ndim: int, new_order: Sequence):
+        self.input_ndim = int(input_ndim)
+        self.new_order = tuple(
+            "x" if o == "x" else int(o) for o in new_order
+        )
+        for o in self.new_order:
+            if o != "x" and not (0 <= o < self.input_ndim):
+                raise ValueError(f"new_order {self.new_order} out of range for ndim {input_ndim}")
+        seen = [o for o in self.new_order if o != "x"]
+        if len(seen) != len(set(seen)):
+            raise ValueError("duplicate axis in new_order")
+        self.shuffle = tuple(o for o in self.new_order if o != "x")
+        self.drop = tuple(i for i in range(self.input_ndim) if i not in self.shuffle)
+        self.augment = tuple(i for i, o in enumerate(self.new_order) if o == "x")
+        self.is_transpose = not self.drop and not self.augment
+        self.transposition = self.shuffle + self.drop
+
+    def make_node(self, x):
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        x = as_tensor_variable(x)
+        if x.type.ndim != self.input_ndim:
+            raise TypeError(f"DimShuffle expected ndim {self.input_ndim}, got {x.type.ndim}")
+        for d in self.drop:
+            if x.type.shape[d] != 1:
+                raise TypeError(
+                    f"Cannot drop non-broadcastable (len != 1) dim {d} of {x.type}"
+                )
+        out_shape = tuple(
+            1 if o == "x" else x.type.shape[o] for o in self.new_order
+        )
+        return Apply(self, [x], [TensorType(x.type.dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        res = np.transpose(x, self.transposition)
+        shape = list(res.shape[: len(self.shuffle)])
+        for a in self.augment:
+            shape.insert(a, 1)
+        output_storage[0][0] = np.reshape(res, shape)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        (ishp,) = input_shapes
+        from pytensor_tpu.tensor.basic import constant
+
+        return [
+            tuple(
+                constant(np.int64(1)) if o == "x" else ishp[o]
+                for o in self.new_order
+            )
+        ]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        if isinstance(gz.type, (DisconnectedType, NullType)):
+            return [gz]
+        grad_order = [
+            self.new_order.index(i) if i in self.new_order else "x"
+            for i in range(self.input_ndim)
+        ]
+        return [DimShuffle(gz.type.ndim, grad_order)(gz)]
+
+    def R_op(self, inputs, eval_points):
+        if eval_points[0] is None:
+            return [None]
+        return [self(eval_points[0])]
+
+    def c_like_str(self):
+        return f"DimShuffle{{{','.join(map(str, self.new_order))}}}"
+
+    def __str__(self):
+        if self.is_transpose:
+            return f"Transpose{{axes={self.shuffle}}}"
+        return f"DimShuffle{{{self.input_ndim}->{self.new_order}}}"
+
+
+class Elemwise(Op):
+    """Lift a ScalarOp to tensors with numpy broadcasting semantics."""
+
+    __props__ = ("scalar_op",)
+
+    def __init__(self, scalar_op: ScalarOp, inplace_pattern=None, name=None):
+        self.scalar_op = scalar_op
+        self.name = name
+
+    @property
+    def nfunc_spec(self):
+        return None
+
+    def make_node(self, *inputs):
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        inputs = [as_tensor_variable(i) for i in inputs]
+        nin = self.scalar_op.nin
+        if nin != -1 and len(inputs) != nin:
+            raise ValueError(
+                f"{self.scalar_op} expected {nin} inputs, got {len(inputs)}"
+            )
+        if nin == -1 and len(inputs) < 1:
+            raise ValueError("variadic elemwise needs at least 1 input")
+        out_shape = broadcast_static_shapes(*(i.type.shape for i in inputs))
+        out_dtype = self.scalar_op.output_dtype(*(i.type.dtype for i in inputs))
+        out = TensorType(out_dtype, out_shape)()
+        return Apply(self, inputs, [out])
+
+    def perform(self, node, inputs, output_storage):
+        out = self.scalar_op.impl(*inputs)
+        dt = node.outputs[0].type.numpy_dtype
+        out = np.asarray(out)
+        if out.dtype != dt:
+            out = out.astype(dt)
+        # broadcast fully (scalar ops like second may under-broadcast)
+        shp = np.broadcast_shapes(*(np.shape(i) for i in inputs))
+        if out.shape != shp:
+            out = np.broadcast_to(out, shp).copy()
+        output_storage[0][0] = out
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        from pytensor_tpu.tensor.basic import as_tensor_variable, constant
+        from pytensor_tpu.tensor import math as tm
+
+        out_ndim = node.outputs[0].type.ndim
+        result = []
+        for d in range(out_ndim):
+            dim = None
+            static = node.outputs[0].type.shape[d]
+            if static is not None:
+                result.append(constant(np.int64(static)))
+                continue
+            # pick the first input with a non-broadcast dim here
+            candidates = []
+            for inp, ishp in zip(node.inputs, input_shapes):
+                offset = out_ndim - inp.type.ndim
+                if d >= offset:
+                    idim = d - offset
+                    if inp.type.shape[idim] != 1:
+                        candidates.append(ishp[idim])
+            if candidates:
+                result.append(candidates[0])
+            else:
+                result.append(constant(np.int64(1)))
+        return [tuple(result)]
+
+    def L_op(self, inputs, outputs, output_grads):
+        scalar_grads = self.scalar_op.grad(inputs, outputs, output_grads)
+        rval = []
+        for g, inp in zip(scalar_grads, inputs):
+            if isinstance(getattr(g, "type", None), (DisconnectedType, NullType)):
+                rval.append(g)
+                continue
+            rval.append(_sum_grad_over_bcasted_dims(inp, g))
+        return rval
+
+    def R_op(self, inputs, eval_points):
+        # forward-mode: sum_i J_i * dx_i using the scalar grad rules
+        from pytensor_tpu.gradient import Rop_via_pushforward
+
+        return Rop_via_pushforward(self, inputs, eval_points)
+
+    def __str__(self):
+        if self.name:
+            return self.name
+        return f"Elemwise{{{self.scalar_op}}}"
+
+
+def _sum_grad_over_bcasted_dims(inp: Variable, grad: Variable) -> Variable:
+    """Sum ``grad`` over dims along which ``inp`` was broadcast."""
+    from pytensor_tpu.tensor import math as tm
+    from pytensor_tpu.tensor.basic import cast
+
+    if not hasattr(grad, "type") or not isinstance(grad.type, TensorType):
+        return grad
+    g_ndim = grad.type.ndim
+    i_ndim = inp.type.ndim
+    lead = g_ndim - i_ndim
+    axes = list(range(lead))
+    for d in range(i_ndim):
+        if inp.type.shape[d] == 1 and grad.type.shape[lead + d] != 1:
+            axes.append(lead + d)
+    if axes:
+        grad = tm.sum(grad, axis=axes, keepdims=True)
+    if lead:
+        grad = DimShuffle(grad.type.ndim, list(range(lead, g_ndim)))(grad)
+    return grad
+
+
+# reduction helpers: numpy + jax callables per scalar op name
+_np_reducers = {
+    "add": np.add.reduce,
+    "mul": np.multiply.reduce,
+    "maximum": np.maximum.reduce,
+    "minimum": np.minimum.reduce,
+    "and_": np.logical_and.reduce,
+    "or_": np.logical_or.reduce,
+    "xor": np.bitwise_xor.reduce,
+}
+
+
+class CAReduce(Op):
+    """Reduce a tensor along axes with a commutative-associative scalar op.
+
+    Parallels reference CAReduce (tensor/elemwise.py:1233).  Named
+    reductions (Sum, Prod, Max, ...) are instances distinguished by
+    ``scalar_op`` with gradient rules dispatched on it.
+    """
+
+    __props__ = ("scalar_op", "axis", "dtype", "acc_dtype", "upcast_discrete_output")
+
+    def __init__(self, scalar_op: ScalarOp, axis=None, dtype=None, acc_dtype=None,
+                 upcast_discrete_output=False):
+        self.scalar_op = scalar_op
+        if axis is None:
+            self.axis = None
+        elif isinstance(axis, (int, np.integer)):
+            self.axis = (int(axis),)
+        else:
+            self.axis = tuple(sorted(int(a) for a in axis))
+        self.dtype = dtype
+        self.acc_dtype = acc_dtype
+        self.upcast_discrete_output = upcast_discrete_output
+
+    def _output_dtype(self, idtype: str) -> str:
+        if self.dtype is not None:
+            return self.dtype
+        if self.upcast_discrete_output:
+            # sum/prod of low-precision ints accumulate in int64/uint64
+            if idtype in ("bool", "int8", "int16", "int32", "int64"):
+                return "int64"
+            if idtype in ("uint8", "uint16", "uint32", "uint64"):
+                return "uint64"
+        if self.scalar_op.name in ("and_", "or_"):
+            return "bool"
+        return idtype
+
+    def make_node(self, x):
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        x = as_tensor_variable(x)
+        axis = self.axis
+        if axis is not None:
+            axis = tuple(a % x.type.ndim for a in axis)
+            if axis != self.axis:
+                # normalize negative axes into a new op instance
+                return type(self)(self.scalar_op, axis, self.dtype, self.acc_dtype,
+                                  self.upcast_discrete_output).make_node(x)
+            out_shape = tuple(
+                s for d, s in enumerate(x.type.shape) if d not in axis
+            )
+        else:
+            out_shape = ()
+        out_dtype = self._output_dtype(x.type.dtype)
+        return Apply(self, [x], [TensorType(out_dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        x = np.asarray(x)
+        axis = self.axis if self.axis is not None else tuple(range(x.ndim))
+        dt = node.outputs[0].type.numpy_dtype
+        reducer = _np_reducers[self.scalar_op.name]
+        acc = x
+        if self.scalar_op.name in ("add", "mul") and acc.dtype != dt:
+            acc = acc.astype(dt)
+        for a in sorted(axis, reverse=True):
+            acc = reducer(acc, axis=a)
+        acc = np.asarray(acc)
+        if acc.dtype != dt:
+            acc = acc.astype(dt)
+        output_storage[0][0] = acc
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        (ishp,) = input_shapes
+        if self.axis is None:
+            return [()]
+        return [tuple(s for d, s in enumerate(ishp) if d not in self.axis)]
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.tensor import math as tm
+        from pytensor_tpu.tensor.basic import cast
+
+        (x,) = inputs
+        (out,) = outputs
+        (gz,) = output_grads
+        name = self.scalar_op.name
+        axis = self.axis if self.axis is not None else tuple(range(x.type.ndim))
+        # re-insert reduced dims as broadcastable, then broadcast
+        order = []
+        j = 0
+        for d in range(x.type.ndim):
+            if d in axis:
+                order.append("x")
+            else:
+                order.append(j)
+                j += 1
+        gz_b = DimShuffle(gz.type.ndim, order)(gz) if x.type.ndim else gz
+        out_b = DimShuffle(out.type.ndim, order)(out) if x.type.ndim else out
+        if name == "add":
+            g = tm.second(x, gz_b)
+            g = cast(g, x.type.dtype) if x.type.dtype != g.type.dtype else g
+            return [g]
+        if name == "mul":
+            # d prod/dx = prod / x ; safe only for nonzero x — reference uses
+            # the same formula in the simple case
+            g = gz_b * out_b / x
+            return [cast(g, x.type.dtype) if g.type.dtype != x.type.dtype else g]
+        if name in ("maximum", "minimum"):
+            # each tied extremum receives the full output gradient
+            # (reference Max/Min grad semantics)
+            indic = tm.cast(tm.eq(x, out_b), gz.type.dtype)
+            return [gz_b * indic]
+        if name in ("and_", "or_", "xor"):
+            from pytensor_tpu.gradient import grad_undefined
+
+            return [grad_undefined(self, 0, x, "boolean reduction")]
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, 0, x)]
+
+    def __str__(self):
+        name = {
+            "add": "Sum", "mul": "Prod", "maximum": "Max", "minimum": "Min",
+            "and_": "All", "or_": "Any",
+        }.get(self.scalar_op.name, f"Reduce{{{self.scalar_op}}}")
+        ax = "" if self.axis is None else f"{{axis={list(self.axis)}}}"
+        return f"{name}{ax}"
+
+
+def Sum(axis=None, dtype=None, acc_dtype=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.add, axis, dtype, acc_dtype, upcast_discrete_output=True)
+
+
+def Prod(axis=None, dtype=None, acc_dtype=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.mul, axis, dtype, acc_dtype, upcast_discrete_output=True)
+
+
+def Max(axis=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.maximum, axis)
+
+
+def Min(axis=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.minimum, axis)
+
+
+def All(axis=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.and_, axis, dtype="bool")
+
+
+def Any(axis=None):
+    from pytensor_tpu.scalar import basic as ps
+
+    return CAReduce(ps.or_, axis, dtype="bool")
+
+
+def scalar_elemwise(scalar_op, name=None):
+    """Create the tensor-level callable for a scalar op (≈200 wrappers in
+    reference tensor/math.py via the decorator of the same name)."""
+    ew = Elemwise(scalar_op, name=name)
+    return ew
+
+
+def get_normalized_batch_axes(core_axes, core_ndim, batch_ndim):
+    """Map core reduction axes to batched axes (for vectorize)."""
+    if core_axes is None:
+        core_axes = tuple(range(core_ndim))
+    else:
+        core_axes = tuple(a % core_ndim for a in core_axes)
+    return tuple(batch_ndim + a for a in core_axes)

@@ -1,0 +1,322 @@
+"""Algebraic canonicalization / stabilization / specialization rewrites.
+
+Parallels /root/reference/pytensor/tensor/rewriting/math.py (4k LoC:
+AlgebraicCanonizer:1119, exp/log/pow simplifications, sigmoid/softplus
+stabilizations :553-677).  This pack keeps the numerically-load-bearing
+rewrites; pure speed rewrites matter less here because XLA fuses and
+simplifies elementwise chains itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.compile.mode import (
+    register_canonicalize,
+    register_specialize,
+    register_stabilize,
+)
+from pytensor_tpu.graph.basic import Constant
+from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+from pytensor_tpu.tensor import math as tm
+from pytensor_tpu.tensor.basic import as_tensor_variable, cast
+from pytensor_tpu.tensor.elemwise import CAReduce, DimShuffle, Elemwise
+from pytensor_tpu.tensor.variable import TensorConstant
+
+
+def _is_ew(node, name):
+    return isinstance(node.op, Elemwise) and node.op.scalar_op.name == name
+
+
+def _unique_value(v):
+    """Scalar value if v is a constant with all-equal entries, else None."""
+    if isinstance(v, TensorConstant):
+        return v.unique_value
+    if isinstance(v, Constant):
+        data = np.asarray(v.data)
+        if data.size and np.all(data == data.flat[0]):
+            return data.flat[0]
+    if v.owner is not None and isinstance(v.owner.op, DimShuffle):
+        return _unique_value(v.owner.inputs[0])
+    return None
+
+
+def _same_type_out(node, result):
+    out = node.outputs[0]
+    result = as_tensor_variable(result)
+    if result.type.dtype != out.type.dtype:
+        result = cast(result, out.type.dtype)
+    if result.type.ndim != out.type.ndim or not out.type.is_super(result.type):
+        # broadcast up using an existing input as the shape carrier
+        if result.type.ndim <= out.type.ndim:
+            carrier = None
+            for i in node.inputs:
+                if i.type.ndim == out.type.ndim and out.type.is_super(i.type):
+                    carrier = i
+                    break
+            if carrier is not None:
+                result = tm.second(carrier, result)
+            else:
+                return None
+        else:
+            return None
+    if result.type.dtype != out.type.dtype:
+        result = cast(result, out.type.dtype)
+    if not out.type.is_super(result.type):
+        return None
+    copy_stack_trace(out, result)
+    return result
+
+
+@node_rewriter([Elemwise])
+def local_add_neutral(fgraph, node):
+    """add(..., 0, ...) -> add(...); single term passes through."""
+    if not _is_ew(node, "add"):
+        return False
+    new_inputs = []
+    changed = False
+    for i in node.inputs:
+        u = _unique_value(i)
+        if u is not None and u == 0:
+            changed = True
+            continue
+        new_inputs.append(i)
+    if not changed:
+        return False
+    if not new_inputs:
+        new_inputs = [node.inputs[0]]
+    res = new_inputs[0] if len(new_inputs) == 1 else tm.add(*new_inputs)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_add_neutral, name="local_add_neutral")
+
+
+@node_rewriter([Elemwise])
+def local_mul_neutral(fgraph, node):
+    """mul(..., 1, ...) -> mul(...); mul(..., 0, ...) -> 0."""
+    if not _is_ew(node, "mul"):
+        return False
+    new_inputs = []
+    changed = False
+    for i in node.inputs:
+        u = _unique_value(i)
+        if u is not None and u == 1:
+            changed = True
+            continue
+        if u is not None and u == 0:
+            res = _same_type_out(node, as_tensor_variable(0.0))
+            return [res] if res is not None else False
+        new_inputs.append(i)
+    if not changed:
+        return False
+    if not new_inputs:
+        new_inputs = [node.inputs[0]]
+    res = new_inputs[0] if len(new_inputs) == 1 else tm.mul(*new_inputs)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_mul_neutral, name="local_mul_neutral")
+
+
+@node_rewriter([Elemwise])
+def local_flatten_assoc(fgraph, node):
+    """add(add(x,y),z) -> add(x,y,z); same for mul (fusion prep)."""
+    if not (_is_ew(node, "add") or _is_ew(node, "mul")):
+        return False
+    name = node.op.scalar_op.name
+    new_inputs = []
+    changed = False
+    for i in node.inputs:
+        if (
+            i.owner is not None
+            and _is_ew(i.owner, name)
+            and len(fgraph.clients.get(i, ())) == 1
+            and i.type.ndim == node.outputs[0].type.ndim
+        ):
+            new_inputs.extend(i.owner.inputs)
+            changed = True
+        else:
+            new_inputs.append(i)
+    if not changed:
+        return False
+    fn = tm.add if name == "add" else tm.mul
+    res = _same_type_out(node, fn(*new_inputs))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_flatten_assoc, name="local_flatten_assoc")
+
+
+@node_rewriter([Elemwise])
+def local_neg_neg(fgraph, node):
+    if not _is_ew(node, "neg"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "neg"):
+        res = _same_type_out(node, inner.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_neg_neg, name="local_neg_neg")
+
+
+@node_rewriter([Elemwise])
+def local_log_exp(fgraph, node):
+    """log(exp(x)) -> x (float domain)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "exp"):
+        res = _same_type_out(node, inner.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_log_exp, name="local_log_exp")
+
+
+@node_rewriter([Elemwise])
+def local_pow_specialize(fgraph, node):
+    """pow(x, const) for const in {0, 0.5, 1, 2, -1, -2} -> cheaper forms."""
+    if not _is_ew(node, "pow"):
+        return False
+    x, y = node.inputs
+    u = _unique_value(y)
+    if u is None:
+        return False
+    u = float(u)
+    if u == 1.0:
+        res = x
+    elif u == 2.0:
+        res = tm.sqr(x)
+    elif u == 0.5:
+        res = tm.sqrt(x)
+    elif u == -1.0:
+        res = tm.reciprocal(x)
+    elif u == -2.0:
+        res = tm.reciprocal(tm.sqr(x))
+    elif u == 0.0:
+        from pytensor_tpu.tensor.basic import ones_like
+
+        res = ones_like(x)
+    else:
+        return False
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_pow_specialize, name="local_pow_specialize")
+
+
+@node_rewriter([Elemwise])
+def local_log1p(fgraph, node):
+    """log(1 + x) -> log1p(x)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "add"):
+        return False
+    terms = inner.inputs
+    ones_idx = [k for k, t in enumerate(terms) if _unique_value(t) == 1]
+    if not ones_idx:
+        return False
+    rest = [t for k, t in enumerate(terms) if k != ones_idx[0]]
+    arg = rest[0] if len(rest) == 1 else tm.add(*rest)
+    res = _same_type_out(node, tm.log1p(arg))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log1p, name="local_log1p")
+
+
+@node_rewriter([Elemwise])
+def local_log_sigmoid(fgraph, node):
+    """log(sigmoid(x)) -> -softplus(-x) (numerically stable)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "sigmoid"):
+        x = inner.inputs[0]
+        res = _same_type_out(node, -tm.softplus(-x))
+        return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_log_sigmoid, name="local_log_sigmoid")
+
+
+@node_rewriter([Elemwise])
+def local_log1p_exp_to_softplus(fgraph, node):
+    """log1p(exp(x)) -> softplus(x)."""
+    if not _is_ew(node, "log1p"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "exp"):
+        res = _same_type_out(node, tm.softplus(inner.inputs[0]))
+        return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_log1p_exp_to_softplus, name="local_log1p_exp_to_softplus")
+
+
+@node_rewriter([Elemwise])
+def local_one_minus_sigmoid(fgraph, node):
+    """1 - sigmoid(x) -> sigmoid(-x)."""
+    if not _is_ew(node, "sub"):
+        return False
+    one, s = node.inputs
+    if _unique_value(one) != 1:
+        return False
+    inner = s.owner
+    if inner is not None and _is_ew(inner, "sigmoid"):
+        res = _same_type_out(node, tm.sigmoid(-inner.inputs[0]))
+        return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_one_minus_sigmoid, name="local_one_minus_sigmoid")
+
+
+@node_rewriter([Elemwise])
+def local_exp_log(fgraph, node):
+    """exp(log(x)) -> x is unsafe (domain); but exp(log1p(x)) -> 1+x is
+    similarly unsafe.  Do the safe one: exp(-softplus(-x)) -> sigmoid(x)."""
+    if not _is_ew(node, "exp"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "neg"):
+        inner2 = inner.inputs[0].owner
+        if inner2 is not None and _is_ew(inner2, "softplus"):
+            arg = inner2.inputs[0].owner
+            if arg is not None and _is_ew(arg, "neg"):
+                res = _same_type_out(node, tm.sigmoid(arg.inputs[0]))
+                return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_exp_log, name="local_exp_softplus_sigmoid")
+
+
+@node_rewriter([CAReduce])
+def local_sum_of_neg(fgraph, node):
+    """sum(-x) -> -sum(x)."""
+    if node.op.scalar_op.name != "add":
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "neg") and \
+            len(fgraph.clients.get(node.inputs[0], ())) == 1:
+        s = type(node.op)(node.op.scalar_op, node.op.axis, node.op.dtype,
+                          node.op.acc_dtype, node.op.upcast_discrete_output)(
+            inner.inputs[0]
+        )
+        res = _same_type_out(node, -s)
+        return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_sum_of_neg, name="local_sum_of_neg")

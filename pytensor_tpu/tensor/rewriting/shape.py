@@ -1,0 +1,112 @@
+"""Shape rewrites: fold static shapes to constants.
+
+Parallels /root/reference/pytensor/tensor/rewriting/shape.py
+(ShapeFeature:70 / ShapeOptimizer:420) in effect: the local rewrites here
+replace Shape/Shape_i with constants wherever the type carries static
+dims, which is what makes downstream shapes trace-time concrete for XLA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.compile.mode import register_canonicalize, register_useless
+from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+from pytensor_tpu.tensor.basic import MakeVector, constant
+from pytensor_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape, shape_i
+from pytensor_tpu.tensor.subtensor import DYN, Subtensor
+
+
+@node_rewriter([Shape_i])
+def local_shape_i_to_constant(fgraph, node):
+    x = node.inputs[0]
+    s = x.type.shape[node.op.i]
+    if s is not None:
+        return [constant(np.int64(s))]
+    return False
+
+
+register_canonicalize(local_shape_i_to_constant, name="local_shape_i_to_constant")
+
+
+@node_rewriter([Shape])
+def local_shape_to_makevector(fgraph, node):
+    """Shape(x) -> MakeVector(dims): splits per-dim so static dims fold."""
+    x = node.inputs[0]
+    if x.type.ndim == 0:
+        return [constant(np.zeros((0,), dtype="int64"))]
+    if all(s is None for s in x.type.shape):
+        return False
+    entries = []
+    for i, s in enumerate(x.type.shape):
+        if s is not None:
+            entries.append(constant(np.int64(s)))
+        else:
+            entries.append(shape_i(x, i))
+    out = MakeVector("int64")(*entries)
+    copy_stack_trace(node.outputs[0], out)
+    return [out]
+
+
+register_canonicalize(local_shape_to_makevector, name="local_shape_to_makevector")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_shape(fgraph, node):
+    """shape(x)[i] -> Shape_i(x); makevector(...)[i] -> element."""
+    x = node.inputs[0]
+    if len(node.op.idx_list) != 1:
+        return False
+    entry = node.op.idx_list[0]
+    if not isinstance(entry, (int, np.integer)):
+        return False
+    if x.owner is None:
+        return False
+    if isinstance(x.owner.op, Shape):
+        inner = x.owner.inputs[0]
+        i = int(entry) % inner.type.ndim
+        return [shape_i(inner, i)]
+    if isinstance(x.owner.op, MakeVector):
+        i = int(entry) % len(x.owner.inputs)
+        elem = x.owner.inputs[i]
+        out = node.outputs[0]
+        if elem.type == out.type:
+            return [elem]
+        from pytensor_tpu.tensor.basic import cast
+
+        if elem.type.ndim == 0:
+            return [cast(elem, out.type.dtype)]
+    return False
+
+
+register_canonicalize(local_subtensor_of_shape, name="local_subtensor_of_shape")
+
+
+@node_rewriter([Reshape])
+def local_useless_reshape(fgraph, node):
+    """reshape(x, shape-of-x) -> x when statically provable."""
+    x = node.inputs[0]
+    out = node.outputs[0]
+    if x.type == out.type and all(s is not None for s in x.type.shape):
+        return [x]
+    return False
+
+
+register_useless(local_useless_reshape, name="local_useless_reshape")
+
+
+@node_rewriter([Reshape])
+def local_reshape_reshape(fgraph, node):
+    """reshape(reshape(x, s1), s2) -> reshape(x, s2)."""
+    x = node.inputs[0]
+    if x.owner is not None and isinstance(x.owner.op, Reshape) and \
+            len(fgraph.clients.get(x, ())) == 1:
+        out = Reshape(node.op.ndim)(x.owner.inputs[0], node.inputs[1])
+        if out.type.is_super(node.outputs[0].type) or node.outputs[0].type.is_super(out.type):
+            copy_stack_trace(node.outputs[0], out)
+            if node.outputs[0].type.is_super(out.type):
+                return [out]
+    return False
+
+
+register_canonicalize(local_reshape_reshape, name="local_reshape_reshape")

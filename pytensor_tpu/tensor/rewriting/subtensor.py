@@ -1,0 +1,81 @@
+"""Subtensor rewrites (reference tensor/rewriting/subtensor.py, 2.9k LoC:
+useless-slice removal, subtensor merging)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.compile.mode import register_canonicalize, register_useless
+from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+from pytensor_tpu.tensor.subtensor import DYN, IncSubtensor, Subtensor
+
+
+def _full_slice(e):
+    return isinstance(e, tuple) and e == ("slice", None, None, None)
+
+
+@node_rewriter([Subtensor])
+def local_useless_subtensor(fgraph, node):
+    """x[:, :, ...] with only full slices -> x; drop trailing full slices."""
+    idx_list = node.op.idx_list
+    if all(_full_slice(e) for e in idx_list):
+        return [node.inputs[0]]
+    # strip trailing full slices
+    n = len(idx_list)
+    while n > 0 and _full_slice(idx_list[n - 1]):
+        n -= 1
+    if n < len(idx_list):
+        out = Subtensor(idx_list[:n])(*node.inputs)
+        copy_stack_trace(node.outputs[0], out)
+        return [out]
+    return False
+
+
+register_useless(local_useless_subtensor, name="local_useless_subtensor")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_merge(fgraph, node):
+    """x[a:b][c:d] -> one Subtensor when both are static simple slices."""
+    inner_var = node.inputs[0]
+    if inner_var.owner is None or not isinstance(inner_var.owner.op, Subtensor):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    inner_op = inner_var.owner.op
+    outer_op = node.op
+    # only merge single-dim static positive slices with step 1
+    def simple(idx_list):
+        if len(idx_list) != 1:
+            return None
+        e = idx_list[0]
+        if not isinstance(e, tuple) or e[0] != "slice":
+            return None
+        _, a, b, c = e
+        if c not in (None, 1) or a == DYN or b == DYN:
+            return None
+        if (a is not None and a < 0) or (b is not None and b < 0):
+            return None
+        return (a or 0, b)
+
+    inner = simple(inner_op.idx_list)
+    outer = simple(outer_op.idx_list)
+    if inner is None or outer is None:
+        return None
+    ia, ib = inner
+    oa, ob = outer
+    na = ia + oa
+    if ib is None:
+        nb = None if ob is None else ia + ob
+    else:
+        nb = ib if ob is None else min(ib, ia + ob)
+    out = Subtensor([("slice", na if na else None, nb, None)])(
+        inner_var.owner.inputs[0]
+    )
+    if not node.outputs[0].type.is_super(out.type):
+        return False
+    copy_stack_trace(node.outputs[0], out)
+    return [out]
+
+
+register_canonicalize(local_subtensor_merge, name="local_subtensor_merge")

@@ -1,0 +1,719 @@
+"""Indexing ops: Subtensor, IncSubtensor, advanced variants.
+
+Parallels /root/reference/pytensor/tensor/subtensor.py (Subtensor:868,
+IncSubtensor:1441, AdvancedSubtensor:1932, AdvancedIncSubtensor:2275).
+Design: ``idx_list`` holds the static structure of the index expression
+(ints/slices with None or the dynamic marker), dynamic scalar/array values
+are passed as extra node inputs in order of appearance.  On XLA,
+IncSubtensor lowers to ``x.at[idx].set/add`` (scatter).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply, Constant, Variable
+from pytensor_tpu.graph.null_type import DisconnectedType
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.tensor.basic import as_tensor_variable, cast, zeros_like
+from pytensor_tpu.tensor.type import TensorType
+
+# dynamic-entry marker inside idx_list
+DYN = "dyn"
+
+
+class AdvancedIndexingError(TypeError):
+    pass
+
+
+def _norm_int(v):
+    """Classify an index component: returns ('static', int) |
+    ('dyn', Variable) for scalar ints."""
+    if v is None:
+        return ("none", None)
+    if isinstance(v, (int, np.integer)):
+        return ("static", int(v))
+    if isinstance(v, Constant) and v.type.ndim == 0 and v.type.dtype.startswith(("int", "uint")):
+        return ("static", int(v.data))
+    if isinstance(v, Variable):
+        if v.type.ndim != 0:
+            raise TypeError("slice components must be scalars")
+        return ("dyn", cast(v, "int64") if v.type.dtype != "int64" else v)
+    raise TypeError(f"invalid index component {v!r}")
+
+
+class Subtensor(Op):
+    """Basic indexing: ints and slices (static structure in idx_list)."""
+
+    __props__ = ("idx_list",)
+    view_map = {0: [0]}
+
+    def __init__(self, idx_list):
+        # entries: int | DYN | (slice-tuple: ('slice', start, stop, step))
+        # where each bound is None | int | DYN
+        self.idx_list = tuple(idx_list)
+
+    def make_node(self, x, *dyn_inputs):
+        x = as_tensor_variable(x)
+        dyn_inputs = [as_tensor_variable(d) for d in dyn_inputs]
+        n_dyn = _count_dyn(self.idx_list)
+        if len(dyn_inputs) != n_dyn:
+            raise ValueError(f"Subtensor expected {n_dyn} dynamic inputs")
+        out_shape = _static_out_shape(self.idx_list, x.type.shape, dyn_inputs)
+        out = TensorType(x.type.dtype, out_shape)()
+        return Apply(self, [x, *dyn_inputs], [out])
+
+    def perform(self, node, inputs, output_storage):
+        x, *dyn = inputs
+        idx = _build_index(self.idx_list, dyn)
+        output_storage[0][0] = np.asarray(x[idx])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        from pytensor_tpu.tensor import math as tm
+        from pytensor_tpu.tensor.basic import constant
+
+        xshp = input_shapes[0]
+        dyn = list(node.inputs[1:])
+        out = []
+        it = iter(dyn)
+        d = 0
+        for entry in self.idx_list:
+            if entry == DYN:
+                next(it)
+                d += 1
+                continue
+            if isinstance(entry, (int, np.integer)):
+                d += 1
+                continue
+            # slice entry
+            _, start, stop, step = entry
+            sv = next(it) if start == DYN else start
+            ov = next(it) if stop == DYN else stop
+            ev = next(it) if step == DYN else step
+            length = _sym_slice_len(sv, ov, ev, xshp[d])
+            out.append(length)
+            d += 1
+        # remaining dims pass through
+        for dd in range(d, len(xshp)):
+            out.append(xshp[dd])
+        return [tuple(out)]
+
+    def connection_pattern(self, node):
+        return [[True]] + [[False] for _ in node.inputs[1:]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, *dyn = inputs
+        (gz,) = output_grads
+        g = IncSubtensor(self.idx_list, set_instead_of_inc=False)(
+            zeros_like(x), gz, *dyn
+        )
+        return [g] + [DisconnectedType()() for _ in dyn]
+
+    def __str__(self):
+        return f"Subtensor{{{_idx_str(self.idx_list)}}}"
+
+
+def _static_out_shape(idx_list, xshape, dyn_inputs):
+    """Static output shape of a basic-index expression."""
+    out = []
+    d = 0
+    for e in idx_list:
+        if e == DYN or isinstance(e, (int, np.integer)):
+            d += 1  # integer index drops the dim
+            continue
+        _, a, b, c = e
+        out.append(_static_slice_len(a, b, c, xshape[d]))
+        d += 1
+    out.extend(xshape[d:])
+    return tuple(out)
+
+
+def _count_dyn(idx_list) -> int:
+    n = 0
+    for e in idx_list:
+        if e == DYN:
+            n += 1
+        elif isinstance(e, tuple) and e and e[0] == "slice":
+            n += sum(1 for b in e[1:] if b == DYN)
+    return n
+
+
+def _build_index(idx_list, dyn):
+    it = iter(dyn)
+    idx = []
+    for e in idx_list:
+        if e == DYN:
+            idx.append(int(next(it)))
+        elif isinstance(e, (int, np.integer)):
+            idx.append(int(e))
+        else:
+            _, start, stop, step = e
+            s = int(next(it)) if start == DYN else start
+            o = int(next(it)) if stop == DYN else stop
+            p = int(next(it)) if step == DYN else step
+            idx.append(slice(s, o, p))
+    return tuple(idx)
+
+
+def _static_slice_len(start, stop, step, dim):
+    """Static length of a slice over a (possibly unknown) dim."""
+    if start == DYN or stop == DYN or step == DYN:
+        return None
+    if dim is None:
+        # fully static bounds can still give a length if both nonnegative
+        if (
+            start is not None and start >= 0 and stop is not None and stop >= 0
+        ):
+            return len(range(start, stop, step or 1))
+        return None
+    return len(range(*slice(start, stop, step).indices(dim)))
+
+
+def _sym_slice_len(start, stop, step, dim_var):
+    """Symbolic length of a slice (ints or scalar Variables)."""
+    from pytensor_tpu.tensor import math as tm
+    from pytensor_tpu.tensor.basic import constant, as_tensor_variable
+
+    def val(v, default):
+        if v is None:
+            return None
+        return v
+
+    step_v = 1 if step is None else step
+    if isinstance(step_v, Variable) or isinstance(start, Variable) or isinstance(stop, Variable) \
+            or isinstance(dim_var, Variable) or True:
+        n = as_tensor_variable(dim_var) if not isinstance(dim_var, Variable) else dim_var
+        st = as_tensor_variable(step_v if not isinstance(step_v, Variable) else step_v)
+        # normalize start/stop with numpy slice semantics
+        def norm(v, default_pos, default_neg):
+            if v is None:
+                return tm.switch(tm.ge(st, 0), default_pos, default_neg)
+            v = as_tensor_variable(v)
+            vneg = v + n
+            v = tm.switch(tm.lt(v, 0), vneg, v)
+            return tm.clip(v, tm.switch(tm.ge(st, 0), 0, -1),
+                           tm.switch(tm.ge(st, 0), n, n - 1))
+
+        zero = as_tensor_variable(np.int64(0))
+        a = norm(start, zero, n - 1)
+        b = norm(stop, n, zero - 1)
+        diff = b - a
+        q = tm.switch(
+            tm.ge(st, 0),
+            (diff + st - 1) // st,
+            (diff + st + 1) // st,
+        )
+        return tm.maximum(tm.cast(q, "int64"), zero)
+
+
+class IncSubtensor(Op):
+    """x with x[idx] set to / incremented by y (functional update).
+
+    On XLA this is ``x.at[idx].set/add(y)`` with buffer donation making it
+    effectively in-place; destroy_map kept as metadata.
+    """
+
+    __props__ = ("idx_list", "set_instead_of_inc")
+
+    def __init__(self, idx_list, set_instead_of_inc=False, inplace=False):
+        self.idx_list = tuple(idx_list)
+        self.set_instead_of_inc = bool(set_instead_of_inc)
+
+    def make_node(self, x, y, *dyn_inputs):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        dyn_inputs = [as_tensor_variable(d) for d in dyn_inputs]
+        if y.type.dtype != x.type.dtype:
+            y = cast(y, x.type.dtype)
+        out = TensorType(x.type.dtype, x.type.shape)()
+        return Apply(self, [x, y, *dyn_inputs], [out])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, *dyn = inputs
+        idx = _build_index(self.idx_list, dyn)
+        out = np.array(x, copy=True)
+        if self.set_instead_of_inc:
+            out[idx] = y
+        else:
+            out[idx] += y
+        output_storage[0][0] = out
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def connection_pattern(self, node):
+        return [[True], [True]] + [[False] for _ in node.inputs[2:]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, y, *dyn = inputs
+        (gz,) = output_grads
+        if self.set_instead_of_inc:
+            gx = IncSubtensor(self.idx_list, set_instead_of_inc=True)(
+                gz, zeros_like(y), *dyn
+            )
+        else:
+            gx = gz
+        gy = Subtensor(self.idx_list)(gz, *dyn)
+        gy = _sum_extra_dims(gy, y)
+        return [gx, gy] + [DisconnectedType()() for _ in dyn]
+
+    def __str__(self):
+        verb = "Set" if self.set_instead_of_inc else "Inc"
+        return f"{verb}Subtensor{{{_idx_str(self.idx_list)}}}"
+
+
+def _sum_extra_dims(g, y):
+    """Reduce a sliced gradient down to y's shape (y may have broadcast)."""
+    from pytensor_tpu.tensor.elemwise import _sum_grad_over_bcasted_dims
+
+    return _sum_grad_over_bcasted_dims(y, g)
+
+
+def _idx_str(idx_list):
+    parts = []
+    for e in idx_list:
+        if e == DYN:
+            parts.append("int64")
+        elif isinstance(e, (int, np.integer)):
+            parts.append(str(e))
+        else:
+            _, a, b, c = e
+            f = lambda v: "" if v is None else ("?" if v == DYN else str(v))
+            parts.append(f"{f(a)}:{f(b)}" + (f":{f(c)}" if c is not None else ""))
+    return ", ".join(parts)
+
+
+class AdvancedSubtensor1(Op):
+    """x[ivec] along axis 0 (gather)."""
+
+    __props__ = ()
+
+    def make_node(self, x, ilist):
+        x = as_tensor_variable(x)
+        ilist = as_tensor_variable(ilist)
+        if ilist.type.ndim != 1:
+            raise TypeError("AdvancedSubtensor1 index must be a vector")
+        if not ilist.type.dtype.startswith(("int", "uint")):
+            raise TypeError("index must be integer typed")
+        out_shape = (ilist.type.shape[0], *x.type.shape[1:])
+        return Apply(self, [x, ilist], [TensorType(x.type.dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, i = inputs
+        output_storage[0][0] = x.take(i, axis=0)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        xshp, ishp = input_shapes
+        return [(ishp[0], *xshp[1:])]
+
+    def connection_pattern(self, node):
+        return [[True], [False]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, ilist = inputs
+        (gz,) = output_grads
+        gx = AdvancedIncSubtensor1(set_instead_of_inc=False)(zeros_like(x), gz, ilist)
+        return [gx, DisconnectedType()()]
+
+
+advanced_subtensor1 = AdvancedSubtensor1()
+
+
+class AdvancedIncSubtensor1(Op):
+    """x with x[ivec] set/incremented along axis 0 (scatter)."""
+
+    __props__ = ("set_instead_of_inc",)
+
+    def __init__(self, inplace=False, set_instead_of_inc=False):
+        self.set_instead_of_inc = bool(set_instead_of_inc)
+
+    def make_node(self, x, y, ilist):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        ilist = as_tensor_variable(ilist)
+        if y.type.dtype != x.type.dtype:
+            y = cast(y, x.type.dtype)
+        out = TensorType(x.type.dtype, x.type.shape)()
+        return Apply(self, [x, y, ilist], [out])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, i = inputs
+        out = np.array(x, copy=True)
+        if self.set_instead_of_inc:
+            out[i] = y
+        else:
+            np.add.at(out, i, y)
+        output_storage[0][0] = out
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def connection_pattern(self, node):
+        return [[True], [True], [False]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, y, ilist = inputs
+        (gz,) = output_grads
+        if self.set_instead_of_inc:
+            gx = AdvancedIncSubtensor1(set_instead_of_inc=True)(
+                gz, zeros_like(y), ilist
+            )
+        else:
+            gx = gz
+        gy = advanced_subtensor1(gz, ilist)
+        gy = _sum_extra_dims(gy, y)
+        return [gx, gy, DisconnectedType()()]
+
+
+class AdvancedSubtensor(Op):
+    """Full numpy advanced indexing (integer arrays mixed with slices).
+
+    The static index structure lives in ``idx_list`` with DYN markers for
+    tensor indices (passed as node inputs).
+    """
+
+    __props__ = ("idx_list",)
+
+    def __init__(self, idx_list):
+        self.idx_list = tuple(idx_list)
+
+    def make_node(self, x, *indices):
+        x = as_tensor_variable(x)
+        indices = [as_tensor_variable(i) for i in indices]
+        out_shape = self._static_shape(x, indices)
+        return Apply(self, [x, *indices], [TensorType(x.type.dtype, out_shape)()])
+
+    def _static_shape(self, x, indices):
+        # emulate numpy advanced indexing shape rules on static dims
+        try:
+            dummy_shape = tuple(1 if s is None else s for s in x.type.shape)
+            dummy = np.empty(dummy_shape, dtype=bool)
+            idx = []
+            it = iter(indices)
+            for e in self.idx_list:
+                if e == DYN:
+                    iv = next(it)
+                    ishape = tuple(1 if s is None else s for s in iv.type.shape)
+                    idx.append(np.zeros(ishape, dtype="int64"))
+                elif isinstance(e, (int, np.integer)):
+                    idx.append(0)
+                elif e == "none":
+                    idx.append(None)
+                else:
+                    _, a, b, c = e
+                    idx.append(slice(
+                        None if a == DYN else a,
+                        None if b == DYN else b,
+                        None if c == DYN else c,
+                    ))
+            out = dummy[tuple(idx)]
+            # dims coming from unknown dims are unknown
+            return tuple(None for _ in out.shape)
+        except Exception:
+            return None
+
+    def make_node_shape_fallback(self):
+        pass
+
+    def perform(self, node, inputs, output_storage):
+        x, *ind = inputs
+        idx = self._runtime_index(ind)
+        output_storage[0][0] = np.asarray(x[idx])
+
+    def _runtime_index(self, ind):
+        it = iter(ind)
+        idx = []
+        for e in self.idx_list:
+            if e == DYN:
+                idx.append(np.asarray(next(it)))
+            elif isinstance(e, (int, np.integer)):
+                idx.append(int(e))
+            elif e == "none":
+                idx.append(None)
+            else:
+                _, a, b, c = e
+                idx.append(slice(a, b, c))
+        return tuple(idx)
+
+    def connection_pattern(self, node):
+        return [[True]] + [[False] for _ in node.inputs[1:]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, *ind = inputs
+        (gz,) = output_grads
+        gx = AdvancedIncSubtensor(self.idx_list, set_instead_of_inc=False)(
+            zeros_like(x), gz, *ind
+        )
+        return [gx] + [DisconnectedType()() for _ in ind]
+
+    def __str__(self):
+        return "AdvancedSubtensor"
+
+
+class AdvancedIncSubtensor(Op):
+    __props__ = ("idx_list", "set_instead_of_inc", "ignore_duplicates")
+
+    def __init__(self, idx_list, set_instead_of_inc=False, inplace=False,
+                 ignore_duplicates=False):
+        self.idx_list = tuple(idx_list)
+        self.set_instead_of_inc = bool(set_instead_of_inc)
+        self.ignore_duplicates = bool(ignore_duplicates)
+
+    def make_node(self, x, y, *indices):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        if y.type.dtype != x.type.dtype:
+            y = cast(y, x.type.dtype)
+        indices = [as_tensor_variable(i) for i in indices]
+        out = TensorType(x.type.dtype, x.type.shape)()
+        return Apply(self, [x, y, *indices], [out])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, *ind = inputs
+        helper = AdvancedSubtensor(self.idx_list)
+        idx = helper._runtime_index(ind)
+        out = np.array(x, copy=True)
+        if self.set_instead_of_inc or self.ignore_duplicates:
+            if self.set_instead_of_inc:
+                out[idx] = y
+            else:
+                out[idx] += y
+        else:
+            # np.add.at handles duplicate indices correctly
+            np.add.at(out, idx, y)
+        output_storage[0][0] = out
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def connection_pattern(self, node):
+        return [[True], [True]] + [[False] for _ in node.inputs[2:]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, y, *ind = inputs
+        (gz,) = output_grads
+        if self.set_instead_of_inc:
+            gx = AdvancedIncSubtensor(self.idx_list, set_instead_of_inc=True)(
+                gz, zeros_like(y), *ind
+            )
+        else:
+            gx = gz
+        gy = AdvancedSubtensor(self.idx_list)(gz, *ind)
+        gy = _sum_extra_dims(gy, y)
+        return [gx, gy] + [DisconnectedType()() for _ in ind]
+
+    def __str__(self):
+        verb = "Set" if self.set_instead_of_inc else "Inc"
+        return f"Advanced{verb}Subtensor"
+
+
+# ---------------------------------------------------------------------------
+# __getitem__ front end
+# ---------------------------------------------------------------------------
+
+def _parse_args(x, args):
+    """Normalize index args; expand Ellipsis; classify basic vs advanced."""
+    if not isinstance(args, tuple):
+        args = (args,)
+    # expand Ellipsis
+    n_specified = sum(1 for a in args if a is not None and a is not Ellipsis)
+    new_args = []
+    for a in args:
+        if a is Ellipsis:
+            new_args.extend([slice(None)] * (x.type.ndim - n_specified))
+        else:
+            new_args.append(a)
+    args = new_args
+    has_advanced = False
+    for a in args:
+        if isinstance(a, (list, np.ndarray)):
+            has_advanced = True
+        elif isinstance(a, Variable) and getattr(a.type, "ndim", 0) >= 1:
+            has_advanced = True
+        elif isinstance(a, Variable) and getattr(a.type, "dtype", "") == "bool":
+            has_advanced = True
+    return args, has_advanced
+
+
+def _getitem(x, args):
+    args, has_advanced = _parse_args(x, args)
+    if len([a for a in args if a is not None]) > x.type.ndim:
+        raise IndexError(f"too many indices for {x.type}")
+
+    if not has_advanced and not any(a is None for a in args):
+        # pure basic indexing
+        idx_list = []
+        dyn = []
+        for a in args:
+            if isinstance(a, slice):
+                entry = ["slice"]
+                for part in (a.start, a.stop, a.step):
+                    kind, v = _norm_int(part)
+                    if kind == "none":
+                        entry.append(None)
+                    elif kind == "static":
+                        entry.append(v)
+                    else:
+                        entry.append(DYN)
+                        dyn.append(v)
+                idx_list.append(tuple(entry))
+            else:
+                kind, v = _norm_int(a)
+                if kind == "static":
+                    idx_list.append(v)
+                elif kind == "dyn":
+                    idx_list.append(DYN)
+                    dyn.append(v)
+                else:
+                    raise TypeError("None in basic path?")
+        if not idx_list or all(
+            isinstance(e, tuple) and e == ("slice", None, None, None) for e in idx_list
+        ):
+            return x
+        return Subtensor(idx_list)(x, *dyn)
+
+    # advanced path (may include None/newaxis and bool masks)
+    idx_list = []
+    tensors = []
+    only_onevec = None
+    n_adv = 0
+    for a in args:
+        if a is None:
+            idx_list.append("none")
+        elif isinstance(a, slice):
+            entry = ["slice"]
+            allstatic = True
+            for part in (a.start, a.stop, a.step):
+                kind, v = _norm_int(part)
+                if kind == "none":
+                    entry.append(None)
+                elif kind == "static":
+                    entry.append(v)
+                else:
+                    raise NotImplementedError(
+                        "dynamic slice bounds mixed with advanced indexing"
+                    )
+            idx_list.append(tuple(entry))
+        elif isinstance(a, (list, np.ndarray)) or (
+            isinstance(a, Variable) and getattr(a.type, "ndim", 0) >= 0
+        ):
+            av = as_tensor_variable(a)
+            if av.type.dtype == "bool":
+                raise NotImplementedError(
+                    "boolean mask indexing has data-dependent shape; "
+                    "use pt.where/switch masking instead on TPU"
+                )
+            idx_list.append(DYN)
+            tensors.append(av)
+            n_adv += 1
+        elif isinstance(a, (int, np.integer)):
+            idx_list.append(int(a))
+        else:
+            raise TypeError(f"cannot index with {a!r}")
+    if n_adv == 1 and len(tensors) == 1 and tensors[0].type.ndim == 1 and all(
+        (e == DYN or (isinstance(e, tuple) and e == ("slice", None, None, None)))
+        for e in idx_list
+    ) and idx_list[0] == DYN and "none" not in idx_list:
+        return advanced_subtensor1(x, tensors[0])
+    return AdvancedSubtensor(idx_list)(x, *tensors)
+
+
+def set_subtensor(dest, src, inplace=False):
+    """Return dest's base tensor with the indexed region set to src."""
+    return _inc_or_set(dest, src, set_instead_of_inc=True)
+
+
+def inc_subtensor(dest, src, inplace=False, set_instead_of_inc=False,
+                  ignore_duplicates=False):
+    return _inc_or_set(dest, src, set_instead_of_inc=set_instead_of_inc,
+                       ignore_duplicates=ignore_duplicates)
+
+
+def _inc_or_set(dest, src, set_instead_of_inc, ignore_duplicates=False):
+    if dest.owner is None:
+        raise TypeError("dest must be the result of an indexing operation")
+    op = dest.owner.op
+    if isinstance(op, Subtensor):
+        x, *dyn = dest.owner.inputs
+        return IncSubtensor(op.idx_list, set_instead_of_inc=set_instead_of_inc)(
+            x, src, *dyn
+        )
+    if isinstance(op, AdvancedSubtensor1):
+        x, ilist = dest.owner.inputs
+        return AdvancedIncSubtensor1(set_instead_of_inc=set_instead_of_inc)(
+            x, src, ilist
+        )
+    if isinstance(op, AdvancedSubtensor):
+        x, *ind = dest.owner.inputs
+        return AdvancedIncSubtensor(
+            op.idx_list, set_instead_of_inc=set_instead_of_inc,
+            ignore_duplicates=ignore_duplicates,
+        )(x, src, *ind)
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    if isinstance(op, DimShuffle) and op.is_transpose:
+        # allow set_subtensor(x.T[...], v) patterns via inverse transpose
+        inner = _inc_or_set(dest.owner.inputs[0], src, set_instead_of_inc)
+        return inner
+    raise TypeError(f"dest must be an indexing result, got {op}")
+
+
+def take(x, indices, axis=None, mode="raise"):
+    x = as_tensor_variable(x)
+    indices = as_tensor_variable(indices)
+    from pytensor_tpu.tensor.shape import flatten, reshape, shape
+
+    if axis is None:
+        xf = flatten(x)
+        if indices.type.ndim == 1:
+            return advanced_subtensor1(xf, indices)
+        idx_flat = flatten(indices)
+        res = advanced_subtensor1(xf, idx_flat)
+        return reshape(res, [shape(indices)[i] for i in range(indices.type.ndim)],
+                       ndim=indices.type.ndim)
+    axis = axis % x.type.ndim
+    if axis == 0 and indices.type.ndim == 1:
+        return advanced_subtensor1(x, indices)
+    full = [slice(None)] * axis + [indices]
+    return x.__getitem__(tuple(full))
+
+
+def take_along_axis(arr, indices, axis=-1):
+    arr = as_tensor_variable(arr)
+    indices = as_tensor_variable(indices)
+    if arr.type.ndim != indices.type.ndim:
+        raise ValueError("ndim mismatch in take_along_axis")
+    axis = axis % arr.type.ndim
+    # build open-mesh advanced index
+    from pytensor_tpu.tensor.basic import arange, shape_padright, shape_padleft
+    from pytensor_tpu.tensor.shape import shape
+
+    idxs = []
+    for d in range(arr.type.ndim):
+        if d == axis:
+            idxs.append(indices)
+        else:
+            r = arange(shape(arr)[d])
+            pat = ["x"] * arr.type.ndim
+            pat[d] = 0
+            from pytensor_tpu.tensor.elemwise import DimShuffle
+
+            idxs.append(DimShuffle(1, pat)(r))
+    return AdvancedSubtensor([DYN] * arr.type.ndim)(arr, *idxs)
+
+
+def flip(x, axis=None):
+    x = as_tensor_variable(x)
+    if axis is None:
+        axis = list(range(x.type.ndim))
+    elif isinstance(axis, (int, np.integer)):
+        axis = [axis]
+    idx = []
+    for d in range(x.type.ndim):
+        if d in [a % x.type.ndim for a in axis]:
+            idx.append(("slice", None, None, -1))
+        else:
+            idx.append(("slice", None, None, None))
+    return Subtensor(idx)(x)

@@ -1,0 +1,306 @@
+"""TensorType: dtype + static shape with None holes.
+
+Parallels /root/reference/pytensor/tensor/type.py (TensorType:58): the
+``shape`` tuple records statically-known dims (None = unknown), subtyping
+widens None dims, and ``filter`` validates runtime values.  On the XLA
+path static shapes feed jit specialization (SURVEY §7 "static-shape
+specialization").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from pytensor_tpu.config import config
+from pytensor_tpu.graph.type import HasDataType, HasShape, Type
+
+int_dtypes = ("int8", "int16", "int32", "int64")
+uint_dtypes = ("uint8", "uint16", "uint32", "uint64")
+float_dtypes = ("float16", "bfloat16", "float32", "float64")
+complex_dtypes = ("complex64", "complex128")
+discrete_dtypes = ("bool",) + int_dtypes + uint_dtypes
+continuous_dtypes = float_dtypes + complex_dtypes
+all_dtypes = discrete_dtypes + continuous_dtypes
+
+
+def _normalize_dtype(dtype) -> str:
+    if dtype == "floatX":
+        return config.floatX
+    if str(dtype) == "bfloat16":
+        return "bfloat16"
+    return str(np.dtype(dtype))
+
+
+def _np_dtype(dtype: str):
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(dtype)
+
+
+class TensorType(Type, HasDataType, HasShape):
+    __props__ = ("dtype", "shape")
+
+    def __init__(self, dtype, shape: Iterable[Optional[int]] = None, name: str | None = None,
+                 broadcastable=None):
+        if broadcastable is not None and shape is None:
+            shape = tuple(1 if b else None for b in broadcastable)
+        self.dtype = _normalize_dtype(dtype)
+        if self.dtype not in all_dtypes:
+            raise TypeError(f"Unsupported dtype: {self.dtype}")
+        self.shape = tuple(
+            None if s is None else int(s) for s in (shape if shape is not None else ())
+        )
+        if any(s is not None and s < 0 for s in self.shape):
+            raise ValueError(f"Invalid static shape {self.shape}")
+        self.name = name
+        if self.dtype == "float64" and config.warn_float64 != "ignore":
+            _warn_float64()
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def broadcastable(self) -> tuple[bool, ...]:
+        return tuple(s == 1 for s in self.shape)
+
+    @property
+    def numpy_dtype(self):
+        return _np_dtype(self.dtype)
+
+    def clone(self, dtype=None, shape=None, **kwargs):
+        return type(self)(
+            dtype if dtype is not None else self.dtype,
+            shape if shape is not None else self.shape,
+        )
+
+    def filter(self, data: Any, strict: bool = False, allow_downcast: bool | None = None):
+        if strict:
+            if not isinstance(data, np.ndarray):
+                raise TypeError(f"{self} expected an ndarray, got {type(data)}")
+            if str(data.dtype) != self.dtype:
+                raise TypeError(f"{self} expected dtype {self.dtype}, got {data.dtype}")
+            converted = data
+        else:
+            converted = np.asarray(data)
+            if str(converted.dtype) != self.dtype:
+                up = np.promote_types(converted.dtype, self.numpy_dtype)
+                ok = str(up) == str(self.numpy_dtype)
+                if not ok and allow_downcast is None:
+                    # silently downcast float64 -> lower floats when floatX is lower
+                    ok = (
+                        converted.dtype.kind == "f"
+                        and self.dtype in ("float32", "bfloat16", "float16")
+                    ) or (converted.dtype.kind in "iu" and self.dtype in int_dtypes + uint_dtypes
+                          and np.can_cast(converted.dtype, self.numpy_dtype, "same_kind"))
+                if not (ok or allow_downcast):
+                    raise TypeError(
+                        f"{self}: cannot safely cast {converted.dtype} to {self.dtype}"
+                    )
+                converted = converted.astype(self.numpy_dtype)
+        if converted.ndim != self.ndim:
+            raise TypeError(
+                f"{self}: wrong number of dimensions, expected {self.ndim}, "
+                f"got {converted.ndim} (value shape {converted.shape})"
+            )
+        for s, d in zip(self.shape, converted.shape):
+            if s is not None and s != d:
+                raise TypeError(
+                    f"{self}: shape mismatch, expected {self.shape}, got {converted.shape}"
+                )
+        return converted
+
+    def filter_variable(self, other, allow_convert: bool = True):
+        from pytensor_tpu.graph.basic import Variable
+
+        if not isinstance(other, Variable):
+            from pytensor_tpu.tensor.basic import as_tensor_variable
+
+            other = as_tensor_variable(other, dtype=self.dtype)
+        return super().filter_variable(other, allow_convert=allow_convert)
+
+    def convert_variable(self, var):
+        vtype = var.type
+        if not isinstance(vtype, TensorType):
+            # allow lifting 0-d "scalar" graph variables etc.
+            return None
+        if self.dtype != vtype.dtype or self.ndim != vtype.ndim:
+            return None
+        if self.is_super(vtype):
+            return var
+        if vtype.is_super(self):
+            # narrowing: assert the static shape at runtime
+            from pytensor_tpu.tensor.shape import specify_shape
+
+            return specify_shape(var, self.shape)
+        return None
+
+    def is_super(self, otype) -> bool:
+        return (
+            isinstance(otype, TensorType)
+            and self.dtype == otype.dtype
+            and self.ndim == otype.ndim
+            and all(s is None or s == o for s, o in zip(self.shape, otype.shape))
+        )
+
+    def in_same_class(self, otype) -> bool:
+        return self == otype
+
+    def make_constant_signature(self, data):
+        arr = np.asarray(data)
+        return (self.dtype, arr.shape, arr.tobytes())
+
+    def values_eq(self, a, b) -> bool:
+        if a.shape != b.shape or str(a.dtype) != str(b.dtype):
+            return False
+        return bool(np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True))
+
+    def values_eq_approx(self, a, b, allow_remove_inf=False, allow_remove_nan=False,
+                         rtol=None, atol=None) -> bool:
+        return values_eq_approx(a, b, allow_remove_inf, allow_remove_nan, rtol, atol)
+
+    def zeros(self, shape=None):
+        shape = shape if shape is not None else self.shape
+        return np.zeros(shape, dtype=self.numpy_dtype)
+
+    def value_zeros(self, shape):
+        return np.zeros(shape, dtype=self.numpy_dtype)
+
+    def __str__(self):
+        if self.name:
+            return self.name
+        shape_str = ", ".join("?" if s is None else str(s) for s in self.shape)
+        return f"Tensor({self.dtype}, shape=({shape_str}))"
+
+
+def values_eq_approx(a, b, allow_remove_inf=False, allow_remove_nan=False,
+                     rtol=None, atol=None) -> bool:
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        return False
+    if str(a.dtype) != str(b.dtype):
+        return False
+    if a.dtype.kind in "biu":
+        return bool(np.array_equal(a, b))
+    if rtol is None:
+        rtol = 1e-5 if a.dtype.itemsize <= 4 else 1e-8
+    if atol is None:
+        atol = 1e-8 if a.dtype.itemsize <= 4 else 1e-10
+    af, bf = np.asarray(a, dtype="float64"), np.asarray(b, dtype="float64")
+    mask = np.zeros(a.shape, dtype=bool)
+    if allow_remove_inf:
+        mask |= np.isinf(af)
+    if allow_remove_nan:
+        mask |= np.isnan(af)
+    cmp = np.isclose(af, bf, rtol=rtol, atol=atol, equal_nan=True)
+    return bool(np.all(cmp | mask))
+
+
+def _warn_float64():
+    import warnings
+
+    action = config.warn_float64
+    if action == "warn":
+        warnings.warn("float64 TensorType created (slow on TPU)", stacklevel=3)
+    elif action == "raise":
+        raise RuntimeError("float64 TensorType created with warn_float64=raise")
+    elif action == "pdb":
+        import pdb
+
+        pdb.set_trace()
+
+
+# --- constructors ---
+def tensor(name=None, *, dtype=None, shape=None, **kwargs):
+    if isinstance(name, str) and dtype is None and "." not in name and name in all_dtypes:
+        # tensor("float64", shape=...) legacy calling convention
+        dtype, name = name, None
+    if dtype is None:
+        dtype = config.floatX
+    return TensorType(dtype, shape if shape is not None else (), **kwargs)(name)
+
+
+def _make_ctor(dtype_key: str, ndim: int):
+    def ctor(name=None, *, shape=None, dtype=None):
+        if shape is None:
+            shape = (None,) * ndim
+        if len(shape) != ndim:
+            raise ValueError(f"shape must have {ndim} dims")
+        d = dtype or (config.floatX if dtype_key == "floatX" else dtype_key)
+        return TensorType(d, shape)(name)
+
+    return ctor
+
+
+scalar = _make_ctor("floatX", 0)
+vector = _make_ctor("floatX", 1)
+matrix = _make_ctor("floatX", 2)
+row = lambda name=None, dtype=None: TensorType(dtype or config.floatX, (1, None))(name)  # noqa: E731
+col = lambda name=None, dtype=None: TensorType(dtype or config.floatX, (None, 1))(name)  # noqa: E731
+tensor3 = _make_ctor("floatX", 3)
+tensor4 = _make_ctor("floatX", 4)
+tensor5 = _make_ctor("floatX", 5)
+tensor6 = _make_ctor("floatX", 6)
+tensor7 = _make_ctor("floatX", 7)
+
+dscalar = _make_ctor("float64", 0)
+dvector = _make_ctor("float64", 1)
+dmatrix = _make_ctor("float64", 2)
+dtensor3 = _make_ctor("float64", 3)
+dtensor4 = _make_ctor("float64", 4)
+fscalar = _make_ctor("float32", 0)
+fvector = _make_ctor("float32", 1)
+fmatrix = _make_ctor("float32", 2)
+ftensor3 = _make_ctor("float32", 3)
+ftensor4 = _make_ctor("float32", 4)
+bscalar = _make_ctor("int8", 0)
+wscalar = _make_ctor("int16", 0)
+iscalar = _make_ctor("int32", 0)
+lscalar = _make_ctor("int64", 0)
+ivector = _make_ctor("int32", 1)
+lvector = _make_ctor("int64", 1)
+imatrix = _make_ctor("int32", 2)
+lmatrix = _make_ctor("int64", 2)
+bvector = _make_ctor("int8", 1)
+bmatrix = _make_ctor("int8", 2)
+wvector = _make_ctor("int16", 1)
+wmatrix = _make_ctor("int16", 2)
+cscalar = _make_ctor("complex64", 0)
+zscalar = _make_ctor("complex128", 0)
+cvector = _make_ctor("complex64", 1)
+zvector = _make_ctor("complex128", 1)
+cmatrix = _make_ctor("complex64", 2)
+zmatrix = _make_ctor("complex128", 2)
+
+
+def scalars(*names, **kwargs):
+    return [scalar(n, **kwargs) for n in names]
+
+
+def vectors(*names, **kwargs):
+    return [vector(n, **kwargs) for n in names]
+
+
+def matrices(*names, **kwargs):
+    return [matrix(n, **kwargs) for n in names]
+
+
+def dmatrices(*names):
+    return [dmatrix(n) for n in names]
+
+
+def dvectors(*names):
+    return [dvector(n) for n in names]
+
+
+def fmatrices(*names):
+    return [fmatrix(n) for n in names]
+
+
+def fvectors(*names):
+    return [fvector(n) for n in names]
