@@ -316,13 +316,21 @@ def pushforward(outputs, inputs, input_tangents, **kwargs):
         inner = term if inner is None else inner + term
     jvps = grad(cost=None, wrt=u, known_grads={inner: _ones_like_scalar(inner)},
                 disconnected_inputs="ignore", return_disconnected="zero")
+    # the Jvp value is independent of u (the vjp is linear in u), but shape-
+    # only references (fill/second) may keep u alive: substitute the real
+    # outputs, which have identical types/shapes
+    from pytensor_tpu.graph.replace import graph_replace
+
+    jvps = graph_replace(jvps, dict(zip(u, outputs_l)), strict=False)
     return jvps[0] if one else jvps
 
 
 def _ones_like_scalar(v):
-    from pytensor_tpu.tensor.basic import ones_like
+    # a Constant seed: must NOT reference v (ones_like(v) would keep the
+    # dummy-cotangent graph alive inside the Jvp result)
+    from pytensor_tpu.tensor.basic import constant
 
-    return ones_like(v)
+    return constant(np.ones((), dtype=v.type.dtype))
 
 
 def Rop(f, wrt, eval_points, **kwargs):
@@ -588,11 +596,7 @@ def verify_grad(
         out = np.asarray(out_f(*vals))
         return np.sum(out * proj_val)
 
-    analytic = [np.asarray(g) for g in (grad_fn(*pt) if len(sym_inputs) > 1
-                                        else [grad_fn(*pt)])]
-    if len(sym_inputs) == 1 and isinstance(analytic[0], np.ndarray) and \
-            analytic[0].dtype == object:
-        analytic = list(analytic[0])
+    analytic = [np.asarray(g) for g in grad_fn(*pt)]
     num = numeric_grad(cost_fn, pt, eps)
     for i, (a, n) in enumerate(zip(analytic, num.gf)):
         a = np.asarray(a, dtype="float64")

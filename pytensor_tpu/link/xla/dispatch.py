@@ -122,11 +122,22 @@ def register_all():
     )
     from pytensor_tpu.tensor.type_other import MakeSlice
 
+    from jax.core import Tracer
+    _jax_types = (Tracer, jax.Array)
+
     @xla_funcify.register(Elemwise)
     def _elemwise(op, node=None, **kw):
         jax_fn = op.scalar_op.jax_fn
+        np_fn = op.scalar_op.np_fn
+        out_dtype = node.outputs[0].type.dtype if node is not None else None
 
         def elemwise(*args):
+            if not any(isinstance(a, _jax_types) for a in args):
+                # all-host operands (shape arithmetic): stay concrete on host
+                r = np.asarray(np_fn(*args))
+                if out_dtype is not None and str(r.dtype) != out_dtype and out_dtype != "bfloat16":
+                    r = r.astype(out_dtype)
+                return r
             return _cast_outputs(node, jax_fn(*args))
 
         return elemwise
@@ -189,8 +200,11 @@ def register_all():
         dtype = op.dtype
 
         def make_vector(*scalars):
-            return jnp.stack([jnp.asarray(s, dtype=dtype) for s in scalars]) \
-                if scalars else jnp.zeros((0,), dtype=dtype)
+            if not scalars:
+                return np.zeros((0,), dtype=dtype)
+            if not any(isinstance(s, _jax_types) for s in scalars):
+                return np.asarray(scalars, dtype=dtype)
+            return jnp.stack([jnp.asarray(s, dtype=dtype) for s in scalars])
 
         return make_vector
 
@@ -258,7 +272,9 @@ def register_all():
     @xla_funcify.register(Shape)
     def _shape(op, node=None, **kw):
         def shape(x):
-            return jnp.asarray(jnp.shape(x), dtype="int64")
+            # stay HOST-concrete: under jit shapes are static, and keeping
+            # them numpy keeps downstream reshape/arange/alloc args concrete
+            return np.asarray(np.shape(x), dtype="int64")
 
         return shape
 
@@ -267,7 +283,7 @@ def register_all():
         i = op.i
 
         def shape_i(x):
-            return jnp.asarray(jnp.shape(x)[i], dtype="int64")
+            return np.int64(np.shape(x)[i])
 
         return shape_i
 
@@ -450,6 +466,181 @@ def register_all():
             return slice(*(None if a is None else int(_concrete(a)) for a in args))
 
         return make_slice
+
+    from pytensor_tpu.compile.ops import FromFunctionOp
+    from pytensor_tpu.printing import Print
+    from pytensor_tpu.tensor.blockwise import Blockwise
+    from pytensor_tpu.tensor.extra_ops import (
+        CumOp,
+        RavelMultiIndex,
+        Repeat,
+        SearchsortedOp,
+        Unique,
+        UnravelIndex,
+    )
+    from pytensor_tpu.tensor.sort import ArgSortOp, SortOp, TopKOp
+
+    @xla_funcify.register(CumOp)
+    def _cum(op, node=None, **kw):
+        mode = op.mode
+        axis = op.axis
+
+        def cum(x):
+            if axis is None:
+                x = x.reshape(-1)
+            fn = jnp.cumsum if mode == "add" else jnp.cumprod
+            return fn(x, axis=0 if axis is None else axis, dtype=x.dtype)
+
+        return cum
+
+    @xla_funcify.register(Repeat)
+    def _repeat(op, node=None, **kw):
+        axis = op.axis
+
+        def repeat(x, repeats):
+            reps = _concrete(repeats, "Repeat counts")
+            if np.ndim(reps) == 0:
+                return jnp.repeat(x, int(reps), axis=axis)
+            total = int(np.sum(reps))
+            return jnp.repeat(x, np.asarray(reps), axis=axis, total_repeat_length=total)
+
+        return repeat
+
+    @xla_funcify.register(SortOp)
+    def _sort(op, node=None, **kw):
+        def sort(x, axis):
+            return jnp.sort(x, axis=int(_concrete(axis, "sort axis")))
+
+        return sort
+
+    @xla_funcify.register(ArgSortOp)
+    def _argsort(op, node=None, **kw):
+        def argsort(x, axis):
+            return jnp.argsort(x, axis=int(_concrete(axis, "argsort axis"))).astype("int64")
+
+        return argsort
+
+    @xla_funcify.register(TopKOp)
+    def _topk(op, node=None, **kw):
+        k = op.k
+
+        def topk_fn(x):
+            vals, idx = jax.lax.top_k(x, k)
+            outs = []
+            if op.return_values:
+                outs.append(vals)
+            if op.return_indices:
+                outs.append(idx.astype("int64"))
+            return tuple(outs) if len(outs) > 1 else outs[0]
+
+        return topk_fn
+
+    @xla_funcify.register(SearchsortedOp)
+    def _searchsorted(op, node=None, **kw):
+        side = op.side
+
+        def searchsorted(a, v, *rest):
+            if rest:
+                a = jnp.take(a, rest[0])
+            return jnp.searchsorted(a, v, side=side).astype("int64")
+
+        return searchsorted
+
+    @xla_funcify.register(UnravelIndex)
+    def _unravel(op, node=None, **kw):
+        def unravel_index(indices, dims):
+            d = tuple(int(x) for x in _concrete(dims, "dims"))
+            res = jnp.unravel_index(indices, d)
+            return tuple(r.astype("int64") for r in res)
+
+        return unravel_index
+
+    @xla_funcify.register(RavelMultiIndex)
+    def _ravel(op, node=None, **kw):
+        def ravel_multi_index(*inp):
+            *multi, dims = inp
+            d = tuple(int(x) for x in _concrete(dims, "dims"))
+            return jnp.ravel_multi_index(tuple(multi), d, mode=op.mode).astype("int64")
+
+        return ravel_multi_index
+
+    @xla_funcify.register(Unique)
+    def _unique(op, node=None, **kw):
+        def unique(x):
+            raise NotImplementedError(
+                "Unique has a data-dependent output shape and cannot be "
+                "compiled for TPU."
+            )
+
+        return unique
+
+    @xla_funcify.register(Blockwise)
+    def _blockwise(op, node=None, **kw):
+        core_node = op.core_op.make_node(*[
+            _core_var(i, c) for i, c in zip(node.inputs, op._core_ndims()[0])
+        ])
+        core_fn = xla_funcify(op.core_op, node=core_node)
+        nb = op.node_batch_ndim(node)
+
+        def blockwise(*args):
+            # broadcast batch dims to a common shape, then vmap nb times
+            in_core, _ = op._core_ndims()
+            batch_shapes = [a.shape[: a.ndim - c] for a, c in zip(args, in_core)]
+            batch_shape = np.broadcast_shapes(*batch_shapes)
+            bargs = [
+                jnp.broadcast_to(a, batch_shape + a.shape[a.ndim - c:])
+                for a, c in zip(args, in_core)
+            ]
+            fn = core_fn
+            for _ in range(nb):
+                fn = jax.vmap(fn)
+            return fn(*bargs)
+
+        return blockwise
+
+    @xla_funcify.register(FromFunctionOp)
+    def _from_function(op, node=None, **kw):
+        import jax
+
+        out_types = [
+            jax.ShapeDtypeStruct(
+                tuple(s for s in o.type.shape), o.type.numpy_dtype
+            )
+            for o in node.outputs
+        ]
+        if any(s is None for t in out_types for s in t.shape):
+            raise NotImplementedError(
+                "FromFunctionOp with unknown output shapes cannot be compiled "
+                "for TPU; annotate static shapes via specify_shape"
+            )
+
+        def from_function(*args):
+            def call(*a):
+                res = op._fn(*a)
+                if not isinstance(res, (list, tuple)):
+                    res = (res,)
+                return tuple(np.asarray(r) for r in res)
+
+            res = jax.pure_callback(call, tuple(out_types), *args)
+            return tuple(res) if len(res) > 1 else res[0]
+
+        return from_function
+
+    @xla_funcify.register(Print)
+    def _print(op, node=None, **kw):
+        message = op.message
+
+        def print_fn(x):
+            jax.debug.print(message + " {}", x)
+            return x
+
+        return print_fn
+
+
+def _core_var(i, core_ndim):
+    return TensorType(
+        i.type.dtype, i.type.shape[i.type.ndim - core_ndim:] if core_ndim else ()
+    )()
 
 
 register_all_done = False

@@ -48,12 +48,13 @@ def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
         for i in node.inputs:
             if isinstance(i, Constant) and i not in constants:
                 constants.append(i)
+    # constants stay as HOST numpy arrays: they embed directly into the HLO
+    # as literals at trace time (a device_put here would round-trip through
+    # the accelerator on every lowering)
     const_vals = {}
-    import jax.numpy as jnp
-
     for c in constants:
         if isinstance(c.type, TensorType):
-            const_vals[c] = jnp.asarray(c.data)
+            const_vals[c] = np.asarray(c.data)
         else:
             const_vals[c] = c.data
 

@@ -47,6 +47,10 @@ def upcast_float(*dtypes: str) -> str:
     if out == "bfloat16":
         return out
     if np.dtype(out).kind in discrete_kinds:
+        # numpy semantics: float ufuncs on integer inputs produce float64
+        # (the oracle parity contract); stay in floatX for narrow ints
+        if np.dtype(out).itemsize >= 4:
+            return "float64"
         return config.floatX
     return out
 

@@ -51,9 +51,11 @@ def _np_shared(value, name=None, strict=False, allow_downcast=None, **kwargs):
 def _scalar_shared(value, name=None, strict=False, allow_downcast=None, **kwargs):
     from pytensor_tpu.config import config
 
-    if isinstance(value, (bool, np.bool_)):
+    if isinstance(value, np.generic):
+        arr = np.asarray(value)  # keep the explicit numpy dtype
+    elif isinstance(value, bool):
         arr = np.asarray(value)
-    elif isinstance(value, (int, np.integer)):
+    elif isinstance(value, int):
         arr = np.asarray(value, dtype="int64")
     else:
         arr = np.asarray(value, dtype=config.floatX)

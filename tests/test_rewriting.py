@@ -1,0 +1,144 @@
+"""Rewrite engine + rewrite pack tests (modeled on reference
+tests/graph/rewriting/ and tests/tensor/rewriting/)."""
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+from pytensor_tpu.graph.fg import FunctionGraph
+from pytensor_tpu.graph.rewriting.basic import (
+    EquilibriumGraphRewriter,
+    MergeOptimizer,
+    PatternNodeRewriter,
+    WalkingGraphRewriter,
+    node_rewriter,
+)
+from pytensor_tpu.graph.rewriting.db import RewriteDatabaseQuery, SequenceDB
+from pytensor_tpu.graph.rewriting.utils import rewrite_graph
+from pytensor_tpu.graph.traversal import applys_between
+from pytensor_tpu.tensor.elemwise import Elemwise
+
+
+def _ops(*outs):
+    return [n.op for n in applys_between([], list(outs))]
+
+
+def test_merge_optimizer_cse():
+    x = pt.dvector("x")
+    a = pt.exp(x)
+    b = pt.exp(x)
+    c = a + b
+    fg = FunctionGraph(outputs=[c], clone=True)
+    MergeOptimizer().rewrite(fg)
+    exp_nodes = [n for n in fg.apply_nodes
+                 if isinstance(n.op, Elemwise) and n.op.scalar_op.name == "exp"]
+    assert len(exp_nodes) == 1
+
+
+def test_constant_folding():
+    out = pt.constant(2.0) * pt.constant(3.0) + pt.constant(1.0)
+    res = rewrite_graph(out, include=("fast_run",))
+    from pytensor_tpu.graph.basic import Constant
+
+    assert isinstance(res, Constant)
+    assert float(res.data) == 7.0
+
+
+def test_pattern_rewriter_neg_neg():
+    from pytensor_tpu.tensor import math as tm
+
+    x = pt.dvector("x")
+    out = -(-x)
+    res = rewrite_graph(out, include=("fast_run",))
+    assert res.owner is None  # rewritten to x itself
+
+
+def test_log1p_stabilization():
+    x = pt.dvector("x")
+    out = pt.log(1 + x)
+    res = rewrite_graph(out, include=("fast_run",))
+    names = [getattr(n.op, "scalar_op", None) and n.op.scalar_op.name
+             for n in applys_between([], [res])]
+    assert "log1p" in names
+
+
+def test_log_sigmoid_stabilization():
+    x = pt.dvector("x")
+    out = pt.log(pt.sigmoid(x))
+    res = rewrite_graph(out, include=("fast_run",))
+    names = [getattr(n.op, "scalar_op", None) and n.op.scalar_op.name
+             for n in applys_between([], [res])]
+    assert "softplus" in names
+    # numeric stability: big negative x
+    f = ptt.function([x], res, mode="FAST_COMPILE", on_unused_input="ignore")
+    val = np.asarray(f(np.array([-1000.0])))
+    np.testing.assert_allclose(val, [-1000.0])
+
+
+def test_pow_specialization():
+    x = pt.dvector("x")
+    res = rewrite_graph(x ** 2, include=("fast_run",))
+    names = [n.op.scalar_op.name for n in applys_between([], [res])
+             if isinstance(n.op, Elemwise)]
+    assert "sqr" in names and "pow" not in names
+
+
+def test_mul_one_removed():
+    x = pt.dvector("x")
+    res = rewrite_graph(x * 1.0, include=("fast_run",))
+    assert res.owner is None or all(
+        n.op.scalar_op.name != "mul" for n in applys_between([], [res])
+        if isinstance(n.op, Elemwise)
+    )
+
+
+def test_db_query_include_exclude():
+    db = SequenceDB(name="testdb")
+
+    @node_rewriter(None)
+    def r1(fgraph, node):
+        return False
+
+    db.register("r1", WalkingGraphRewriter(r1), "tagA", position=1)
+    q = RewriteDatabaseQuery(include=["tagA"])
+    rewriter = db.query(q)
+    assert len(rewriter.rewriters) == 1
+    q2 = RewriteDatabaseQuery(include=["tagA"], exclude=["r1"])
+    assert len(db.query(q2).rewriters) == 0
+
+
+def test_equilibrium_converges():
+    from pytensor_tpu.tensor import math as tm
+
+    x = pt.dvector("x")
+    out = -(-(-(-x)))
+
+    @node_rewriter([Elemwise])
+    def remove_neg_neg(fgraph, node):
+        if node.op.scalar_op.name != "neg":
+            return False
+        inner = node.inputs[0].owner
+        if inner is not None and isinstance(inner.op, Elemwise) \
+                and inner.op.scalar_op.name == "neg":
+            return [inner.inputs[0]]
+        return False
+
+    fg = FunctionGraph(outputs=[out], clone=True)
+    EquilibriumGraphRewriter([remove_neg_neg], name="eq").rewrite(fg)
+    assert fg.outputs[0].owner is None
+
+
+def test_rewrites_preserve_semantics():
+    x = pt.dvector("x")
+    exprs = [
+        pt.log(1 + pt.exp(x)),
+        (x + 0.0) * 1.0,
+        pt.exp(pt.log(x + 2.0)),
+        pt.log(pt.sigmoid(x)) + pt.sqr(x) ** 1,
+    ]
+    X = np.random.default_rng(0).random(5) + 0.1
+    f_opt = ptt.function([x], exprs, mode="FAST_RUN")
+    f_ref = ptt.function([x], exprs, mode="FAST_COMPILE")
+    for a, b in zip(f_opt(X), f_ref(X)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)

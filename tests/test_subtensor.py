@@ -1,0 +1,125 @@
+"""Indexing tests (modeled on reference tests/tensor/test_subtensor.py)."""
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+from tests.utils import compare_xla_and_py
+
+X = np.arange(24.0).reshape(4, 6)
+
+
+@pytest.mark.parametrize("idx", [
+    (slice(1, 3),),
+    (slice(None, None, 2),),
+    (slice(None, None, -1),),
+    (2,),
+    (slice(1, None), slice(None, 4)),
+    (0, slice(None)),
+    (slice(None), 3),
+    (-1, -2),
+])
+def test_basic_indexing(idx):
+    x = pt.dmatrix("x")
+    out = x[idx if len(idx) > 1 else idx[0]]
+    res = compare_xla_and_py([x], out, [X])
+    np.testing.assert_allclose(np.asarray(res[0]), X[idx if len(idx) > 1 else idx[0]])
+
+
+def test_symbolic_scalar_index():
+    x = pt.dvector("x")
+    i = pt.lscalar("i")
+    out = x[i]
+    f = ptt.function([x, i], out, mode="FAST_COMPILE")
+    assert float(np.asarray(f(np.arange(5.0), 3))) == 3.0
+
+
+def test_symbolic_slice_bounds():
+    x = pt.dvector("x")
+    n = pt.lscalar("n")
+    out = x[:n]
+    f = ptt.function([x, n], out.sum(), mode="FAST_COMPILE")
+    assert float(np.asarray(f(np.arange(5.0), 2))) == 1.0
+
+
+def test_newaxis():
+    x = pt.dvector("x")
+    out = x[None, :, None]
+    res = compare_xla_and_py([x], out, [np.arange(3.0)])
+    assert np.asarray(res[0]).shape == (1, 3, 1)
+
+
+def test_ellipsis():
+    x = pt.tensor3("x", dtype="float64")
+    out = x[..., 0]
+    V = np.arange(24.0).reshape(2, 3, 4)
+    res = compare_xla_and_py([x], out, [V])
+    np.testing.assert_allclose(np.asarray(res[0]), V[..., 0])
+
+
+def test_integer_vector_indexing():
+    x = pt.dmatrix("x")
+    i = pt.lvector("i")
+    out = x[i]
+    f = ptt.function([x, i], out)
+    np.testing.assert_allclose(np.asarray(f(X, np.array([2, 0, 2]))), X[[2, 0, 2]])
+
+
+def test_advanced_mixed():
+    x = pt.dmatrix("x")
+    i = pt.lvector("i")
+    out = x[i, 1:4]
+    f = ptt.function([x, i], out, mode="FAST_COMPILE")
+    np.testing.assert_allclose(np.asarray(f(X, np.array([1, 3]))), X[[1, 3], 1:4])
+
+
+def test_set_subtensor():
+    x = pt.dmatrix("x")
+    v = pt.dvector("v")
+    out = pt.set_subtensor(x[1], v)
+    res = compare_xla_and_py([x, v], out, [X, np.zeros(6)])
+    expected = X.copy()
+    expected[1] = 0
+    np.testing.assert_allclose(np.asarray(res[0]), expected)
+
+
+def test_inc_subtensor_duplicates():
+    x = pt.dvector("x")
+    i = pt.lvector("i")
+    v = pt.dvector("v")
+    out = pt.inc_subtensor(x[i], v)
+    f = ptt.function([x, i, v], out)
+    res = np.asarray(f(np.zeros(3), np.array([0, 0, 1]), np.ones(3)))
+    np.testing.assert_allclose(res, [2.0, 1.0, 0.0])
+
+
+def test_grad_through_indexing():
+    ptt.verify_grad(lambda x: x[::2].sum(), [np.arange(6.0)],
+                    rng=np.random.default_rng(0))
+    ptt.verify_grad(lambda x: x[1:4].sum() * 2, [np.arange(6.0)],
+                    rng=np.random.default_rng(0))
+
+
+def test_grad_advanced_indexing():
+    idx = np.array([0, 2, 2])
+
+    def fn(x):
+        return x[idx].sum()
+
+    ptt.verify_grad(fn, [np.arange(4.0)], rng=np.random.default_rng(0))
+
+
+def test_take_along_axis():
+    x = pt.dmatrix("x")
+    i = pt.lmatrix("i")
+    out = pt.take_along_axis(x, i, axis=1)
+    I = np.array([[0, 1], [2, 3], [1, 0], [5, 5]])
+    f = ptt.function([x, i], out, mode="FAST_COMPILE")
+    np.testing.assert_allclose(np.asarray(f(X, I)), np.take_along_axis(X, I, axis=1))
+
+
+def test_flip():
+    x = pt.dmatrix("x")
+    res = compare_xla_and_py([x], pt.flip(x, 0), [X])
+    np.testing.assert_allclose(np.asarray(res[0]), X[::-1])
