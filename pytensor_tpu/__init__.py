@@ -42,28 +42,19 @@ import pytensor_tpu.tensor as tensor  # noqa: F401
 # rewrite packs register into optdb at import time
 import pytensor_tpu.tensor.rewriting  # noqa: F401
 
+# bind the scan *function* after the subpackage import so the name refers
+# to the callable (the reference does the same for pytensor.scan)
+from pytensor_tpu.scan.basic import scan  # noqa: E402,F401
+from pytensor_tpu.scan.views import foldl, foldr  # noqa: E402,F401
+from pytensor_tpu.scan.views import map as scan_map  # noqa: E402,F401
+from pytensor_tpu.scan.views import reduce as scan_reduce  # noqa: E402,F401
+from pytensor_tpu.scan.checkpoints import scan_checkpoints  # noqa: E402,F401
+
+map = scan_map
+reduce = scan_reduce
+
 
 def __getattr__(name):
-    if name == "scan":
-        from pytensor_tpu.scan.basic import scan
-
-        return scan
-    if name == "map":
-        from pytensor_tpu.scan.views import map
-
-        return map
-    if name == "reduce":
-        from pytensor_tpu.scan.views import reduce
-
-        return reduce
-    if name == "foldl":
-        from pytensor_tpu.scan.views import foldl
-
-        return foldl
-    if name == "foldr":
-        from pytensor_tpu.scan.views import foldr
-
-        return foldr
     if name == "ifelse":
         from pytensor_tpu.ifelse import ifelse
 

@@ -1,0 +1,2 @@
+from pytensor_tpu.scan.basic import scan
+from pytensor_tpu.scan.views import foldl, foldr, map, reduce

@@ -1,0 +1,235 @@
+"""The scan() user API.
+
+Parallels /root/reference/pytensor/scan/basic.py (scan:164): classify the
+step function's recurrences into sequences / mit-sot / sit-sot / nit-sot /
+non-sequences, build the inner graph by calling the step function on
+symbolic slices, and wrap it in a Scan op.  While-loops via
+``scan.utils.until``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Constant, Variable
+from pytensor_tpu.graph.fg import FunctionGraph
+from pytensor_tpu.graph.traversal import graph_inputs
+from pytensor_tpu.scan.op import Scan, ScanInfo
+from pytensor_tpu.scan.utils import until
+from pytensor_tpu.tensor.basic import as_tensor_variable
+from pytensor_tpu.tensor.type import TensorType
+from pytensor_tpu.updates import OrderedUpdates
+
+
+def scan(
+    fn: Callable,
+    sequences=None,
+    outputs_info=None,
+    non_sequences=None,
+    n_steps=None,
+    truncate_gradient: int = -1,
+    go_backwards: bool = False,
+    mode=None,
+    name: str | None = None,
+    profile=False,
+    allow_gc=None,
+    strict: bool = False,
+    return_list: bool = False,
+):
+    """Loop ``fn`` over sequences/recurrences; returns (outputs, updates)."""
+    from pytensor_tpu.tensor.subtensor import flip
+
+    sequences = _listify(sequences)
+    outputs_info = _listify(outputs_info)
+    non_sequences = _listify(non_sequences)
+
+    # normalize sequences (dict form supports only taps=[0] for now)
+    seq_vars = []
+    for s in sequences:
+        if isinstance(s, dict):
+            if s.get("taps", [0]) not in ([0], None):
+                raise NotImplementedError("sequence taps other than [0]")
+            s = s["input"]
+        seq_vars.append(as_tensor_variable(s))
+    if go_backwards:
+        seq_vars = [flip(s, 0) for s in seq_vars]
+
+    # normalize outputs_info
+    states = []  # (initial, taps) or None for nit-sot
+    for oi in outputs_info:
+        if oi is None:
+            states.append(None)
+        elif isinstance(oi, dict):
+            if oi.get("initial") is None:
+                states.append(None)
+            else:
+                taps = tuple(sorted(oi.get("taps", [-1])))
+                if any(t >= 0 for t in taps):
+                    raise ValueError("output taps must be negative")
+                states.append((as_tensor_variable(oi["initial"]), taps))
+        else:
+            states.append((as_tensor_variable(oi), (-1,)))
+
+    non_seq_vars = [
+        v if isinstance(v, Variable) else as_tensor_variable(v)
+        for v in non_sequences
+    ]
+
+    # --- build inner input variables
+    inner_seqs = []
+    for s in seq_vars:
+        styp = TensorType(s.type.dtype, s.type.shape[1:])
+        inner_seqs.append(styp(f"{s.name or 'seq'}[t]"))
+    inner_taps = []
+    recurrent_idx = []
+    for idx, st in enumerate(states):
+        if st is None:
+            continue
+        recurrent_idx.append(idx)
+        init, taps = st
+        m = -min(taps)
+        if m == 1 and len(taps) == 1:
+            core_type = TensorType(init.type.dtype, init.type.shape)
+        else:
+            core_type = TensorType(init.type.dtype, init.type.shape[1:])
+        inner_taps.append([core_type(f"state{idx}[t{tap}]") for tap in taps])
+    inner_non_seqs = [w.type(f"{w.name or 'w'}") for w in non_seq_vars]
+
+    # --- call the user fn
+    args = list(inner_seqs)
+    for group in inner_taps:
+        args.extend(group)
+    args.extend(inner_non_seqs)
+    raw = fn(*args)
+
+    condition = None
+    inner_updates = OrderedUpdates()
+    if isinstance(raw, tuple) and len(raw) in (2, 3) and (
+        isinstance(raw[-1], until) or isinstance(raw[-1], (dict, OrderedUpdates))
+        or (len(raw) == 3)
+    ) and not all(isinstance(r, Variable) for r in raw):
+        # forms: (outputs, updates), (outputs, until), (outputs, updates, until)
+        outputs_raw = raw[0]
+        for extra in raw[1:]:
+            if isinstance(extra, until):
+                condition = extra.condition
+            elif isinstance(extra, (dict, OrderedUpdates)):
+                if extra:
+                    raise NotImplementedError(
+                        "shared-variable updates inside scan are not supported yet"
+                    )
+            else:
+                raise TypeError(f"unexpected scan fn return component {extra}")
+    elif isinstance(raw, until):
+        outputs_raw = []
+        condition = raw.condition
+    else:
+        outputs_raw = raw
+    inner_outputs_user = _listify(outputs_raw)
+    inner_outputs_user = [as_tensor_variable(o) for o in inner_outputs_user]
+
+    n_outs = len(inner_outputs_user)
+    if outputs_info and len(states) != n_outs:
+        raise ValueError(
+            f"scan fn returned {n_outs} outputs but outputs_info has {len(states)}"
+        )
+    if not outputs_info:
+        states = [None] * n_outs
+
+    # order inner outputs: recurrent states first, then nit-sot
+    state_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is not None]
+    nit_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is None]
+    taps_list = tuple(tuple(st[1]) for st in states if st is not None)
+    inits = [st[0] for st in states if st is not None]
+
+    # type check: recurrent outputs must match tap core types
+    flat_tap_vars = [tv for group in inner_taps for tv in group]
+    for (i, out), group in zip(
+        [(k, o) for k, o in enumerate(state_outs)], inner_taps
+    ):
+        core = group[0]
+        if out.type.dtype != core.type.dtype or out.type.ndim != core.type.ndim:
+            raise TypeError(
+                f"scan state {i}: output type {out.type} incompatible with "
+                f"initial/tap type {core.type}"
+            )
+
+    inner_inputs = inner_seqs + flat_tap_vars + inner_non_seqs
+    inner_outputs = state_outs + nit_outs + ([condition] if condition is not None else [])
+
+    # implicit non-sequences: anything else the inner graph references that
+    # belongs to the OUTER graph (closure variables)
+    implicit = []
+    inner_set = set(inner_inputs)
+    for v in graph_inputs(inner_outputs):
+        if isinstance(v, Constant):
+            continue
+        if v not in inner_set and v not in implicit:
+            if strict:
+                raise ValueError(f"scan(strict=True): implicit input {v}")
+            implicit.append(v)
+    # implicit vars are used directly (loop invariants from the outer graph):
+    # add fresh inner placeholders and substitute
+    if implicit:
+        from pytensor_tpu.graph.basic import clone_get_equiv
+
+        placeholders = [v.type() for v in implicit]
+        memo = dict(zip(implicit, placeholders))
+        memo = clone_get_equiv(inner_inputs + implicit, inner_outputs,
+                               copy_inputs=False, copy_orphans=False, memo=memo)
+        inner_outputs = [memo[o] for o in inner_outputs]
+        inner_inputs = [memo.get(i, i) for i in inner_inputs] + placeholders
+        non_seq_vars = non_seq_vars + implicit
+        inner_non_seqs = inner_non_seqs + placeholders
+
+    # --- n_steps
+    if n_steps is None:
+        if not seq_vars:
+            raise ValueError("scan needs sequences or n_steps")
+        from pytensor_tpu.tensor.shape import shape
+
+        n_steps_var = shape(seq_vars[0])[0]
+    else:
+        n_steps_var = as_tensor_variable(n_steps)
+
+    info = ScanInfo(
+        n_seqs=len(seq_vars),
+        taps=taps_list,
+        n_nit_sot=len(nit_outs),
+        n_non_seqs=len(non_seq_vars),
+        as_while=condition is not None,
+    )
+    fgraph = FunctionGraph(inner_inputs, inner_outputs, clone=True)
+    op = Scan(fgraph, info, name=name, truncate_gradient=truncate_gradient)
+    node_outs = op(n_steps_var, *seq_vars, *inits, *non_seq_vars)
+    if not isinstance(node_outs, list):
+        node_outs = [node_outs]
+
+    # map back to the user's output order
+    traces = {}
+    ri = 0
+    ni = 0
+    for i, st in enumerate(states):
+        if st is not None:
+            traces[i] = node_outs[ri]
+            ri += 1
+    for i, st in enumerate(states):
+        if st is None:
+            traces[i] = node_outs[len(taps_list) + ni]
+            ni += 1
+    results = [traces[i] for i in range(len(states))]
+    if go_backwards:
+        results = [flip(r, 0) for r in results]
+    if len(results) == 1 and not return_list:
+        results = results[0]
+    return results, OrderedUpdates()
+
+
+def _listify(x):
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]

@@ -1,0 +1,544 @@
+"""The Scan op: a compiled loop over an inner graph.
+
+Parallels /root/reference/pytensor/scan/op.py (Scan:839) with a TPU-first
+design: the outer op's XLA lowering is ``jax.lax.scan`` (carry = tap
+windows + while-flag, ys = per-step outputs), matching the recipe the
+reference itself uses for its JAX backend (link/jax/dispatch/scan.py:11).
+The gradient (``L_op``) builds a *reverse* scan via the user-level scan()
+API over the inner graph's pullback — BPTT stays graph-level
+(reference scan/op.py:2533 ``Scan.pullback``).
+
+State taxonomy kept from the reference (Appendix B of SURVEY.md),
+simplified: sequences, mit-sot (incl. sit-sot as taps=[-1]), nit-sot,
+while-condition, non-sequences.  mit-mot is not constructed explicitly:
+the reverse scan produced by L_op is expressed with ordinary mit-sot
+carries instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply, Constant, Variable
+from pytensor_tpu.graph.fg import FunctionGraph
+from pytensor_tpu.graph.null_type import DisconnectedType, NullType
+from pytensor_tpu.graph.op import HasInnerGraph, Op
+from pytensor_tpu.tensor.basic import (
+    NotScalarConstantError,
+    as_tensor_variable,
+    get_scalar_constant_value,
+)
+from pytensor_tpu.tensor.type import TensorType
+
+
+@dataclass(frozen=True)
+class ScanInfo:
+    """Static structure of a Scan node.
+
+    taps[k] = sorted negative taps of recurrent state k (sit-sot = (-1,)).
+    Inner-input order: seq_slices + state_taps(flattened) + non_seqs.
+    Inner-output order: state_outs + nit_sot_outs (+ while_cond last).
+    Outer-input order:  n_steps + seqs + state_inits + non_seqs.
+    Outer-output order: state_traces + nit_sot_traces.
+    """
+
+    n_seqs: int
+    taps: tuple
+    n_nit_sot: int
+    n_non_seqs: int
+    as_while: bool = False
+
+    @property
+    def n_states(self):
+        return len(self.taps)
+
+
+class Scan(Op, HasInnerGraph):
+    def __init__(self, fgraph: FunctionGraph, info: ScanInfo, name=None,
+                 truncate_gradient: int = -1, mode=None):
+        self.fgraph = fgraph
+        self.info = info
+        self.name = name
+        self.truncate_gradient = truncate_gradient
+        self._oracle_fn = None
+        expected_in = info.n_seqs + sum(len(t) for t in info.taps) + info.n_non_seqs
+        expected_out = info.n_states + info.n_nit_sot + (1 if info.as_while else 0)
+        if len(fgraph.inputs) != expected_in:
+            raise ValueError(
+                f"Scan inner graph has {len(fgraph.inputs)} inputs, expected {expected_in}"
+            )
+        if len(fgraph.outputs) != expected_out:
+            raise ValueError(
+                f"Scan inner graph has {len(fgraph.outputs)} outputs, expected {expected_out}"
+            )
+
+    # identity-based equality (inner graphs are unique per construction)
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    @property
+    def inner_inputs(self):
+        return self.fgraph.inputs
+
+    @property
+    def inner_outputs(self):
+        return self.fgraph.outputs
+
+    def clone(self):
+        import copy as _copy
+
+        res = _copy.copy(self)
+        res.fgraph = self.fgraph.clone()
+        res._oracle_fn = None
+        return res
+
+    # --- structure helpers ---
+    def outer_seqs(self, inputs):
+        return inputs[1: 1 + self.info.n_seqs]
+
+    def outer_inits(self, inputs):
+        k = 1 + self.info.n_seqs
+        return inputs[k: k + self.info.n_states]
+
+    def outer_non_seqs(self, inputs):
+        return inputs[1 + self.info.n_seqs + self.info.n_states:]
+
+    def inner_seq_vars(self):
+        return self.fgraph.inputs[: self.info.n_seqs]
+
+    def inner_tap_vars(self):
+        n = self.info.n_seqs
+        res = []
+        for taps in self.info.taps:
+            res.append(self.fgraph.inputs[n: n + len(taps)])
+            n += len(taps)
+        return res
+
+    def inner_non_seq_vars(self):
+        n = self.info.n_seqs + sum(len(t) for t in self.info.taps)
+        return self.fgraph.inputs[n:]
+
+    def inner_state_outs(self):
+        return self.fgraph.outputs[: self.info.n_states]
+
+    def inner_nit_sot_outs(self):
+        return self.fgraph.outputs[
+            self.info.n_states: self.info.n_states + self.info.n_nit_sot
+        ]
+
+    def inner_cond(self):
+        return self.fgraph.outputs[-1] if self.info.as_while else None
+
+    def make_node(self, n_steps, *outer_inputs):
+        info = self.info
+        n_steps = as_tensor_variable(n_steps)
+        outer_inputs = [
+            i if not isinstance(i.type, TensorType) else as_tensor_variable(i)
+            for i in (as_tensor_variable(x) if not isinstance(x, Variable) else x
+                      for x in outer_inputs)
+        ]
+        seqs = outer_inputs[: info.n_seqs]
+        inits = outer_inputs[info.n_seqs: info.n_seqs + info.n_states]
+        try:
+            static_T = int(get_scalar_constant_value(n_steps))
+        except NotScalarConstantError:
+            static_T = None
+        if static_T is None and seqs:
+            static_T = seqs[0].type.shape[0]
+        outputs = []
+        for k, out_inner in enumerate(self.inner_state_outs()):
+            outputs.append(
+                TensorType(out_inner.type.dtype, (static_T, *out_inner.type.shape))()
+            )
+        for out_inner in self.inner_nit_sot_outs():
+            outputs.append(
+                TensorType(out_inner.type.dtype, (static_T, *out_inner.type.shape))()
+            )
+        return Apply(self, [n_steps, *outer_inputs], outputs)
+
+    # --- oracle ---
+    def _make_oracle(self):
+        if self._oracle_fn is None:
+            from pytensor_tpu.link.basic import PerformLinker
+
+            linker = PerformLinker().accept(self.fgraph)
+            run, input_storage, output_storage = linker.make_thunk()
+
+            def fn(*vals):
+                for s, v in zip(input_storage, vals):
+                    s[0] = v
+                return [np.asarray(o) for o in run()]
+
+            self._oracle_fn = fn
+        return self._oracle_fn
+
+    def perform(self, node, inputs, output_storage):
+        info = self.info
+        n_steps = int(inputs[0])
+        seqs = inputs[1: 1 + info.n_seqs]
+        inits = inputs[1 + info.n_seqs: 1 + info.n_seqs + info.n_states]
+        non_seqs = inputs[1 + info.n_seqs + info.n_states:]
+        fn = self._make_oracle()
+
+        # state histories as lists (oldest first)
+        hist = []
+        for init, taps in zip(inits, info.taps):
+            m = -min(taps)
+            if m == 1 and len(taps) == 1:
+                hist.append([np.asarray(init)])
+            else:
+                hist.append([np.asarray(init[i]) for i in range(m)])
+        state_traces = [[] for _ in range(info.n_states)]
+        nit_traces = [[] for _ in range(info.n_nit_sot)]
+        steps_done = 0
+        for t in range(n_steps):
+            args = [np.asarray(s[t]) for s in seqs]
+            for k, taps in enumerate(info.taps):
+                m = -min(taps)
+                for tap in taps:
+                    args.append(hist[k][m + tap])
+            args.extend(np.asarray(ns) for ns in non_seqs)
+            res = fn(*args)
+            for k in range(info.n_states):
+                state_traces[k].append(res[k])
+                hist[k].append(res[k])
+                hist[k].pop(0)
+            for m_ in range(info.n_nit_sot):
+                nit_traces[m_].append(res[info.n_states + m_])
+            steps_done += 1
+            if info.as_while and not bool(res[-1]):
+                break
+        # while-scans pad with the last value to keep static length
+        if info.as_while and steps_done < n_steps:
+            for traces in (state_traces, nit_traces):
+                for tr in traces:
+                    last = tr[-1] if tr else None
+                    while len(tr) < n_steps:
+                        tr.append(last)
+        for k in range(info.n_states):
+            output_storage[k][0] = np.stack(state_traces[k]) if state_traces[k] \
+                else np.zeros((0, *node.outputs[k].type.shape[1:]),
+                              dtype=node.outputs[k].type.numpy_dtype)
+        for m_ in range(info.n_nit_sot):
+            j = info.n_states + m_
+            output_storage[j][0] = np.stack(nit_traces[m_]) if nit_traces[m_] \
+                else np.zeros((0,), dtype=node.outputs[j].type.numpy_dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        # per-dim shapes beyond the leading time dim require inner-graph
+        # shape propagation; defer (callers fall back to Shape ops)
+        raise NotImplementedError()
+
+    def connection_pattern(self, node):
+        # conservative: every input may affect every output except n_steps
+        npat = [[False] * len(node.outputs)]
+        for _ in node.inputs[1:]:
+            npat.append([True] * len(node.outputs))
+        return npat
+
+    # --- gradient: reverse scan (BPTT) ---
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import (
+            DisconnectedType,
+            grad_not_implemented,
+            grad_undefined,
+            pullback,
+        )
+        from pytensor_tpu.scan.basic import scan
+        from pytensor_tpu.tensor import math as tm
+        from pytensor_tpu.tensor.basic import (
+            concatenate,
+            shape_padleft,
+            zeros_like,
+        )
+        from pytensor_tpu.tensor.shape import shape
+        from pytensor_tpu.tensor.subtensor import flip
+        from pytensor_tpu.graph.basic import clone_get_equiv
+
+        info = self.info
+        if info.as_while:
+            return [
+                grad_not_implemented(self, i, inp, "grad through while-scan")
+                for i, inp in enumerate(inputs)
+            ]
+        if self.truncate_gradient != -1:
+            return [
+                grad_not_implemented(self, i, inp, "truncated BPTT not yet supported")
+                for i, inp in enumerate(inputs)
+            ]
+
+        n_steps = inputs[0]
+        seqs = list(self.outer_seqs(inputs))
+        inits = list(self.outer_inits(inputs))
+        non_seqs = list(self.outer_non_seqs(inputs))
+        state_traces = outputs[: info.n_states]
+        nit_traces = outputs[info.n_states:]
+
+        # fill missing output grads with zeros
+        filled_grads = []
+        for out, g in zip(outputs, output_grads):
+            if isinstance(getattr(g, "type", None), (DisconnectedType, NullType)):
+                filled_grads.append(zeros_like(out))
+            else:
+                filled_grads.append(g)
+
+        # full state histories (init region + trace), one per state
+        hists = []
+        for k, (init, taps) in enumerate(zip(inits, info.taps)):
+            m = -min(taps)
+            if m == 1 and len(taps) == 1:
+                init_buf = shape_padleft(init)
+            else:
+                init_buf = init[:m]
+            hists.append(concatenate([init_buf, state_traces[k]], axis=0))
+
+        # reverse-scan sequences: reversed output grads, reversed tap values,
+        # reversed input sequence slices
+        rev_seqs = []
+        rev_seqs += [flip(g, 0) for g in filled_grads[: info.n_states]]
+        rev_seqs += [flip(g, 0) for g in filled_grads[info.n_states:]]
+        n_steps_i = tm.cast(n_steps, "int64")
+        for k, taps in enumerate(info.taps):
+            m = -min(taps)
+            for tap in taps:
+                # value h_k^{t+tap} for t = 0..T-1 is hist[t + m + tap]
+                sl = hists[k][m + tap: m + tap + n_steps_i]
+                rev_seqs.append(flip(sl, 0))
+        rev_seqs += [flip(s, 0) for s in seqs]
+
+        inner_inputs = self.fgraph.inputs
+        inner_outputs = self.fgraph.outputs
+        n_taps_total = sum(len(t) for t in info.taps)
+
+        op_self = self
+
+        def reverse_step(*args):
+            # args: state grads gk..., nit grads gm..., tap values (flattened),
+            #       seq slices..., then carries: P_k windows..., wbar...,
+            #       then non-seq values
+            pos = 0
+            g_states = list(args[pos: pos + info.n_states]); pos += info.n_states
+            g_nits = list(args[pos: pos + info.n_nit_sot]); pos += info.n_nit_sot
+            tap_vals = list(args[pos: pos + n_taps_total]); pos += n_taps_total
+            seq_vals = list(args[pos: pos + info.n_seqs]); pos += info.n_seqs
+            P = list(args[pos: pos + info.n_states]); pos += info.n_states
+            wbars = list(args[pos: pos + info.n_non_seqs]); pos += info.n_non_seqs
+            ns_vals = list(args[pos:])
+
+            # clone the inner graph onto this step's variables
+            memo = {}
+            for iv, v in zip(op_self.inner_seq_vars(), seq_vals):
+                memo[iv] = v
+            flat_taps = [tv for group in op_self.inner_tap_vars() for tv in group]
+            for iv, v in zip(flat_taps, tap_vals):
+                memo[iv] = v
+            for iv, v in zip(op_self.inner_non_seq_vars(), ns_vals):
+                memo[iv] = v
+            memo = clone_get_equiv(inner_inputs, inner_outputs,
+                                   copy_inputs=False, copy_orphans=False, memo=memo)
+            step_outs = [memo[o] for o in inner_outputs]
+
+            # cotangents: state outs get trace grad + pending window head
+            cots = []
+            for k in range(info.n_states):
+                cots.append(g_states[k] + P[k][0])
+            cots += g_nits
+
+            wrt = seq_vals + tap_vals + ns_vals
+            igs = pullback(step_outs, wrt, cots,
+                           disconnected_inputs="ignore", return_disconnected="zero")
+            seq_grads = igs[: info.n_seqs]
+            tap_grads = igs[info.n_seqs: info.n_seqs + n_taps_total]
+            ns_grads = igs[info.n_seqs + n_taps_total:]
+
+            # update pending windows
+            new_P = []
+            ti = 0
+            from pytensor_tpu.tensor.basic import stack
+
+            for k, taps in enumerate(info.taps):
+                m = -min(taps)
+                contrib = {tap: tap_grads[ti + j] for j, tap in enumerate(taps)}
+                ti += len(taps)
+                rows = []
+                for i in range(m):
+                    shifted = P[k][i + 1] if i + 1 < m else zeros_like(P[k][0])
+                    tap = -(i + 1)
+                    if tap in contrib:
+                        shifted = shifted + contrib[tap]
+                    rows.append(shifted)
+                new_P.append(stack(rows, axis=0))
+            new_wbars = [wb + g for wb, g in zip(wbars, ns_grads)]
+            return new_P + new_wbars + seq_grads
+
+        # initial carries: zero windows and zero non-seq accumulators
+        P0 = []
+        for k, taps in enumerate(info.taps):
+            m = -min(taps)
+            zero_core = zeros_like(state_traces[k][0])
+            from pytensor_tpu.tensor.basic import stack
+
+            P0.append(stack([zero_core] * m, axis=0))
+        w0 = [zeros_like(w) if isinstance(w.type, TensorType) else None
+              for w in non_seqs]
+        if any(w is None for w in w0):
+            return [
+                grad_not_implemented(self, i, inp, "non-tensor non-sequence")
+                for i, inp in enumerate(inputs)
+            ]
+
+        rev_results, _ = scan(
+            reverse_step,
+            sequences=rev_seqs,
+            outputs_info=(
+                [dict(initial=p, taps=[-1]) for p in P0]
+                + [dict(initial=w, taps=[-1]) for w in w0]
+                + [None] * info.n_seqs
+            ),
+            non_sequences=non_seqs,
+            n_steps=n_steps,
+            name=f"grad_of_{self.name or 'scan'}",
+        )
+        if not isinstance(rev_results, list):
+            rev_results = [rev_results]
+        P_traces = rev_results[: info.n_states]
+        w_traces = rev_results[info.n_states: info.n_states + info.n_non_seqs]
+        seq_grad_traces = rev_results[info.n_states + info.n_non_seqs:]
+
+        # assemble input grads
+        grads = [DisconnectedType()()]  # n_steps
+        for i, s in enumerate(seqs):
+            grads.append(flip(seq_grad_traces[i], 0))
+        for k, (init, taps) in enumerate(zip(inits, info.taps)):
+            m = -min(taps)
+            final_P = P_traces[k][-1]  # shape (m, *core); slot i = h^{-1-i}
+            if m == 1 and len(taps) == 1:
+                grads.append(final_P[0])
+            else:
+                grads.append(flip(final_P, 0))
+        for j in range(info.n_non_seqs):
+            grads.append(w_traces[j][-1])
+        return grads
+
+    def __str__(self):
+        kind = "while" if self.info.as_while else "for"
+        return f"Scan{{{self.name or 'scan'}, {kind}}}"
+
+
+
+# --- XLA lowering: lax.scan -------------------------------------------------
+
+def _register_xla():
+    from pytensor_tpu.link.xla.dispatch import _concrete, xla_funcify
+
+    @xla_funcify.register(Scan)
+    def _scan_lowering(op, node=None, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from pytensor_tpu.link.xla.linker import fgraph_to_jax
+
+        info = op.info
+        inner = fgraph_to_jax(op.fgraph)
+        if getattr(op, "tag_remat", False):
+            inner = jax.checkpoint(inner)
+        taps_list = info.taps
+        n_taps = [len(t) for t in taps_list]
+        ms = [-min(t) for t in taps_list]
+        single = [m == 1 and n == 1 for m, n in zip(ms, n_taps)]
+
+        def scan_fn(n_steps, *outer):
+            T = int(_concrete(n_steps, "scan n_steps"))
+            seqs = [jnp.asarray(s)[:T] for s in outer[: info.n_seqs]]
+            inits = list(outer[info.n_seqs: info.n_seqs + info.n_states])
+            non_seqs = list(outer[info.n_seqs + info.n_states:])
+
+            windows0 = []
+            for k, init in enumerate(inits):
+                if single[k]:
+                    windows0.append(jnp.asarray(init))
+                else:
+                    windows0.append(jnp.asarray(init)[: ms[k]])
+
+            n_ys = info.n_states + info.n_nit_sot
+
+            if not info.as_while:
+                def body(carry, xs):
+                    windows = list(carry)
+                    args = list(xs)
+                    for k, taps in enumerate(taps_list):
+                        for tap in taps:
+                            if single[k]:
+                                args.append(windows[k])
+                            else:
+                                args.append(windows[k][ms[k] + tap])
+                    args.extend(non_seqs)
+                    outs = inner(*args)
+                    new_windows = []
+                    for k in range(info.n_states):
+                        if single[k]:
+                            new_windows.append(outs[k])
+                        else:
+                            new_windows.append(
+                                jnp.concatenate(
+                                    [windows[k][1:], outs[k][None]], axis=0
+                                )
+                            )
+                    return tuple(new_windows), tuple(outs[:n_ys])
+
+                _, ys = jax.lax.scan(body, tuple(windows0), tuple(seqs), length=T)
+                return ys if len(ys) > 1 else ys[0]
+
+            # while-scan: carry a done flag + last emitted values; after the
+            # condition fails, freeze state and repeat the last outputs
+            # (matches the oracle's padding semantics)
+            zero_outs = []
+            # trace one step to get output shapes for the frozen buffer
+            probe_args = [s[0] for s in seqs]
+            for k, taps in enumerate(taps_list):
+                for tap in taps:
+                    probe_args.append(
+                        windows0[k] if single[k] else windows0[k][ms[k] + tap]
+                    )
+            probe_args.extend(non_seqs)
+            probe = jax.eval_shape(lambda *a: inner(*a), *probe_args)
+            zero_outs = [jnp.zeros(p.shape, p.dtype) for p in probe[:n_ys]]
+
+            def body(carry, xs):
+                windows, done, last = carry
+                windows = list(windows)
+                args = list(xs)
+                for k, taps in enumerate(taps_list):
+                    for tap in taps:
+                        args.append(
+                            windows[k] if single[k] else windows[k][ms[k] + tap]
+                        )
+                args.extend(non_seqs)
+                outs = inner(*args)
+                cond = outs[-1]
+                new_windows = []
+                for k in range(info.n_states):
+                    new_w = outs[k] if single[k] else jnp.concatenate(
+                        [windows[k][1:], outs[k][None]], axis=0
+                    )
+                    new_windows.append(jnp.where(done, windows[k], new_w))
+                emitted = tuple(
+                    jnp.where(done, last[i], outs[i]) for i in range(n_ys)
+                )
+                new_done = jnp.logical_or(done, jnp.logical_not(cond))
+                return (tuple(new_windows), new_done, emitted), emitted
+
+            carry0 = (tuple(windows0), jnp.asarray(False), tuple(zero_outs))
+            _, ys = jax.lax.scan(body, carry0, tuple(seqs), length=T)
+            return ys if len(ys) > 1 else ys[0]
+
+        return scan_fn
+
+
+_register_xla()

@@ -1,0 +1,18 @@
+from pytensor_tpu.tensor.random import basic  # noqa: F401
+from pytensor_tpu.tensor.random.basic import *  # noqa: F401,F403
+from pytensor_tpu.tensor.random.op import RandomVariable  # noqa: F401
+from pytensor_tpu.tensor.random.type import (  # noqa: F401
+    RandomGeneratorType,
+    random_generator_type,
+)
+from pytensor_tpu.tensor.random.utils import RandomStream  # noqa: F401
+
+default_rng = None  # set in utils
+
+
+def __getattr__(name):
+    if name == "default_rng":
+        from pytensor_tpu.tensor.random.utils import default_rng as d
+
+        return d
+    raise AttributeError(name)

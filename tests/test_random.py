@@ -1,0 +1,125 @@
+"""RandomVariable tests: statistics-based (reference tests/link/jax
+pattern — different bit streams, same distributions)."""
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+from pytensor_tpu.tensor.random import RandomStream
+
+
+@pytest.fixture
+def srng():
+    return RandomStream(seed=123)
+
+
+def test_normal_stats(srng):
+    x = srng.normal(2.0, 3.0, size=(20000,))
+    f = ptt.function([], [x.mean(), x.std()])
+    m, s = (float(np.asarray(v)) for v in f())
+    assert abs(m - 2.0) < 0.1
+    assert abs(s - 3.0) < 0.1
+
+
+def test_state_advances(srng):
+    x = srng.uniform(0.0, 1.0, size=(4,))
+    f = ptt.function([], x)
+    a = np.asarray(f())
+    b = np.asarray(f())
+    assert not np.allclose(a, b)
+
+
+def test_seed_reproducibility():
+    s1 = RandomStream(seed=7)
+    s2 = RandomStream(seed=7)
+    f1 = ptt.function([], s1.normal(0.0, 1.0, size=(5,)))
+    f2 = ptt.function([], s2.normal(0.0, 1.0, size=(5,)))
+    np.testing.assert_allclose(np.asarray(f1()), np.asarray(f2()))
+
+
+def test_uniform_bounds(srng):
+    x = srng.uniform(5.0, 6.0, size=(1000,))
+    vals = np.asarray(ptt.function([], x)())
+    assert vals.min() >= 5.0 and vals.max() <= 6.0
+
+
+def test_poisson_discrete(srng):
+    x = srng.poisson(4.0, size=(5000,))
+    assert x.type.dtype == "int64"
+    vals = np.asarray(ptt.function([], x)())
+    assert abs(vals.mean() - 4.0) < 0.2
+
+
+def test_bernoulli_binomial(srng):
+    b = srng.bernoulli(0.3, size=(5000,))
+    n = srng.binomial(10, 0.5, size=(5000,))
+    fb = ptt.function([], [b.mean(), n.mean()])
+    mb, mn = (float(np.asarray(v)) for v in fb())
+    assert abs(mb - 0.3) < 0.05
+    assert abs(mn - 5.0) < 0.2
+
+
+def test_gamma_beta(srng):
+    g = srng.gamma(2.0, 3.0, size=(20000,))
+    be = srng.beta(2.0, 5.0, size=(20000,))
+    f = ptt.function([], [g.mean(), be.mean()])
+    mg, mb = (float(np.asarray(v)) for v in f())
+    assert abs(mg - 6.0) < 0.2
+    assert abs(mb - 2 / 7) < 0.02
+
+
+def test_categorical(srng):
+    p = np.array([0.1, 0.2, 0.7])
+    c = srng.categorical(p, size=(5000,))
+    vals = np.asarray(ptt.function([], c)())
+    freq = np.bincount(vals, minlength=3) / len(vals)
+    np.testing.assert_allclose(freq, p, atol=0.05)
+
+
+def test_mvnormal_shape(srng):
+    mv = srng.multivariate_normal(np.zeros(3), np.eye(3) * 4.0, size=(2000,))
+    vals = np.asarray(ptt.function([], mv)())
+    assert vals.shape == (2000, 3)
+    assert abs(vals.std() - 2.0) < 0.15
+
+
+def test_dirichlet(srng):
+    d = srng.dirichlet(np.ones(4), size=(100,))
+    vals = np.asarray(ptt.function([], d)())
+    np.testing.assert_allclose(vals.sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_param_broadcast_size_none(srng):
+    loc = np.array([0.0, 100.0])
+    x = srng.normal(loc, 0.01)
+    vals = np.asarray(ptt.function([], x)())
+    assert vals.shape == (2,)
+    assert abs(vals[1] - 100) < 1
+
+
+def test_rv_not_differentiable(srng):
+    from pytensor_tpu.gradient import NullTypeGradError
+
+    mu = pt.dscalar("mu")
+    x = srng.normal(mu, 1.0, size=(3,))
+    # differentiating THROUGH the sampler is undefined
+    with pytest.raises(NullTypeGradError):
+        ptt.grad(x.sum(), mu)
+
+
+def test_updates_list(srng):
+    x = srng.normal(0.0, 1.0, size=(2,))
+    assert len(srng.state_updates) == 1
+
+
+def test_oracle_matches_xla_exactly(srng):
+    # both backends use threefry key splitting -> identical draws
+    x = srng.normal(0.0, 1.0, size=(8,))
+    f_xla = ptt.function([], x)
+    val_xla = np.asarray(f_xla())
+    srng2 = RandomStream(seed=123)
+    y = srng2.normal(0.0, 1.0, size=(8,))
+    f_py = ptt.function([], y, mode="FAST_COMPILE")
+    val_py = np.asarray(f_py())
+    np.testing.assert_allclose(val_xla, val_py, rtol=1e-6)

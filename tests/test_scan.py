@@ -1,0 +1,168 @@
+"""Scan tests (modeled on reference tests/scan/ strategy)."""
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+from pytensor_tpu.scan.utils import until
+from tests.utils import compare_xla_and_py
+
+
+def test_scan_cumsum():
+    x = pt.dvector("x")
+    out, upd = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                        outputs_info=[pt.constant(0.0, dtype="float64")])
+    assert not upd
+    res = compare_xla_and_py([x], out, [np.arange(5.0)])
+    np.testing.assert_allclose(np.asarray(res[0]), np.cumsum(np.arange(5.0)))
+
+
+def test_scan_map_no_state():
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt: xt * 2, sequences=[x])
+    res = compare_xla_and_py([x], out, [np.arange(4.0)])
+    np.testing.assert_allclose(np.asarray(res[0]), np.arange(4.0) * 2)
+
+
+def test_scan_n_steps_only():
+    out, _ = ptt.scan(lambda acc: acc + 1.0,
+                      outputs_info=[pt.constant(0.0, dtype="float64")], n_steps=5)
+    res = compare_xla_and_py([], out, [])
+    np.testing.assert_allclose(np.asarray(res[0]), [1, 2, 3, 4, 5])
+
+
+def test_scan_multiple_states_and_nitsot():
+    x = pt.dvector("x")
+
+    def step(xt, acc):
+        new_acc = acc + xt
+        squared = new_acc ** 2
+        return new_acc, squared
+
+    (acc_tr, sq_tr), _ = ptt.scan(
+        step, sequences=[x],
+        outputs_info=[pt.constant(0.0, dtype="float64"), None],
+    )
+    res = compare_xla_and_py([x], [acc_tr, sq_tr], [np.arange(4.0)])
+    np.testing.assert_allclose(np.asarray(res[0]), np.cumsum(np.arange(4.0)))
+    np.testing.assert_allclose(np.asarray(res[1]), np.cumsum(np.arange(4.0)) ** 2)
+
+
+def test_scan_mit_sot_fibonacci():
+    init = pt.as_tensor_variable(np.array([1.0, 1.0]))
+    fib, _ = ptt.scan(lambda fm2, fm1: fm2 + fm1,
+                      outputs_info=[dict(initial=init, taps=[-2, -1])], n_steps=6)
+    res = compare_xla_and_py([], fib, [])
+    np.testing.assert_allclose(np.asarray(res[0]), [2, 3, 5, 8, 13, 21])
+
+
+def test_scan_while_until():
+    out, _ = ptt.scan(lambda acc: (acc * 2, until(acc * 2 >= 100)),
+                      outputs_info=[pt.constant(1.0, dtype="float64")], n_steps=20)
+    res = compare_xla_and_py([], out, [])
+    # padding repeats the last value after termination
+    assert np.asarray(res[0])[-1] == 128.0
+
+
+def test_scan_go_backwards():
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                      outputs_info=[pt.constant(0.0, dtype="float64")],
+                      go_backwards=True)
+    res = compare_xla_and_py([x], out, [np.arange(4.0)])
+    np.testing.assert_allclose(np.asarray(res[0]),
+                               np.cumsum(np.arange(4.0)[::-1])[::-1])
+
+
+def test_scan_grad_sitsot():
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt, acc: acc * xt, sequences=[x],
+                      outputs_info=[pt.constant(1.0, dtype="float64")])
+    cost = out[-1]
+    g = ptt.grad(cost, x)
+    f = ptt.function([x], g, mode="FAST_COMPILE")
+    val = np.array([2.0, 3.0, 4.0])
+    expected = np.array([12.0, 8.0, 6.0])  # prod / x_i
+    np.testing.assert_allclose(np.asarray(f(val)), expected)
+
+
+def test_scan_grad_nonseq():
+    x = pt.dvector("x")
+    a = pt.dscalar("a")
+    ew, _ = ptt.scan(lambda xt, prev, a: a * xt + (1 - a) * prev,
+                     sequences=[x], outputs_info=[pt.constant(0.0, dtype="float64")],
+                     non_sequences=[a])
+    g = ptt.grad(ew.sum(), a)
+    f = ptt.function([x, a], g)
+    v, a0 = np.arange(4.0), 0.3
+
+    def ewma_np(x_, a_):
+        acc = tot = 0.0
+        for xi in x_:
+            acc = a_ * xi + (1 - a_) * acc
+            tot += acc
+        return tot
+
+    eps = 1e-6
+    num = (ewma_np(v, a0 + eps) - ewma_np(v, a0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(np.asarray(f(v, a0))), num, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_scan_rnn_bptt_verify():
+    rng = np.random.default_rng(0)
+
+    def build(X_, Wx_, Wh_):
+        H, _ = ptt.scan(
+            lambda xt, hprev, a, b: pt.tanh(pt.dot(xt, a) + pt.dot(hprev, b)),
+            sequences=[X_],
+            outputs_info=[pt.as_tensor_variable(np.zeros(3))],
+            non_sequences=[Wx_, Wh_],
+        )
+        return (H[-1] ** 2).sum()
+
+    ptt.verify_grad(build, [rng.random((4, 2)), rng.random((2, 3)) * 0.5,
+                            rng.random((3, 3)) * 0.5], rng=np.random.default_rng(1))
+
+
+def test_scan_grad_mit_sot():
+    w = pt.dscalar("w")
+    init = pt.as_tensor_variable(np.array([1.0, 1.0]))
+    s, _ = ptt.scan(lambda fm2, fm1, w: w * fm2 + fm1,
+                    outputs_info=[dict(initial=init, taps=[-2, -1])],
+                    non_sequences=[w], n_steps=5)
+    g = ptt.grad(s[-1], w)
+    f = ptt.function([w], g, mode="FAST_COMPILE")
+
+    def fwd(wv):
+        h = [1.0, 1.0]
+        for _ in range(5):
+            h.append(wv * h[-2] + h[-1])
+        return h[-1]
+
+    eps = 1e-6
+    num = (fwd(1.0 + eps) - fwd(1.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(np.asarray(f(1.0))), num, rtol=1e-6)
+
+
+def test_scan_grad_init():
+    h0 = pt.dscalar("h0")
+    out, _ = ptt.scan(lambda prev: prev * 0.5, outputs_info=[h0], n_steps=3)
+    g = ptt.grad(out[-1], h0)
+    np.testing.assert_allclose(float(g.eval({h0: 4.0})), 0.125)
+
+
+def test_reduce_and_foldl():
+    x = pt.dvector("x")
+    r, _ = ptt.reduce(lambda xt, acc: acc + xt, [x],
+                      pt.constant(0.0, dtype="float64"))
+    f = ptt.function([x], r, mode="FAST_COMPILE")
+    assert float(np.asarray(f(np.arange(4.0)))) == 6.0
+
+
+def test_map_view():
+    x = pt.dvector("x")
+    m, _ = ptt.map(lambda xt: xt ** 2, [x])
+    f = ptt.function([x], m, mode="FAST_COMPILE")
+    np.testing.assert_allclose(np.asarray(f(np.arange(3.0))), [0, 1, 4])
