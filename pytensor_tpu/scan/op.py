@@ -212,7 +212,8 @@ class Scan(Op, HasInnerGraph):
             for m_ in range(info.n_nit_sot):
                 nit_traces[m_].append(res[info.n_states + m_])
             steps_done += 1
-            if info.as_while and not bool(res[-1]):
+            if info.as_while and bool(res[-1]):
+                # ``until`` condition true: this step is included, then stop
                 break
         # while-scans pad with the last value to keep static length
         if info.as_while and steps_done < n_steps:
@@ -531,7 +532,7 @@ def _register_xla():
                 emitted = tuple(
                     jnp.where(done, last[i], outs[i]) for i in range(n_ys)
                 )
-                new_done = jnp.logical_or(done, jnp.logical_not(cond))
+                new_done = jnp.logical_or(done, cond)
                 return (tuple(new_windows), new_done, emitted), emitted
 
             carry0 = (tuple(windows0), jnp.asarray(False), tuple(zero_outs))
