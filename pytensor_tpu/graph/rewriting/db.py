@@ -53,14 +53,14 @@ class RewriteDatabase:
     def _selected(self, name, query: "RewriteDatabaseQuery") -> bool:
         tags = self._tags[name]
         rewriter = self._names[name]
-        if isinstance(rewriter, RewriteDatabase):
-            # sub-db: selected if not explicitly excluded
-            return not (tags & query.exclude)
-        if query.include and not (tags & query.include):
-            return False
         if tags & query.exclude:
             return False
-        return True
+        if isinstance(rewriter, RewriteDatabase):
+            # sub-db: always descend (its members filter themselves), unless
+            # the whole group was excluded above
+            return True
+        # empty include selects nothing (an optimizer='None' query)
+        return bool(tags & query.include)
 
     def query(self, query: "RewriteDatabaseQuery"):
         raise NotImplementedError

@@ -364,7 +364,7 @@ def register_all():
                         None if b2 is None else int(_concrete(b2)),
                         None if c2 is None else int(_concrete(c2)),
                     ))
-            ref = x.at[tuple(idx)]
+            ref = jnp.asarray(x).at[tuple(idx)]
             return ref.set(y) if set_mode else ref.add(y)
 
         return inc_subtensor
@@ -381,7 +381,7 @@ def register_all():
         set_mode = op.set_instead_of_inc
 
         def adv_incsub1(x, y, ilist):
-            ref = x.at[ilist]
+            ref = jnp.asarray(x).at[ilist]
             return ref.set(y) if set_mode else ref.add(y)
 
         return adv_incsub1
@@ -416,7 +416,7 @@ def register_all():
         set_mode = op.set_instead_of_inc
 
         def adv_incsub(x, y, *ind):
-            ref = x.at[_adv_index(idx_list, ind)]
+            ref = jnp.asarray(x).at[_adv_index(idx_list, ind)]
             return ref.set(y) if set_mode else ref.add(y)
 
         return adv_incsub

@@ -321,14 +321,23 @@ def _register_structural_vectorizers():
             return advanced_subtensor1.make_node(x, dyn[0])
         return vectorize_node_fallback(op, node, x, *dyn)
 
-    @_vectorize_node.register(Shape)
     @_vectorize_node.register(Shape_i)
-    def _vectorize_shape(op, node, x):
-        if x.type.ndim == node.inputs[0].type.ndim:
+    def _vectorize_shape_i(op, node, x):
+        bn = x.type.ndim - node.inputs[0].type.ndim
+        if bn == 0:
             return op.make_node(x)
-        raise NotImplementedError(
-            "cannot vectorize Shape over batched input (shape would vary)"
-        )
+        # core dim i of the unbatched input = dim i+bn of the batched one
+        return Shape_i(op.i + bn).make_node(x)
+
+    @_vectorize_node.register(Shape)
+    def _vectorize_shape(op, node, x):
+        bn = x.type.ndim - node.inputs[0].type.ndim
+        if bn == 0:
+            return op.make_node(x)
+        # shape of the core part: the trailing core dims of the batched input
+        core_ndim = node.inputs[0].type.ndim
+        entries = [Shape_i(bn + d)(x) for d in range(core_ndim)]
+        return MakeVector("int64").make_node(*entries)
 
 
 _register_structural_vectorizers()

