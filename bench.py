@@ -1,0 +1,170 @@
+"""Headline benchmark: hierarchical radon logp+dlogp evals/sec.
+
+Workload = the NUTS leapfrog inner loop (BASELINE.md north star): repeated
+logp+gradient evaluations of the radon hierarchical model.
+
+- ours: the leapfrog chain compiles into ONE XLA executable via scan, so
+  the whole inner loop runs on the TPU with no host round-trips.
+- baseline: the reference (pymc-devs/pytensor @ /root/reference) compiled
+  with its C backend (linker=cvm) on CPU, driven the way PyMC drives it:
+  a Python leapfrog loop calling the compiled logp+dlogp function.
+
+Prints one JSON line: evals/sec and the ratio vs the reference C-VM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_OBS = 919
+N_COUNTIES = 85
+LEAPFROG_STEPS = 128
+EPS = 1e-3
+
+
+def build_ours(dtype="float32"):
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.models.radon import make_radon_graphs
+
+    inputs, (logp, dlogp), n_params = make_radon_graphs(
+        n_obs=N_OBS, n_counties=N_COUNTIES, dtype=dtype
+    )
+    (theta_in,) = inputs
+
+    # leapfrog chain as a scan: each step needs dlogp(theta)
+    from pytensor_tpu.graph.replace import graph_replace
+
+    theta0 = pt.tensor("theta0", dtype=dtype, shape=(n_params,))
+    m0 = pt.tensor("m0", dtype=dtype, shape=(n_params,))
+
+    def step(theta, m):
+        g = graph_replace(dlogp, {theta_in: theta})
+        m_half = m + (EPS / 2) * g
+        theta_new = theta + EPS * m_half
+        g_new = graph_replace(dlogp, {theta_in: theta_new})
+        m_new = m_half + (EPS / 2) * g_new
+        return theta_new, m_new
+
+    (thetas, ms), _ = ptt.scan(step, outputs_info=[theta0, m0],
+                               n_steps=LEAPFROG_STEPS // 2, name="leapfrog")
+    final_logp = graph_replace(logp, {theta_in: thetas[-1]})
+    f = ptt.function([theta0, m0], [thetas[-1], ms[-1], final_logp],
+                     name="leapfrog_chain")
+    f.trust_input = True
+    return f, n_params
+
+
+def bench_ours(dtype="float32"):
+    import jax
+
+    f, n_params = build_ours(dtype)
+    theta0 = np.zeros(n_params, dtype=dtype)
+    theta0[N_COUNTIES + 1] = -0.3
+    theta0[N_COUNTIES + 3] = -0.3
+    rng = np.random.default_rng(0)
+    m0 = rng.standard_normal(n_params).astype(dtype)
+    theta0 = jax.device_put(theta0)
+    m0 = jax.device_put(m0)
+
+    # warmup / compile
+    out = f(theta0, m0)
+    jax.block_until_ready(out)
+
+    n_calls = 30
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = f(theta0, m0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    evals = n_calls * LEAPFROG_STEPS  # 2 grad evals per step, step=half
+    return evals / dt, float(np.asarray(out[2]))
+
+
+def bench_reference():
+    """Reference C-VM on CPU, python-driven leapfrog (the PyMC pattern)."""
+    sys.path.insert(0, "/root/reference")
+    os.environ.setdefault("PYTENSOR_FLAGS", "mode=FAST_RUN,linker=cvm,floatX=float64")
+    import pytensor
+    import pytensor.tensor as rt
+
+    from pytensor_tpu.models.radon import radon_synthetic_data
+
+    county_v, floor_v, y_v = radon_synthetic_data(N_OBS, N_COUNTIES, 0, "float64")
+    n_params = N_COUNTIES + 4
+    LOG_2PI = float(np.log(2 * np.pi))
+
+    theta = rt.dvector("theta")
+    county = rt.as_tensor_variable(county_v)
+    floor = rt.as_tensor_variable(floor_v)
+    y = rt.as_tensor_variable(y_v)
+    a_raw = theta[:N_COUNTIES]
+    mu_a = theta[N_COUNTIES]
+    log_sigma_a = theta[N_COUNTIES + 1]
+    b = theta[N_COUNTIES + 2]
+    log_sigma_y = theta[N_COUNTIES + 3]
+    sigma_a = rt.exp(log_sigma_a)
+    sigma_y = rt.exp(log_sigma_y)
+    a = mu_a + sigma_a * a_raw
+    mu_y = a[county] + b * floor
+
+    def nlp(x, mu, sigma):
+        return -0.5 * ((x - mu) / sigma) ** 2 - rt.log(sigma) - 0.5 * LOG_2PI
+
+    logp = (
+        rt.sum(nlp(y, mu_y, sigma_y)) + rt.sum(nlp(a_raw, 0.0, 1.0))
+        + rt.sum(nlp(mu_a, 0.0, 10.0)) + rt.sum(nlp(b, 0.0, 10.0))
+        + rt.sum(nlp(log_sigma_a, 0.0, 2.0)) + rt.sum(nlp(log_sigma_y, 0.0, 2.0))
+        + log_sigma_a + log_sigma_y
+    )
+    dlogp = pytensor.grad(logp, theta)
+    f = pytensor.function([theta], [logp, dlogp])
+    f.trust_input = True
+
+    theta0 = np.zeros(n_params)
+    theta0[N_COUNTIES + 1] = -0.3
+    theta0[N_COUNTIES + 3] = -0.3
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal(n_params)
+
+    # warmup
+    f(theta0)
+
+    # python leapfrog loop, one grad eval per step
+    n_evals = 0
+    t0 = time.perf_counter()
+    th = theta0.copy()
+    while time.perf_counter() - t0 < 2.0:
+        for _ in range(LEAPFROG_STEPS):
+            lp, g = f(th)
+            m2 = m + (EPS / 2) * g
+            th = th + EPS * m2
+            n_evals += 1
+    dt = time.perf_counter() - t0
+    return n_evals / dt, float(lp)
+
+
+def main():
+    ours_rate, ours_lp = bench_ours()
+    try:
+        ref_rate, ref_lp = bench_reference()
+    except Exception as e:
+        print(f"reference bench failed: {e!r}", file=sys.stderr)
+        ref_rate = float("nan")
+    vs = ours_rate / ref_rate if ref_rate == ref_rate else float("nan")
+    print(json.dumps({
+        "metric": "radon logp+dlogp leapfrog evals/sec (TPU on-device chain vs reference C-VM CPU loop)",
+        "value": round(ours_rate, 1),
+        "unit": "evals/sec",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+        "baseline_evals_per_sec": round(ref_rate, 1) if ref_rate == ref_rate else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,10 @@ class Function:
                 self._input_names[wi.name] = idx
 
         if isinstance(linker, XlaLinker):
+            if hasattr(linker, "resolve_in_shardings"):
+                linker.resolve_in_shardings(
+                    [wi.variable for wi in explicit_inputs] + list(shared_vars)
+                )
             donate = ()
             if config.xla__donate_updates:
                 donate = tuple(
