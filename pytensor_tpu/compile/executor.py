@@ -18,7 +18,6 @@ import numpy as np
 from pytensor_tpu.config import config
 from pytensor_tpu.link.basic import PerformLinker
 from pytensor_tpu.link.xla.linker import XlaLinker
-from pytensor_tpu.tensor.type import TensorType
 
 
 class Function:

@@ -1,0 +1,139 @@
+"""Lazy conditional: IfElse.
+
+Parallels /root/reference/pytensor/ifelse.py (IfElse:42).  TPU-first: the
+XLA lowering is ``lax.cond`` — only the taken branch executes on device;
+the numpy oracle evaluates lazily by construction (branch thunks).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply, Variable
+from pytensor_tpu.graph.null_type import DisconnectedType
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.tensor.basic import as_tensor_variable, cast, zeros_like
+from pytensor_tpu.tensor.type import TensorType
+
+
+class IfElse(Op):
+    """ifelse(cond, *then_branch, *else_branch) -> branch outputs."""
+
+    __props__ = ("n_outs",)
+
+    def __init__(self, n_outs: int, as_view=False, name=None):
+        self.n_outs = int(n_outs)
+        self.name = name
+
+    def make_node(self, condition, *true_false):
+        if len(true_false) != 2 * self.n_outs:
+            raise ValueError(f"IfElse expected {2 * self.n_outs} branch values")
+        condition = as_tensor_variable(condition)
+        if condition.type.ndim != 0:
+            raise TypeError("ifelse condition must be a scalar")
+        ts = [as_tensor_variable(t) for t in true_false[: self.n_outs]]
+        fs = [as_tensor_variable(f) for f in true_false[self.n_outs:]]
+        outs = []
+        for t, f in zip(ts, fs):
+            if t.type.dtype != f.type.dtype:
+                from pytensor_tpu.scalar.basic import upcast
+
+                dt = upcast(t.type.dtype, f.type.dtype)
+                t = cast(t, dt) if t.type.dtype != dt else t
+                f = cast(f, dt) if f.type.dtype != dt else f
+            if t.type.ndim != f.type.ndim:
+                raise TypeError(
+                    f"ifelse branches must have the same rank: {t.type} vs {f.type}"
+                )
+            shape = tuple(
+                ts_ if ts_ is not None and ts_ == fs_ else None
+                for ts_, fs_ in zip(t.type.shape, f.type.shape)
+            )
+            outs.append(TensorType(t.type.dtype, shape)())
+        node_inputs = [condition]
+        node_inputs.extend(ts)
+        node_inputs.extend(fs)
+        return Apply(self, node_inputs, outs)
+
+    def perform(self, node, inputs, output_storage):
+        cond, *rest = inputs
+        branch = rest[: self.n_outs] if cond else rest[self.n_outs:]
+        for s, v in zip(output_storage, branch):
+            s[0] = v
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        # shapes may differ between branches; pick the true branch's
+        return input_shapes[1: 1 + self.n_outs]
+
+    def connection_pattern(self, node):
+        pat = [[False] * self.n_outs]
+        for _ in range(2 * self.n_outs):
+            pat.append([True] * self.n_outs)
+        return pat
+
+    def L_op(self, inputs, outputs, output_grads):
+        cond = inputs[0]
+        ts = inputs[1: 1 + self.n_outs]
+        fs = inputs[1 + self.n_outs:]
+        grads = [DisconnectedType()()]
+        zeros_t = [zeros_like(t) for t in ts]
+        zeros_f = [zeros_like(f) for f in fs]
+        op = IfElse(self.n_outs)
+        # grad wrt true inputs: gz if cond else 0 (and symmetrical)
+        gts = op(cond, *output_grads, *zeros_t)
+        if not isinstance(gts, list):
+            gts = [gts]
+        gfs = op(cond, *zeros_f, *output_grads)
+        if not isinstance(gfs, list):
+            gfs = [gfs]
+        for g, t in zip(gts, ts):
+            grads.append(cast(g, t.type.dtype) if g.type.dtype != t.type.dtype else g)
+        for g, f in zip(gfs, fs):
+            grads.append(cast(g, f.type.dtype) if g.type.dtype != f.type.dtype else g)
+        return grads
+
+    def __str__(self):
+        return f"if{{{self.name or self.n_outs}}}"
+
+
+def ifelse(condition, then_branch, else_branch, name=None):
+    one = not isinstance(then_branch, (list, tuple))
+    ts = [then_branch] if one else list(then_branch)
+    fs = [else_branch] if one else list(else_branch)
+    if len(ts) != len(fs):
+        raise ValueError("ifelse branches must have the same arity")
+    op = IfElse(len(ts), name=name)
+    res = op(condition, *ts, *fs)
+    if isinstance(res, list) and one:
+        return res[0]
+    return res
+
+
+def _register_xla():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    @xla_funcify.register(IfElse)
+    def _ifelse(op, node=None, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        n = op.n_outs
+
+        def ifelse_fn(cond, *branches):
+            ts = branches[:n]
+            fs = branches[n:]
+            # branch output shapes must agree under XLA; broadcast dtypes done
+            res = jax.lax.cond(
+                jnp.asarray(cond).astype(bool),
+                lambda args: tuple(jnp.asarray(a) for a in args[:n]),
+                lambda args: tuple(jnp.asarray(a) for a in args[n:]),
+                branches,
+            )
+            return res if n > 1 else res[0]
+
+        return ifelse_fn
+
+
+_register_xla()

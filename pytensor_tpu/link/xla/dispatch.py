@@ -13,7 +13,14 @@ from functools import singledispatch
 import numpy as np
 
 from pytensor_tpu.graph.basic import Constant
-from pytensor_tpu.tensor.type import TensorType
+
+
+def _TensorType():
+    # lazy: this module must import without touching the tensor package
+    # (it is imported from inside tensor/__init__ via op registrations)
+    from pytensor_tpu.tensor.type import TensorType
+
+    return TensorType
 
 
 @singledispatch
@@ -39,7 +46,7 @@ def eager_perform(op, node, inputs, output_storage):
     if not isinstance(res, (list, tuple)):
         res = [res]
     for o, s, r in zip(node.outputs, output_storage, res):
-        if isinstance(o.type, TensorType):
+        if isinstance(o.type, _TensorType()):
             s[0] = np.asarray(r, dtype=o.type.numpy_dtype)
         else:
             s[0] = r
@@ -64,7 +71,7 @@ def _cast_outputs(node, res):
         res = (res,)
     out = []
     for o, r in zip(node.outputs, res):
-        if isinstance(o.type, TensorType) and hasattr(r, "dtype") and str(r.dtype) != o.type.dtype:
+        if isinstance(o.type, _TensorType()) and hasattr(r, "dtype") and str(r.dtype) != o.type.dtype:
             r = r.astype(o.type.dtype)
         out.append(r)
     return out[0] if len(out) == 1 else tuple(out)
@@ -638,7 +645,7 @@ def register_all():
 
 
 def _core_var(i, core_ndim):
-    return TensorType(
+    return _TensorType()(
         i.type.dtype, i.type.shape[i.type.ndim - core_ndim:] if core_ndim else ()
     )()
 

@@ -18,7 +18,6 @@ from pytensor_tpu.graph.basic import Constant
 from pytensor_tpu.graph.fg import FunctionGraph
 from pytensor_tpu.link.basic import Linker, raise_with_op
 from pytensor_tpu.link.xla.dispatch import ensure_registered, xla_funcify
-from pytensor_tpu.tensor.type import TensorType
 
 _x64_initialized = False
 
@@ -51,6 +50,8 @@ def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
     # constants stay as HOST numpy arrays: they embed directly into the HLO
     # as literals at trace time (a device_put here would round-trip through
     # the accelerator on every lowering)
+    from pytensor_tpu.tensor.type import TensorType
+
     const_vals = {}
     for c in constants:
         if isinstance(c.type, TensorType):

@@ -131,51 +131,33 @@ from pytensor_tpu.tensor.sort import argsort, sort, topk  # noqa: F401
 from pytensor_tpu.tensor.sharedvar import TensorSharedVariable  # noqa: F401
 
 
-def _lazy_submodules():
-    # linalg / random / special are imported on attribute access to keep
-    # import time low (reference exposes pt.linalg / pt.random the same way)
-    pass
+# eager submodule imports with explicit function rebinds (a later submodule
+# import would otherwise shadow same-named functions, e.g. pt.einsum)
+import pytensor_tpu.tensor.blockwise  # noqa: E402,F401
+from pytensor_tpu.tensor.blockwise import Blockwise  # noqa: E402,F401
+import pytensor_tpu.tensor.linalg as linalg  # noqa: E402,F401
+import pytensor_tpu.tensor.blas as blas  # noqa: E402,F401
+from pytensor_tpu.tensor.blas import batched_dot  # noqa: E402,F401
+import pytensor_tpu.tensor.special as special  # noqa: E402,F401
+from pytensor_tpu.tensor.special import log_softmax, softmax  # noqa: E402,F401
+from pytensor_tpu.tensor.einsum import einsum  # noqa: E402,F401
+from pytensor_tpu.tensor.pad import pad  # noqa: E402,F401
+import pytensor_tpu.tensor.fft as fft  # noqa: E402,F401
+import pytensor_tpu.tensor.signal as signal  # noqa: E402,F401
+from pytensor_tpu.tensor.signal import convolve1d, convolve2d  # noqa: E402,F401
+
+# reference-compat aliases for the legacy linalg namespaces
+slinalg = linalg
+nlinalg = linalg
 
 
 def __getattr__(name):
-    if name in ("linalg", "slinalg", "nlinalg"):
-        import pytensor_tpu.tensor.linalg as linalg
-
-        return linalg
     if name == "random":
         import pytensor_tpu.tensor.random as random
 
         return random
-    if name == "special":
-        import pytensor_tpu.tensor.special as special
-
-        return special
-    if name == "fft":
-        import pytensor_tpu.tensor.fft as fft
-
-        return fft
-    if name == "signal":
-        import pytensor_tpu.tensor.signal as signal
-
-        return signal
-    if name == "einsum_mod":
-        import pytensor_tpu.tensor.einsum as einsum_mod
-
-        return einsum_mod
-    if name == "einsum":
-        from pytensor_tpu.tensor.einsum import einsum
-
-        return einsum
     if name == "optimize":
         import pytensor_tpu.tensor.optimize as optimize
 
         return optimize
-    if name == "pad":
-        from pytensor_tpu.tensor.pad import pad
-
-        return pad
-    if name == "blockwise":
-        import pytensor_tpu.tensor.blockwise as blockwise
-
-        return blockwise
     raise AttributeError(f"module pytensor_tpu.tensor has no attribute {name}")

@@ -1,0 +1,137 @@
+"""einsum (reference tensor/einsum.py Einsum:38 — an OpFromGraph over an
+opt_einsum-style contraction path).
+
+TPU-first: the Einsum op's XLA lowering is a single jnp.einsum — XLA's
+dot_general path optimizer handles contraction ordering on the MXU, so
+the reference's manual path construction is unnecessary.  The numpy
+oracle is np.einsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.scalar.basic import upcast
+from pytensor_tpu.tensor.basic import as_tensor_variable
+from pytensor_tpu.tensor.type import TensorType
+
+
+class Einsum(Op):
+    __props__ = ("subscripts",)
+
+    def __init__(self, subscripts: str):
+        self.subscripts = subscripts
+
+    def _parse(self, ndims):
+        subs = self.subscripts.replace(" ", "")
+        if "->" in subs:
+            in_spec, out_spec = subs.split("->")
+        else:
+            in_spec = subs
+            # implicit output: alphabetically sorted non-repeated indices
+            counts = {}
+            for term in in_spec.split(","):
+                for ch in term.replace("...", ""):
+                    counts[ch] = counts.get(ch, 0) + 1
+            out_spec = "".join(sorted(c for c, n in counts.items() if n == 1))
+        return in_spec.split(","), out_spec
+
+    def make_node(self, *operands):
+        operands = [as_tensor_variable(o) for o in operands]
+        in_specs, out_spec = self._parse([o.type.ndim for o in operands])
+        if len(in_specs) != len(operands):
+            raise ValueError("einsum: operand count mismatch")
+        # static shape inference by index bookkeeping
+        sizes: dict[str, int | None] = {}
+        for spec, op_v in zip(in_specs, operands):
+            if "..." in spec:
+                named = spec.replace("...", "")
+                offset = op_v.type.ndim - len(named)
+                dims = op_v.type.shape[offset:]
+            else:
+                dims = op_v.type.shape
+                if len(spec) != op_v.type.ndim:
+                    raise ValueError(
+                        f"einsum: spec {spec} does not match ndim {op_v.type.ndim}"
+                    )
+            for ch, d in zip(spec.replace("...", ""), dims):
+                if ch in sizes and sizes[ch] is not None and d is not None \
+                        and sizes[ch] != d and sizes[ch] != 1 and d != 1:
+                    raise ValueError(f"einsum: inconsistent size for index {ch}")
+                if ch not in sizes or sizes[ch] is None:
+                    sizes[ch] = d
+        if "..." in out_spec:
+            raise NotImplementedError("einsum ellipsis output: pass explicit spec")
+        out_shape = tuple(sizes.get(ch) for ch in out_spec)
+        dtype = upcast(*(o.type.dtype for o in operands))
+        return Apply(self, list(operands), [TensorType(dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(
+            np.einsum(self.subscripts, *inputs),
+            dtype=node.outputs[0].type.numpy_dtype,
+        )
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        from pytensor_tpu.tensor.basic import constant
+
+        in_specs, out_spec = self._parse(None)
+        dims = {}
+        for spec, shp in zip(in_specs, input_shapes):
+            for ch, d in zip(spec.replace("...", ""), shp):
+                dims.setdefault(ch, d)
+        return [tuple(dims[ch] for ch in out_spec)]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        in_specs, out_spec = self._parse(None)
+        grads = []
+        for k, inp in enumerate(inputs):
+            # grad wrt operand k: einsum with k's spec as output, using gz
+            # in place of operand k; repeated/summed indices need care:
+            # indices of k missing from (others + out) are summed in the
+            # forward -> the grad broadcasts along them
+            other_specs = [s for j, s in enumerate(in_specs) if j != k]
+            other_ops = [o for j, o in enumerate(inputs) if j != k]
+            target = in_specs[k]
+            known = set(out_spec) | set("".join(other_specs))
+            missing = [ch for ch in target if ch not in known]
+            if missing:
+                from pytensor_tpu.gradient import grad_not_implemented
+
+                grads.append(grad_not_implemented(self, k, inp, "summed-only index"))
+                continue
+            sub = ",".join([out_spec] + other_specs) + "->" + target
+            g = Einsum(sub)(gz, *other_ops)
+            from pytensor_tpu.tensor.basic import cast
+
+            if g.type.dtype != inp.type.dtype:
+                g = cast(g, inp.type.dtype)
+            grads.append(g)
+        return grads
+
+
+def einsum(subscripts, *operands, optimize=None):
+    return Einsum(subscripts)(*operands)
+
+
+def _register_xla():
+    from pytensor_tpu.config import config
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    @xla_funcify.register(Einsum)
+    def _einsum(op, node=None, **kw):
+        import jax.numpy as jnp
+
+        prec = None if config.matmul_precision == "default" else config.matmul_precision
+        subs = op.subscripts
+
+        def einsum_f(*operands):
+            return jnp.einsum(subs, *operands, precision=prec)
+
+        return einsum_f
+
+
+_register_xla()
