@@ -118,8 +118,11 @@ class Function:
                         if isinstance(a, jax.Array):
                             vals.append(a)
                             continue
-                    vals.append(t.filter(a, strict=wi.strict,
-                                         allow_downcast=wi.allow_downcast))
+                    v = t.filter(a, strict=wi.strict,
+                                 allow_downcast=wi.allow_downcast)
+                    if self._backend == "xla" and hasattr(t, "xla_typify"):
+                        v = t.xla_typify(v)
+                    vals.append(v)
                 except Exception as e:
                     raise TypeError(
                         f"Bad input argument for {wi.variable}: {e}"

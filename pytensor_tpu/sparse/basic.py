@@ -1,0 +1,496 @@
+"""Sparse ops: construction, structured dot, reductions.
+
+Parallels /root/reference/pytensor/sparse/basic.py (CSM:364,
+StructuredDot:1340, Dot:1839, SpSum:259, SamplingDot:1763, Usmm:2017).
+Oracle = scipy.sparse; XLA = BCOO kernels (bcoo_dot_general on TPU).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply, Constant, Variable
+from pytensor_tpu.graph.null_type import DisconnectedType
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.scalar.basic import upcast
+from pytensor_tpu.sparse.type import SparseTensorType
+from pytensor_tpu.tensor.basic import as_tensor_variable
+from pytensor_tpu.tensor.type import TensorType
+
+
+def _as_sparse_variable(x, format="csr"):
+    if isinstance(x, Variable):
+        if isinstance(x.type, SparseTensorType):
+            return x
+        raise TypeError(f"not a sparse variable: {x.type}")
+    import scipy.sparse as sp
+
+    if sp.issparse(x):
+        t = SparseTensorType(x.format if x.format in ("csr", "csc") else "csr",
+                             str(x.dtype), x.shape)
+        return t.make_constant(x)
+    raise TypeError(f"cannot interpret {type(x)} as sparse")
+
+
+as_sparse_variable = _as_sparse_variable
+as_sparse = _as_sparse_variable
+
+
+class CSMProperties(Op):
+    """Extract (data, indices, indptr, shape) from a csr/csc matrix."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = _as_sparse_variable(x)
+        return Apply(self, [x], [
+            TensorType(x.type.dtype, (None,))(),
+            TensorType("int32", (None,))(),
+            TensorType("int32", (None,))(),
+            TensorType("int64", (2,))(),
+        ])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        output_storage[0][0] = np.asarray(x.data)
+        output_storage[1][0] = np.asarray(x.indices, dtype="int32")
+        output_storage[2][0] = np.asarray(x.indptr, dtype="int32")
+        output_storage[3][0] = np.asarray(x.shape, dtype="int64")
+
+
+csm_properties = CSMProperties()
+
+
+class CSM(Op):
+    """Build a csr/csc matrix from (data, indices, indptr, shape)."""
+
+    __props__ = ("format",)
+
+    def __init__(self, format):
+        self.format = format
+
+    def make_node(self, data, indices, indptr, shape):
+        data = as_tensor_variable(data)
+        out = SparseTensorType(self.format, data.type.dtype)()
+        return Apply(self, [data, as_tensor_variable(indices),
+                            as_tensor_variable(indptr), as_tensor_variable(shape)],
+                     [out])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        data, indices, indptr, shape = inputs
+        cls = sp.csr_matrix if self.format == "csr" else sp.csc_matrix
+        output_storage[0][0] = cls((data, indices, indptr), shape=tuple(shape))
+
+    def connection_pattern(self, node):
+        return [[True], [False], [False], [False]]
+
+
+CSR = CSM("csr")
+CSC = CSM("csc")
+
+
+class DenseFromSparse(Op):
+    __props__ = ()
+
+    def make_node(self, x):
+        x = _as_sparse_variable(x)
+        return Apply(self, [x], [TensorType(x.type.dtype, x.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(inputs[0].todense())
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        return [SparseFromDense(x.type.format)(gz)]
+
+
+dense_from_sparse = DenseFromSparse()
+
+
+class SparseFromDense(Op):
+    __props__ = ("format",)
+
+    def __init__(self, format="csr"):
+        self.format = format
+
+    def make_node(self, x):
+        x = as_tensor_variable(x)
+        if x.type.ndim != 2:
+            raise TypeError("SparseFromDense expects a matrix")
+        out = SparseTensorType(self.format, x.type.dtype, x.type.shape)()
+        return Apply(self, [x], [out])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        cls = sp.csr_matrix if self.format == "csr" else sp.csc_matrix
+        output_storage[0][0] = cls(inputs[0])
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        return [dense_from_sparse(gz)]
+
+
+csr_from_dense = SparseFromDense("csr")
+csc_from_dense = SparseFromDense("csc")
+
+
+class StructuredDot(Op):
+    """sparse @ dense -> dense; gradient wrt the sparse operand keeps the
+    sparsity structure (reference StructuredDot:1340)."""
+
+    __props__ = ()
+
+    def make_node(self, a, b):
+        a = _as_sparse_variable(a)
+        b = as_tensor_variable(b)
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        if b.type.ndim == 1:
+            out = TensorType(dtype, (a.type.shape[0],))()
+        else:
+            out = TensorType(dtype, (a.type.shape[0], b.type.shape[1]))()
+        return Apply(self, [a, b], [out])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        res = a @ b
+        output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.numpy_dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        a, b = node.inputs
+        if b.type.ndim == 1:
+            return [(input_shapes[0][0],)]
+        return [(input_shapes[0][0], input_shapes[1][1])]
+
+    def L_op(self, inputs, outputs, output_grads):
+        a, b = inputs
+        (gz,) = output_grads
+        ga = StructuredDotGrad()(a, b, gz)
+        gb = StructuredDot()(transpose(a), gz)
+        return [ga, gb]
+
+
+structured_dot_ = StructuredDot()
+
+
+class StructuredDotGrad(Op):
+    """Gradient of structured_dot wrt the sparse operand: dense outer
+    products evaluated only at the sparse pattern's nonzeros."""
+
+    __props__ = ()
+
+    def make_node(self, a, b, gz):
+        a = _as_sparse_variable(a)
+        return Apply(self, [a, as_tensor_variable(b), as_tensor_variable(gz)],
+                     [a.type()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b, gz = inputs
+        out = a.copy()
+        coo = a.tocoo()
+        b2 = np.atleast_2d(b.T).T if b.ndim == 1 else b
+        gz2 = np.atleast_2d(gz.T).T if gz.ndim == 1 else gz
+        vals = np.einsum("ij,ij->i", gz2[coo.row], b2[coo.col])
+        import scipy.sparse as sp
+
+        res = sp.coo_matrix((vals, (coo.row, coo.col)), shape=a.shape).asformat(
+            a.format
+        )
+        output_storage[0][0] = res.astype(a.dtype)
+
+    def connection_pattern(self, node):
+        return [[False], [True], [True]]
+
+
+def structured_dot(a, b):
+    return structured_dot_(a, b)
+
+
+def dot(a, b):
+    """Sparse-aware dot: sparse @ dense or dense @ sparse -> dense."""
+    a_sp = isinstance(getattr(a, "type", None), SparseTensorType)
+    b_sp = isinstance(getattr(b, "type", None), SparseTensorType)
+    if a_sp and not b_sp:
+        return structured_dot_(a, b)
+    if b_sp and not a_sp:
+        from pytensor_tpu.tensor.basic import matrix_transpose
+
+        res = structured_dot_(transpose(b), matrix_transpose(a) if a.type.ndim == 2
+                              else a)
+        return matrix_transpose(res) if res.type.ndim == 2 else res
+    raise TypeError("sparse.dot needs exactly one sparse operand")
+
+
+class Transpose(Op):
+    __props__ = ()
+
+    def make_node(self, x):
+        x = _as_sparse_variable(x)
+        fmt = {"csr": "csc", "csc": "csr", "bcoo": "bcoo"}[x.type.format]
+        out = SparseTensorType(fmt, x.type.dtype,
+                               (x.type.shape[1], x.type.shape[0]))()
+        return Apply(self, [x], [out])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0].transpose()
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        return [transpose(gz)]
+
+
+transpose = Transpose()
+
+
+class SpSum(Op):
+    __props__ = ("axis",)
+
+    def __init__(self, axis=None):
+        self.axis = axis
+
+    def make_node(self, x):
+        x = _as_sparse_variable(x)
+        if self.axis is None:
+            out = TensorType(x.type.dtype, ())()
+        else:
+            out = TensorType(x.type.dtype, (None,))()
+        return Apply(self, [x], [out])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        res = x.sum(axis=self.axis)
+        output_storage[0][0] = np.asarray(res).reshape(
+            () if self.axis is None else (-1,)
+        ).astype(node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        (x,) = inputs
+        return [grad_not_implemented(self, 0, x, "sparse sum grad")]
+
+
+def sp_sum(x, axis=None, sparse_grad=False):
+    return SpSum(axis)(x)
+
+
+class AddSD(Op):
+    """sparse + dense -> dense."""
+
+    __props__ = ()
+
+    def make_node(self, s, d):
+        s = _as_sparse_variable(s)
+        d = as_tensor_variable(d)
+        dtype = upcast(s.type.dtype, d.type.dtype)
+        return Apply(self, [s, d], [TensorType(dtype, d.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        s, d = inputs
+        output_storage[0][0] = np.asarray(s.todense() + d,
+                                          dtype=node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        return [SparseFromDense(inputs[0].type.format)(gz), gz]
+
+
+add_s_d = AddSD()
+
+
+class AddSS(Op):
+    """sparse + sparse -> sparse."""
+
+    __props__ = ()
+
+    def make_node(self, x, y):
+        x = _as_sparse_variable(x)
+        y = _as_sparse_variable(y)
+        return Apply(self, [x, y], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = (inputs[0] + inputs[1]).asformat(
+            node.outputs[0].type.format
+        )
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        return [gz, gz]
+
+
+add_s_s = AddSS()
+
+
+def add(x, y):
+    xs = isinstance(getattr(x, "type", None), SparseTensorType)
+    ys = isinstance(getattr(y, "type", None), SparseTensorType)
+    if xs and ys:
+        return add_s_s(x, y)
+    if xs:
+        return add_s_d(x, y)
+    if ys:
+        return add_s_d(y, x)
+    from pytensor_tpu.tensor import math as tm
+
+    return tm.add(x, y)
+
+
+class MulSV(Op):
+    """sparse * scalar/dense(broadcast) -> sparse (structure preserved)."""
+
+    __props__ = ()
+
+    def make_node(self, s, v):
+        s = _as_sparse_variable(s)
+        v = as_tensor_variable(v)
+        return Apply(self, [s, v], [s.type()])
+
+    def perform(self, node, inputs, output_storage):
+        s, v = inputs
+        output_storage[0][0] = (s.multiply(v)).asformat(s.format) \
+            if np.ndim(v) else (s * float(v)).asformat(s.format)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        s, v = inputs
+        (gz,) = output_grads
+        return [MulSV()(gz, v), grad_not_implemented(self, 1, v)]
+
+
+mul_s_v = MulSV()
+
+
+def mul(x, y):
+    xs = isinstance(getattr(x, "type", None), SparseTensorType)
+    if xs:
+        return mul_s_v(x, y)
+    return mul_s_v(y, x)
+
+
+class SamplingDot(Op):
+    """dot(x, y.T) evaluated only at the nonzero pattern of p
+    (reference SamplingDot:1763)."""
+
+    __props__ = ()
+
+    def make_node(self, x, y, p):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        p = _as_sparse_variable(p)
+        return Apply(self, [x, y, p], [p.type()])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        x, y, p = inputs
+        coo = p.tocoo()
+        vals = np.einsum("ij,ij->i", x[coo.row], y[coo.col])
+        output_storage[0][0] = sp.coo_matrix(
+            (vals, (coo.row, coo.col)), shape=p.shape
+        ).asformat(p.format).astype(p.dtype)
+
+
+sampling_dot = SamplingDot()
+
+
+def _register_xla():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsp
+
+    def _to_bcoo(v):
+        if isinstance(v, jsp.BCOO):
+            return v
+        import scipy.sparse as sp
+
+        if sp.issparse(v):
+            coo = v.tocoo()
+            idx = jnp.stack([jnp.asarray(coo.row, dtype="int32"),
+                             jnp.asarray(coo.col, dtype="int32")], axis=1)
+            return jsp.BCOO((jnp.asarray(coo.data), idx), shape=coo.shape)
+        return v
+
+    @xla_funcify.register(StructuredDot)
+    def _sdot(op, node=None, **kw):
+        def sdot(a, b):
+            return _to_bcoo(a) @ b
+
+        return sdot
+
+    @xla_funcify.register(DenseFromSparse)
+    def _dfs(op, node=None, **kw):
+        return lambda x: _to_bcoo(x).todense()
+
+    @xla_funcify.register(SparseFromDense)
+    def _sfd(op, node=None, **kw):
+        return lambda x: jsp.BCOO.fromdense(x)
+
+    @xla_funcify.register(Transpose)
+    def _transpose(op, node=None, **kw):
+        return lambda x: _to_bcoo(x).T
+
+    @xla_funcify.register(SpSum)
+    def _spsum(op, node=None, **kw):
+        axis = op.axis
+
+        def spsum(x):
+            res = jsp.bcoo_reduce_sum(
+                _to_bcoo(x), axes=(0, 1) if axis is None else (axis,)
+            )
+            return res.todense() if hasattr(res, "todense") else res
+
+        return spsum
+
+    @xla_funcify.register(AddSD)
+    def _addsd(op, node=None, **kw):
+        return lambda s, d: _to_bcoo(s).todense() + d
+
+    @xla_funcify.register(AddSS)
+    def _addss(op, node=None, **kw):
+        return lambda x, y: jsp.BCOO.fromdense(_to_bcoo(x).todense()
+                                               + _to_bcoo(y).todense())
+
+    @xla_funcify.register(MulSV)
+    def _mulsv(op, node=None, **kw):
+        def mulsv(s, v):
+            b = _to_bcoo(s)
+            return jsp.BCOO((b.data * jnp.asarray(v).reshape(-1)[0]
+                             if jnp.ndim(v) == 0 else b.data, b.indices),
+                            shape=b.shape)
+
+        return mulsv
+
+    @xla_funcify.register(StructuredDotGrad)
+    def _sdotgrad(op, node=None, **kw):
+        def sdotgrad(a, b, gz):
+            ab = _to_bcoo(a)
+            rows = ab.indices[:, 0]
+            cols = ab.indices[:, 1]
+            b2 = b if b.ndim == 2 else b[:, None]
+            gz2 = gz if gz.ndim == 2 else gz[:, None]
+            vals = jnp.einsum("ij,ij->i", gz2[rows], b2[cols])
+            return jsp.BCOO((vals, ab.indices), shape=ab.shape)
+
+        return sdotgrad
+
+    @xla_funcify.register(SamplingDot)
+    def _sampling(op, node=None, **kw):
+        def sampling(x, y, p):
+            pb = _to_bcoo(p)
+            rows = pb.indices[:, 0]
+            cols = pb.indices[:, 1]
+            vals = jnp.einsum("ij,ij->i", x[rows], y[cols])
+            return jsp.BCOO((vals, pb.indices), shape=pb.shape)
+
+        return sampling
+
+
+_register_xla()

@@ -1,0 +1,325 @@
+"""XOps: generic labeled-dim operations + boundary converters.
+
+Parallels /root/reference/pytensor/xtensor/vectorization.py (XElemwise:63)
+and the math/reduce/transpose modules.  Every XOp implements ``lower``:
+build the equivalent tensor graph given tensor-typed inputs — consumed by
+the lower_xtensor rewrite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytensor_tpu.graph.basic import Apply
+from pytensor_tpu.graph.op import Op
+from pytensor_tpu.xtensor.type import XTensorType, XTensorVariable
+
+
+class TensorFromXTensor(Op):
+    __props__ = ()
+    view_map = {0: [0]}
+
+    def make_node(self, x):
+        from pytensor_tpu.tensor.type import TensorType
+
+        if not isinstance(x.type, XTensorType):
+            raise TypeError("expected an xtensor")
+        return Apply(self, [x], [TensorType(x.type.dtype, x.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0]
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        return [xtensor_from_tensor(gz, x.type.dims)]
+
+
+tensor_from_xtensor = TensorFromXTensor()
+
+
+class XTensorFromTensor(Op):
+    __props__ = ("dims",)
+    view_map = {0: [0]}
+
+    def __init__(self, dims):
+        self.dims = tuple(dims)
+
+    def make_node(self, x):
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        x = as_tensor_variable(x)
+        if x.type.ndim != len(self.dims):
+            raise TypeError(f"{len(self.dims)} dims for ndim {x.type.ndim}")
+        out = XTensorType(x.type.dtype, self.dims, x.type.shape)()
+        return Apply(self, [x], [out])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0]
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        return [tensor_from_xtensor(gz)]
+
+
+def xtensor_from_tensor(x, dims, name=None):
+    out = XTensorFromTensor(dims)(x)
+    if name:
+        out.name = name
+    return out
+
+
+class XOp(Op):
+    """Base: ops on XTensors that lower to tensor graphs."""
+
+    def lower(self, node, tensor_inputs):
+        """Return tensor-typed outputs equivalent to this node."""
+        raise NotImplementedError
+
+    def perform(self, node, inputs, output_storage):
+        raise NotImplementedError(
+            f"{self} must be lowered by the lower_xtensor rewrite before "
+            "execution (run with a rewriting mode)"
+        )
+
+
+class XElemwise(XOp):
+    __props__ = ("scalar_op",)
+
+    def __init__(self, scalar_op):
+        self.scalar_op = scalar_op
+
+    def make_node(self, *inputs):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        inputs = [as_xtensor(i) for i in inputs]
+        # output dims: union in first-seen order
+        out_dims = []
+        sizes = {}
+        for i in inputs:
+            for d, s in zip(i.type.dims, i.type.shape):
+                if d not in out_dims:
+                    out_dims.append(d)
+                    sizes[d] = s
+                elif s is not None:
+                    if sizes[d] is None:
+                        sizes[d] = s
+                    elif sizes[d] != s and 1 not in (sizes[d], s):
+                        raise ValueError(f"dim {d} size mismatch")
+        dtype = self.scalar_op.output_dtype(*(i.type.dtype for i in inputs))
+        out = XTensorType(dtype, tuple(out_dims),
+                          tuple(sizes[d] for d in out_dims))()
+        return Apply(self, list(inputs), [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.elemwise import DimShuffle, Elemwise
+
+        out_dims = node.outputs[0].type.dims
+        aligned = []
+        for xt_in, t_in in zip(node.inputs, tensor_inputs):
+            in_dims = xt_in.type.dims
+            order = ["x" if d not in in_dims else in_dims.index(d)
+                     for d in out_dims]
+            if order != list(range(len(in_dims))):
+                t_in = DimShuffle(t_in.type.ndim, order)(t_in)
+            aligned.append(t_in)
+        return [Elemwise(self.scalar_op)(*aligned)]
+
+    def __str__(self):
+        return f"XElemwise{{{self.scalar_op}}}"
+
+
+class XReduce(XOp):
+    __props__ = ("dims",)
+    reduce_fn = None
+
+    def __init__(self, dims=None):
+        self.dims = None if dims is None else tuple(dims)
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        dims = self.dims if self.dims is not None else x.type.dims
+        for d in dims:
+            if d not in x.type.dims:
+                raise ValueError(f"unknown dim {d}")
+        keep = [(d, s) for d, s in zip(x.type.dims, x.type.shape) if d not in dims]
+        dtype = self._out_dtype(x.type.dtype)
+        out = XTensorType(dtype, tuple(d for d, _ in keep),
+                          tuple(s for _, s in keep))()
+        return Apply(self, [x], [out])
+
+    def _out_dtype(self, dtype):
+        return dtype
+
+    def lower(self, node, tensor_inputs):
+        (t,) = tensor_inputs
+        x = node.inputs[0]
+        dims = self.dims if self.dims is not None else x.type.dims
+        axes = tuple(x.type.dims.index(d) for d in dims)
+        return [self._reduce(t, axes)]
+
+
+class XSum(XReduce):
+    def _out_dtype(self, dtype):
+        if dtype in ("bool", "int8", "int16", "int32", "int64"):
+            return "int64"
+        if dtype.startswith("uint"):
+            return "uint64"
+        return dtype
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.sum(t, axis=list(axes))
+
+
+class XMean(XReduce):
+    def _out_dtype(self, dtype):
+        from pytensor_tpu.config import config
+        from pytensor_tpu.tensor.type import discrete_dtypes
+
+        return config.floatX if dtype in discrete_dtypes else dtype
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.mean(t, axis=list(axes))
+
+
+class XMax(XReduce):
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.max(t, axis=list(axes))
+
+
+class XMin(XReduce):
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.min(t, axis=list(axes))
+
+
+class XTranspose(XOp):
+    __props__ = ("dims",)
+
+    def __init__(self, dims):
+        self.dims = tuple(dims)
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        if set(self.dims) != set(x.type.dims):
+            raise ValueError(f"transpose dims {self.dims} != {x.type.dims}")
+        shape = tuple(x.type.shape[x.type.dims.index(d)] for d in self.dims)
+        out = XTensorType(x.type.dtype, self.dims, shape)()
+        return Apply(self, [x], [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.basic import transpose
+
+        (t,) = tensor_inputs
+        x = node.inputs[0]
+        axes = [x.type.dims.index(d) for d in self.dims]
+        return [transpose(t, axes)]
+
+
+class XRename(XOp):
+    __props__ = ("mapping",)
+
+    def __init__(self, mapping):
+        self.mapping = tuple(mapping)
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        m = dict(self.mapping)
+        new_dims = tuple(m.get(d, d) for d in x.type.dims)
+        out = XTensorType(x.type.dtype, new_dims, x.type.shape)()
+        return Apply(self, [x], [out])
+
+    def lower(self, node, tensor_inputs):
+        return [tensor_inputs[0]]
+
+
+class XIsel(XOp):
+    """Integer selection by dim name (static indices)."""
+
+    __props__ = ("indexers",)
+
+    def __init__(self, indexers):
+        self.indexers = tuple(indexers)
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        m = dict(self.indexers)
+        keep = [(d, s) for d, s in zip(x.type.dims, x.type.shape) if d not in m]
+        out = XTensorType(x.type.dtype, tuple(d for d, _ in keep),
+                          tuple(s for _, s in keep))()
+        return Apply(self, [x], [out])
+
+    def lower(self, node, tensor_inputs):
+        (t,) = tensor_inputs
+        x = node.inputs[0]
+        m = dict(self.indexers)
+        idx = tuple(m.get(d, slice(None)) for d in x.type.dims)
+        return [t[idx]]
+
+
+class XDot(XOp):
+    """Contraction over shared dims (xarray dot semantics)."""
+
+    __props__ = ()
+
+    def make_node(self, x, y):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x, y = as_xtensor(x), as_xtensor(y)
+        shared = [d for d in x.type.dims if d in y.type.dims]
+        out_dims = [d for d in x.type.dims if d not in shared] + \
+                   [d for d in y.type.dims if d not in shared]
+        from pytensor_tpu.scalar.basic import upcast
+
+        shape = tuple(
+            (x.type.shape[x.type.dims.index(d)] if d in x.type.dims
+             else y.type.shape[y.type.dims.index(d)])
+            for d in out_dims
+        )
+        out = XTensorType(upcast(x.type.dtype, y.type.dtype), tuple(out_dims),
+                          shape)()
+        return Apply(self, [x, y], [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.math import tensordot
+
+        tx, ty = tensor_inputs
+        x, y = node.inputs
+        shared = [d for d in x.type.dims if d in y.type.dims]
+        ax = [x.type.dims.index(d) for d in shared]
+        ay = [y.type.dims.index(d) for d in shared]
+        return [tensordot(tx, ty, axes=[ax, ay])]
+
+
+def xdot(x, y):
+    return XDot()(x, y)
+
+
+def _register_xla():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    @xla_funcify.register(TensorFromXTensor)
+    @xla_funcify.register(XTensorFromTensor)
+    def _boundary(op, node=None, **kw):
+        return lambda x: x
+
+
+_register_xla()

@@ -1,0 +1,198 @@
+"""Tests for sparse, xtensor, ifelse, special, debug modes, einsum, etc."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+
+
+rng = np.random.default_rng(0)
+
+
+class TestSparse:
+    Sv = sp.random(6, 5, density=0.4, format="csr", random_state=0) * 1.0
+    Bv = rng.random((5, 3))
+
+    def test_structured_dot(self):
+        import pytensor_tpu.sparse as psp
+
+        S = psp.matrix("csr", "S", dtype="float64")
+        B = pt.dmatrix("B")
+        out = psp.structured_dot(S, B)
+        for mode in ("FAST_RUN", "FAST_COMPILE"):
+            f = ptt.function([S, B], out, mode=mode)
+            np.testing.assert_allclose(np.asarray(f(self.Sv, self.Bv)),
+                                       self.Sv @ self.Bv)
+
+    def test_grad_dense_side(self):
+        import pytensor_tpu.sparse as psp
+
+        S = psp.matrix("csr", "S", dtype="float64")
+        B = pt.dmatrix("B")
+        g = ptt.grad(psp.structured_dot(S, B).sum(), B)
+        f = ptt.function([S, B], g, mode="FAST_COMPILE")
+        np.testing.assert_allclose(np.asarray(f(self.Sv, self.Bv)),
+                                   self.Sv.T @ np.ones((6, 3)))
+
+    def test_conversions_and_sum(self):
+        import pytensor_tpu.sparse as psp
+
+        S = psp.matrix("csr", "S", dtype="float64")
+        f = ptt.function([S], [psp.dense_from_sparse(S), psp.sp_sum(S)],
+                         mode="FAST_COMPILE")
+        d, s = f(self.Sv)
+        np.testing.assert_allclose(np.asarray(d), self.Sv.todense())
+        np.testing.assert_allclose(float(np.asarray(s)), self.Sv.sum())
+
+
+class TestXTensor:
+    def test_align_and_reduce(self):
+        from pytensor_tpu.xtensor import xtensor
+
+        x = xtensor("x", dims=("a", "b"), dtype="float64")
+        v = xtensor("v", dims=("b",), dtype="float64")
+        out = (x + v).sum(dim="a")
+        f = ptt.function([x, v], out.values)
+        X, V = rng.random((2, 3)), rng.random(3)
+        np.testing.assert_allclose(np.asarray(f(X, V)), (X + V).sum(axis=0))
+
+    def test_xdot(self):
+        from pytensor_tpu.xtensor import xtensor
+        from pytensor_tpu.xtensor.ops import xdot
+
+        x = xtensor("x", dims=("a", "b"), dtype="float64")
+        y = xtensor("y", dims=("b", "c"), dtype="float64")
+        f = ptt.function([x, y], xdot(x, y).values, mode="FAST_COMPILE")
+        X, Y = rng.random((2, 3)), rng.random((3, 4))
+        np.testing.assert_allclose(np.asarray(f(X, Y)), X @ Y)
+
+    def test_transpose_rename_isel(self):
+        from pytensor_tpu.xtensor import xtensor
+
+        x = xtensor("x", dims=("a", "b"), dtype="float64")
+        out = x.transpose("b", "a").rename({"b": "r"}).isel(r=1)
+        assert out.type.dims == ("a",)
+        f = ptt.function([x], out.values, mode="FAST_COMPILE")
+        X = rng.random((2, 3))
+        np.testing.assert_allclose(np.asarray(f(X)), X.T[1])
+
+
+class TestIfElse:
+    def test_values_and_grad(self):
+        c = pt.lscalar("c")
+        x = pt.dvector("x")
+        out = ptt.ifelse(pt.gt(c, 0), x * 2, x - 1)
+        f = ptt.function([c, x], out)
+        v = np.arange(3.0)
+        np.testing.assert_allclose(np.asarray(f(1, v)), v * 2)
+        np.testing.assert_allclose(np.asarray(f(0, v)), v - 1)
+        g = ptt.grad(out.sum(), x)
+        fg = ptt.function([c, x], g, mode="FAST_COMPILE")
+        np.testing.assert_allclose(np.asarray(fg(1, v)), [2, 2, 2])
+        np.testing.assert_allclose(np.asarray(fg(0, v)), [1, 1, 1])
+
+
+class TestSpecial:
+    def test_softmax(self):
+        import scipy.special as sps
+        from pytensor_tpu.tensor.special import log_softmax, softmax
+
+        m = pt.dmatrix("m")
+        M = rng.random((3, 4))
+        f = ptt.function([m], [softmax(m, axis=-1), log_softmax(m, axis=-1)])
+        s, ls = f(M)
+        np.testing.assert_allclose(np.asarray(s), sps.softmax(M, axis=-1), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(ls), sps.log_softmax(M, axis=-1),
+                                   rtol=1e-8)
+
+    def test_softmax_grad(self):
+        from pytensor_tpu.tensor.special import softmax
+
+        ptt.verify_grad(lambda m: (softmax(m, axis=-1) ** 2).sum(),
+                        [rng.random((3, 4))], rng=np.random.default_rng(3))
+
+
+class TestEinsum:
+    def test_values(self):
+        a = pt.dmatrix("a")
+        b = pt.dmatrix("b")
+        A, B = rng.random((3, 4)), rng.random((4, 2))
+        f = ptt.function([a, b], [pt.einsum("ij,jk->ik", a, b),
+                                  pt.einsum("ij->j", a)])
+        r1, r2 = f(A, B)
+        np.testing.assert_allclose(np.asarray(r1), A @ B)
+        np.testing.assert_allclose(np.asarray(r2), A.sum(axis=0))
+
+    def test_grad(self):
+        ptt.verify_grad(lambda a, b: pt.einsum("ij,jk->ik", a, b).sum(),
+                        [rng.random((3, 4)), rng.random((4, 2))],
+                        rng=np.random.default_rng(3))
+
+
+class TestDebugModes:
+    def test_debugmode_passes_on_good_graph(self):
+        from pytensor_tpu.compile.debug import DebugMode
+
+        x = pt.dvector("x")
+        f = ptt.function([x], pt.exp(x).sum(), mode=DebugMode())
+        assert np.isfinite(float(np.asarray(f(np.arange(3.0)))))
+
+    def test_nanguard_catches_nan(self):
+        from pytensor_tpu.compile.debug import NanGuardMode
+
+        x = pt.dvector("x")
+        f = ptt.function([x], pt.log(x), mode=NanGuardMode())
+        with pytest.raises(AssertionError, match="NanGuard"):
+            f(np.array([-1.0]))
+
+    def test_monitormode_callback(self):
+        from pytensor_tpu.compile.debug import MonitorMode
+
+        seen = []
+        mode = MonitorMode(post_func=lambda node, thunk: seen.append(node.op))
+        x = pt.dvector("x")
+        f = ptt.function([x], pt.exp(x) + 1, mode=mode)
+        f(np.arange(3.0))
+        assert len(seen) >= 1
+
+
+class TestAssertPad:
+    def test_assert_raises(self):
+        from pytensor_tpu.raise_op import assert_op
+
+        x = pt.dvector("x")
+        out = assert_op(x, pt.all(x > 0))
+        f = ptt.function([x], out.sum(), mode="FAST_COMPILE")
+        assert float(np.asarray(f(np.ones(3)))) == 3.0
+        with pytest.raises(AssertionError):
+            f(np.array([-1.0, 1.0]))
+
+    def test_pad_modes(self):
+        x = pt.dvector("x")
+        v = np.arange(4.0)
+        for mode_name in ("constant", "reflect", "symmetric", "edge", "wrap"):
+            out = pt.pad(x, (2, 1), mode=mode_name)
+            f = ptt.function([x], out, mode="FAST_COMPILE")
+            np.testing.assert_allclose(np.asarray(f(v)), np.pad(v, (2, 1),
+                                                                mode=mode_name))
+
+
+class TestConvFFT:
+    def test_convolve1d_modes(self):
+        x = pt.dvector("x")
+        k = pt.as_tensor_variable(np.array([1.0, 2.0, 1.0]))
+        v = rng.random(6)
+        for m in ("full", "valid", "same"):
+            f = ptt.function([x], pt.convolve1d(x, k, mode=m))
+            np.testing.assert_allclose(np.asarray(f(v)), np.convolve(v, [1, 2, 1],
+                                                                     mode=m))
+
+    def test_fft_roundtrip(self):
+        from pytensor_tpu.tensor.fft import irfft, rfft
+
+        x = pt.dvector("x")
+        v = rng.random(8)
+        f = ptt.function([x], irfft(rfft(x)))
+        np.testing.assert_allclose(np.asarray(f(v)), v, atol=1e-8)
