@@ -161,3 +161,4 @@ def __getattr__(name):
 
         return optimize
     raise AttributeError(f"module pytensor_tpu.tensor has no attribute {name}")
+import pytensor_tpu.tensor.fused  # noqa: E402,F401

@@ -81,8 +81,16 @@ def as_tensor_variable(x, name=None, ndim=None, dtype=None) -> TensorVariable:
         return stack(list(x))
     if isinstance(x, bool):
         return constant(np.bool_(x), name)
-    if isinstance(x, (int, np.integer)) and not isinstance(x, bool) and dtype is None:
+    if isinstance(x, int) and not isinstance(x, bool) and dtype is None:
+        # autocast python int literals to the smallest signed dtype
+        # (reference NumpyAutocaster semantics: keeps float32 graphs float32
+        # under expressions like x ** 2)
+        for small in ("int8", "int16", "int32", "int64"):
+            if np.iinfo(small).min <= x <= np.iinfo(small).max:
+                return constant(np.asarray(x, dtype=small), name)
         return constant(np.asarray(x, dtype="int64"), name)
+    if isinstance(x, np.integer) and dtype is None:
+        return constant(np.asarray(x), name)
     if isinstance(x, float) and dtype is None:
         return constant(np.asarray(x, dtype=_np_dtype(config.floatX)), name)
     if isinstance(x, complex) and dtype is None:
@@ -732,10 +740,15 @@ def arange(start, stop=None, step=1, dtype=None):
     if stop is None:
         start, stop = 0, start
     if dtype is None:
-        start_, stop_, step_ = (as_tensor_variable(v) for v in (start, stop, step))
-        from pytensor_tpu.scalar.basic import upcast
+        if all(isinstance(v, (int, np.integer)) for v in (start, stop, step)):
+            dtype = "int64"  # literal bounds: index-friendly dtype
+        else:
+            start_, stop_, step_ = (as_tensor_variable(v) for v in (start, stop, step))
+            from pytensor_tpu.scalar.basic import upcast
 
-        dtype = upcast(start_.type.dtype, stop_.type.dtype, step_.type.dtype)
+            dtype = upcast(start_.type.dtype, stop_.type.dtype, step_.type.dtype)
+            if dtype in ("int8", "int16", "int32"):
+                dtype = "int64"
     if dtype not in _arange_cache:
         _arange_cache[dtype] = ARange(dtype)
     return _arange_cache[dtype](start, stop, step)
