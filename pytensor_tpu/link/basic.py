@@ -128,13 +128,60 @@ class PerformLinker(Linker):
             thunk.node = node
             thunks.append(thunk)
 
-        def run():
-            for thunk in thunks:
+        # storage-cell lifetimes: cell dies after its last consumer runs
+        # (only intermediates — keep inputs, constants and outputs alive)
+        keep = set(id(storage_map[v]) for v in fgraph.inputs)
+        keep.update(id(storage_map[o]) for o in fgraph.outputs)
+        keep.update(id(s) for v, s in storage_map.items() if isinstance(v, Constant))
+        last_use: dict[int, int] = {}
+        for idx, node in enumerate(order):
+            for i in node.inputs:
+                cell = storage_map.get(i)
+                if cell is not None and id(cell) not in keep:
+                    last_use[id(cell)] = idx
+        free_lists = [[] for _ in order]
+        cell_by_id = {}
+        for idx, node in enumerate(order):
+            for i in node.inputs:
+                cell = storage_map.get(i)
+                if cell is not None and last_use.get(id(cell)) == idx \
+                        and id(cell) not in cell_by_id:
+                    cell_by_id[id(cell)] = cell
+                    free_lists[idx].append(cell)
+        free_tuples = tuple(tuple(fl) if self.allow_gc else () for fl in free_lists)
+
+        hostvm = None
+        try:
+            from pytensor_tpu.link.c.build import get_hostvm
+
+            hostvm = get_hostvm()
+        except Exception:
+            hostvm = None
+
+        if hostvm is not None:
+            thunk_tuple = tuple(thunks)
+
+            def run():
                 try:
-                    thunk()
-                except Exception:
-                    raise_with_op(fgraph, thunk.node)
-            return [s[0] for s in output_storage]
+                    hostvm.run_loop(thunk_tuple, free_tuples)
+                except Exception as e:
+                    idx = getattr(e, "__hostvm_node_index__", None)
+                    if idx is not None:
+                        raise_with_op(fgraph, order[int(idx)])
+                    raise
+                return [s[0] for s in output_storage]
+
+        else:
+            def run():
+                for k, thunk in enumerate(thunks):
+                    try:
+                        thunk()
+                    except Exception:
+                        raise_with_op(fgraph, thunk.node)
+                    if self.allow_gc:
+                        for cell in free_lists[k]:
+                            cell[0] = None
+                return [s[0] for s in output_storage]
 
         run.storage_map = storage_map
         run.thunks = thunks
