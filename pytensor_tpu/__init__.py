@@ -82,3 +82,4 @@ def get_underlying_scalar_constant(v):
     from pytensor_tpu.tensor.basic import get_scalar_constant_value
 
     return get_scalar_constant_value(v)
+from pytensor_tpu.link.xla.ops import JAXOp, wrap_jax  # noqa: E402,F401

@@ -5,3 +5,4 @@ from pytensor_tpu.compile.ops import DeepCopyOp, ViewOp, as_op, deep_copy_op, vi
 from pytensor_tpu.compile.maker import function
 from pytensor_tpu.compile.executor import Function
 from pytensor_tpu.compile.builders import OpFromGraph
+import pytensor_tpu.compile.rewriting  # noqa: F401  (inner-graph rewriting pass)

@@ -1,2 +1,3 @@
 from pytensor_tpu.scan.basic import scan
 from pytensor_tpu.scan.views import foldl, foldr, map, reduce
+import pytensor_tpu.scan.rewriting  # noqa: F401  (registers scan passes)

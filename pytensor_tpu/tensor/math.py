@@ -609,3 +609,63 @@ greater_equal = ge
 less = lt
 less_equal = le
 absolute = abs
+
+
+def xlogx(x):
+    """x * log(x) with 0 log 0 := 0 (reference tensor/xlogx.py)."""
+    x = as_tensor_variable(x)
+    return switch(eq(x, 0.0), zeros_like_f(cast(x, config.floatX) if x.type.dtype
+                                           in discrete_dtypes else x),
+                  x * log(x))
+
+
+def xlogy0(x, y):
+    """x * log(y) with x == 0 forcing 0."""
+    x, y = as_tensor_variable(x), as_tensor_variable(y)
+    return switch(eq(x, 0.0), zeros_like_f(x * y), x * log(y))
+
+
+def prod_without_zeros(x, axis=None, keepdims=False):
+    """Product of the nonzero elements (reference ProdWithoutZeros:3816)."""
+    x = as_tensor_variable(x)
+    from pytensor_tpu.tensor.basic import ones_like
+
+    safe = switch(eq(x, 0.0), ones_like(x), x)
+    return prod(safe, axis=axis, keepdims=keepdims)
+
+
+def permute_row_elements(x, y, inverse=False):
+    """Permute the elements of each row of x by the index rows of y
+    (reference PermuteRowElements:3426); broadcasts on leading dims."""
+    from pytensor_tpu.tensor.sort import argsort
+    from pytensor_tpu.tensor.subtensor import take_along_axis
+
+    x = as_tensor_variable(x)
+    y = cast(as_tensor_variable(y), "int64")
+    if inverse:
+        y = argsort(y, axis=-1)
+    if x.type.ndim == 1 and y.type.ndim == 1:
+        return x[y]
+    # broadcast x and y to a common shape, then gather along the last axis
+    xb = second(y, x) if x.type.ndim < y.type.ndim else x
+    yb = cast(second(x, cast(y, x.type.dtype)), "int64") \
+        if y.type.ndim < x.type.ndim else y
+    return take_along_axis(xb, yb, axis=-1)
+
+
+def choose(a, choices, mode="raise"):
+    """np.choose: a indexes into the stack of choices elementwise."""
+    from pytensor_tpu.tensor.basic import stack
+    from pytensor_tpu.tensor.subtensor import take_along_axis
+    from pytensor_tpu.tensor.basic import expand_dims
+
+    a = cast(as_tensor_variable(a), "int64")
+    if isinstance(choices, (list, tuple)):
+        ch = stack(list(choices), axis=0)
+    else:
+        ch = as_tensor_variable(choices)
+    # gather along axis 0 of ch with index a (broadcast over the rest)
+    idx = expand_dims(a, 0)
+    res = take_along_axis(ch, second(ch, cast(idx, ch.dtype)).astype("int64")
+                          if idx.type.ndim < ch.type.ndim else idx, axis=0)
+    return res[0]
