@@ -83,3 +83,4 @@ def get_underlying_scalar_constant(v):
 
     return get_scalar_constant_value(v)
 from pytensor_tpu.link.xla.ops import JAXOp, wrap_jax  # noqa: E402,F401
+from pytensor_tpu.basic_symbolic import as_symbolic  # noqa: E402,F401

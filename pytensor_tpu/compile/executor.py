@@ -147,9 +147,45 @@ class Function:
             return []
         return outputs
 
-    def copy(self, share_memory=False, swap=None, name=None):
-        """Recompile sharing (or swapping) shared variables."""
-        raise NotImplementedError("Function.copy: planned")
+    def copy(self, share_memory=False, swap=None, delete_updates=False,
+             name=None):
+        """Recompile the function, sharing (or swapping) shared variables.
+
+        swap: {old_shared: new_shared} substitutions applied to the graph.
+        """
+        from pytensor_tpu.compile.maker import function
+        from pytensor_tpu.graph.replace import graph_replace
+
+        spec = self._spec
+        outputs = list(spec["outputs"])
+        updates = {k: v for k, v in spec["updates"]} if not delete_updates else None
+        if swap:
+            exprs = outputs + (list(updates.values()) if updates else [])
+            exprs = graph_replace(exprs, swap, strict=False) if exprs else exprs
+            outputs = exprs[: len(outputs)]
+            if updates:
+                updates = {
+                    swap.get(k, k): v
+                    for k, v in zip(updates.keys(), exprs[len(outputs):])
+                }
+        out_arg = outputs[0] if spec["unpack_single"] and len(outputs) == 1 \
+            else outputs
+        return function(spec["inputs"], out_arg, updates=updates,
+                        mode=self.mode, name=name or spec["name"],
+                        trust_input=spec["trust_input"],
+                        on_unused_input="ignore")
+
+    def __reduce__(self):
+        spec = self._spec
+        out_arg = spec["outputs"][0] if spec["unpack_single"] and \
+            len(spec["outputs"]) == 1 else spec["outputs"]
+        payload = dict(
+            inputs=spec["inputs"], outputs=out_arg,
+            updates={k: v for k, v in spec["updates"]},
+            name=spec["name"], trust_input=spec["trust_input"],
+            mode=spec.get("mode"),
+        )
+        return (_rebuild_function, (payload,))
 
     def free(self):
         if self._backend == "py":
@@ -166,3 +202,12 @@ class Function:
 
     def __str__(self):
         return f"Function({self.name or 'anonymous'}, backend={self._backend})"
+
+
+def _rebuild_function(payload):
+    from pytensor_tpu.compile.maker import function
+
+    return function(payload["inputs"], payload["outputs"],
+                    updates=payload["updates"] or None, name=payload["name"],
+                    trust_input=payload["trust_input"], mode=payload.get("mode"),
+                    on_unused_input="ignore")

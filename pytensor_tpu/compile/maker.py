@@ -48,6 +48,7 @@ def function(
     from pytensor_tpu.compile.executor import Function
 
     t0 = time.perf_counter()
+    mode_arg = mode if isinstance(mode, str) or mode is None else None
     if profile is None:
         profile = config.profile
 
@@ -191,8 +192,21 @@ def function(
         profile=profile,
         mode=mode,
     )
+    fn._spec = dict(
+        inputs=explicit_vars,
+        outputs=outputs_list,
+        updates=update_pairs,
+        unpack_single=unpack_single,
+        name=name,
+        trust_input=trust_input,
+        mode=mode_arg,
+    )
     fn.compile_time = time.perf_counter() - t0
     fn.rewrite_time = t_rewrite - t_graph
+    if profile:
+        from pytensor_tpu.compile.debug.profiling import profile_function
+
+        profile_function(fn)
     return fn
 
 

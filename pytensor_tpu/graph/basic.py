@@ -97,6 +97,12 @@ class Apply(Node):
     def get_parents(self):
         return list(self.inputs)
 
+    def __getstate__(self):
+        return (self.op, self.inputs, self.outputs, self.tag)
+
+    def __setstate__(self, state):
+        self.op, self.inputs, self.outputs, self.tag = state
+
     def __str__(self) -> str:
         return f"{self.op}({', '.join(map(str, self.inputs))})"
 
@@ -137,6 +143,33 @@ class Variable(Node):
         if self.owner is not None:
             return [self.owner]
         return []
+
+    def __getstate__(self):
+        d = {}
+        for klass in type(self).__mro__:
+            for slot in getattr(klass, "__slots__", ()):
+                if slot == "__weakref__":
+                    continue
+                try:
+                    d[slot] = getattr(self, slot)
+                except AttributeError:
+                    pass
+        if getattr(self, "__dict__", None):
+            d.update(self.__dict__)
+        tag = d.get("tag")
+        if isinstance(tag, Scratchpad):
+            tag = Scratchpad().__update__(tag)
+            tag.__dict__.pop("_eval_fn_cache", None)
+            tag.__dict__.pop("trace", None)
+            d["tag"] = tag
+        return d
+
+    def __setstate__(self, d):
+        for k, v in d.items():
+            try:
+                setattr(self, k, v)
+            except AttributeError:
+                pass
 
     def eval(self, inputs_to_values: dict | None = None, **kwargs):
         """Evaluate this variable, compiling a tiny function on demand."""

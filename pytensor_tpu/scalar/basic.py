@@ -127,6 +127,12 @@ class ScalarOp(MetaObject):
     def __str__(self):
         return self.name
 
+    def __reduce__(self):
+        # lambdas inside are not picklable: restore from the registry
+        if self.name.startswith("cast{"):
+            return (cast_op, (self.name[5:-1],))
+        return (get_scalar_op, (self.name,))
+
     def __call__(self, *inputs):
         """Apply at the tensor level (scalar ops act through Elemwise)."""
         from pytensor_tpu.tensor.elemwise import Elemwise
