@@ -41,6 +41,7 @@ import pytensor_tpu.tensor as tensor  # noqa: F401
 
 # rewrite packs register into optdb at import time
 import pytensor_tpu.tensor.rewriting  # noqa: F401
+import pytensor_tpu.assumptions  # noqa: F401  (assumption-driven rewrites)
 
 # bind the scan *function* after the subpackage import so the name refers
 # to the callable (the reference does the same for pytensor.scan)

@@ -242,6 +242,10 @@ config.add(
     "xla__jit", BoolParam(True, doc="jit-compile linked functions (off = eager, debugging).")
 )
 config.add(
+    "xla__cache_dir",
+    StrParam("", doc="Persistent XLA compilation cache dir ('' = disabled)."),
+)
+config.add(
     "pallas__fusion",
     BoolParam(False, doc="Emit Pallas kernels for fused elemwise subgraphs (else rely on XLA fusion)."),
 )

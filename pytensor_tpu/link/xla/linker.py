@@ -29,6 +29,11 @@ def ensure_x64():
 
         if config.enable_x64:
             jax.config.update("jax_enable_x64", True)
+        if config.xla__cache_dir:
+            # persistent compilation cache: recompiles across processes hit
+            # disk instead of the compiler (reference ModuleCache role)
+            jax.config.update("jax_compilation_cache_dir", config.xla__cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         _x64_initialized = True
 
 

@@ -1,0 +1,234 @@
+"""Coverage for wrap_jax, optimize, models, parallel, pickling, scalar loop."""
+
+import io
+import pickle
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+
+rng = np.random.default_rng(0)
+
+
+class TestWrapJax:
+    def test_forward_and_grad(self):
+        import jax.numpy as jnp
+
+        @ptt.wrap_jax
+        def fn(x, w):
+            return jnp.tanh(x @ w)
+
+        x = pt.TensorType("float64", (4, 3))("x")
+        w = pt.TensorType("float64", (3, 2))("w")
+        y = fn(x, w)
+        assert y.type.shape == (4, 2)
+        X, W = rng.random((4, 3)), rng.random((3, 2))
+        f = ptt.function([x, w], y.sum())
+        np.testing.assert_allclose(float(np.asarray(f(X, W))),
+                                   np.tanh(X @ W).sum(), rtol=1e-10)
+        g = ptt.grad(y.sum(), w)
+        gv = np.asarray(ptt.function([x, w], g)(X, W))
+        eps = 1e-6
+        num = np.zeros_like(W)
+        for i in range(3):
+            for j in range(2):
+                E = np.zeros_like(W)
+                E[i, j] = eps
+                num[i, j] = (np.tanh(X @ (W + E)).sum()
+                             - np.tanh(X @ (W - E)).sum()) / (2 * eps)
+        np.testing.assert_allclose(gv, num, atol=1e-5)
+
+
+class TestOptimize:
+    def test_minimize_and_ift(self):
+        from pytensor_tpu.tensor.optimize import minimize
+
+        x = pt.dscalar("x")
+        a = pt.dscalar("a")
+        (xstar, ok), _ = minimize((x - a) ** 2, x)
+        f = ptt.function([x, a], xstar, mode="FAST_COMPILE")
+        np.testing.assert_allclose(float(np.asarray(f(0.0, 3.0))), 3.0, atol=1e-5)
+        g = ptt.grad(xstar, a)
+        fg = ptt.function([x, a], g, mode="FAST_COMPILE")
+        np.testing.assert_allclose(float(np.asarray(fg(0.0, 3.0))), 1.0, rtol=1e-5)
+
+    def test_root_and_ift(self):
+        from pytensor_tpu.tensor.optimize import root
+
+        x = pt.dscalar("x")
+        a = pt.dscalar("a")
+        (r, ok), _ = root(x ** 2 - a, x)
+        fr = ptt.function([x, a], r, mode="FAST_COMPILE")
+        np.testing.assert_allclose(float(np.asarray(fr(1.0, 4.0))), 2.0, rtol=1e-8)
+        gr = ptt.grad(r, a)
+        fgr = ptt.function([x, a], gr, mode="FAST_COMPILE")
+        np.testing.assert_allclose(float(np.asarray(fgr(1.0, 4.0))), 0.25, rtol=1e-6)
+
+
+class TestAssumptions:
+    def test_solve_specialization(self):
+        from pytensor_tpu.tensor import linalg as ptl
+        from pytensor_tpu.tensor.linalg import SolveTriangular
+
+        A = pt.dmatrix("A")
+        b = pt.dvector("b")
+        L = ptl.cholesky(A)
+        x = ptl.solve(L, b, b_ndim=1)
+        f = ptt.function([A, b], x)
+        assert any(isinstance(n.op, SolveTriangular) for n in f.fgraph.apply_nodes)
+        Av = rng.random((3, 3))
+        Av = Av @ Av.T + 3 * np.eye(3)
+        bv = rng.random(3)
+        Lv = np.linalg.cholesky(Av)
+        np.testing.assert_allclose(np.asarray(f(Av, bv)),
+                                   np.linalg.solve(Lv, bv), rtol=1e-8)
+
+    def test_assume_and_holds(self):
+        from pytensor_tpu.assumptions import FactState, assume, holds
+
+        x = pt.dmatrix("x")
+        assume(x, "positive_definite")
+        assert holds(x, "positive_definite") == FactState.TRUE
+        assert holds(x, "diagonal") == FactState.UNKNOWN
+        assert holds(pt.exp(x), "positive") == FactState.TRUE
+
+
+class TestScalarLoop:
+    def test_fori(self):
+        from pytensor_tpu.scalar.loop import ScalarLoop
+
+        st = pt.dscalar("st")
+        cc = pt.dscalar("cc")
+        loop = ScalarLoop([st], [st * cc], [cc])
+        s0 = pt.dscalar("s0")
+        c = pt.dscalar("c")
+        out = loop(10, s0, c)
+        for mode in ("FAST_RUN", "FAST_COMPILE"):
+            f = ptt.function([s0, c], out, mode=mode)
+            np.testing.assert_allclose(float(np.asarray(f(1.0, 2.0))), 1024.0)
+
+
+class TestPickling:
+    def test_graph_roundtrip(self):
+        x = pt.dvector("x")
+        y = pt.exp(x) * 2 + x[1:].sum()
+        x2, y2 = pickle.loads(pickle.dumps([x, y]))
+        f = ptt.function([x2], y2, mode="FAST_COMPILE")
+        v = np.arange(3.0)
+        np.testing.assert_allclose(np.asarray(f(v)),
+                                   np.exp(v) * 2 + v[1:].sum())
+
+    def test_function_roundtrip_and_copy(self):
+        acc = ptt.shared(np.float64(0.0), name="acc")
+        x = pt.dscalar("x")
+        f = ptt.function([x], acc * 2, updates={acc: acc + x}, mode="FAST_COMPILE")
+        f(1.0)
+        f2 = pickle.loads(pickle.dumps(f))
+        assert float(np.asarray(f2(1.0))) == 2.0  # acc pickled with value 1.0
+        acc2 = ptt.shared(np.float64(100.0), name="acc2")
+        f3 = f.copy(swap={acc: acc2})
+        assert float(np.asarray(f3(1.0))) == 200.0
+        assert float(acc2.get_value()) == 101.0
+
+    def test_pkl_utils_zip(self):
+        from pytensor_tpu.misc.pkl_utils import dump, load
+
+        w = ptt.shared(np.arange(3.0), name="w")
+        z = (pt.dscalar("s") * w).sum()
+        buf = io.BytesIO()
+        dump(z, buf)
+        buf.seek(0)
+        z2 = load(buf)
+        assert float(z2.eval({"s": 2.0})) == 6.0
+
+
+class TestModels:
+    def test_radon_logp_parity(self):
+        from pytensor_tpu.models.radon import make_radon_logp_grad
+
+        f, theta0, n = make_radon_logp_grad(n_obs=50, n_counties=7)
+        fp, _, _ = make_radon_logp_grad(n_obs=50, n_counties=7, mode="FAST_COMPILE")
+        r_xla = [np.asarray(v) for v in f(theta0)]
+        r_py = [np.asarray(v) for v in fp(theta0)]
+        np.testing.assert_allclose(r_xla[0], r_py[0], rtol=1e-8)
+        np.testing.assert_allclose(r_xla[1], r_py[1], rtol=1e-7, atol=1e-9)
+
+    def test_radon_grad_matches_fd(self):
+        from pytensor_tpu.models.radon import make_radon_logp_grad
+
+        f, theta0, n = make_radon_logp_grad(n_obs=30, n_counties=5,
+                                            mode="FAST_COMPILE")
+        lp0, g = (np.asarray(v) for v in f(theta0))
+        eps = 1e-6
+        for k in (0, n - 1):
+            t = theta0.copy()
+            t[k] += eps
+            lp_p = np.asarray(f(t)[0])
+            t[k] -= 2 * eps
+            lp_m = np.asarray(f(t)[0])
+            np.testing.assert_allclose((lp_p - lp_m) / (2 * eps), g[k], rtol=1e-4)
+
+    def test_logreg_step_decreases_loss(self):
+        from pytensor_tpu.models.logreg import make_logreg_training_step
+
+        f, (X, y), (w, b) = make_logreg_training_step(n=256, d=16)
+        l1 = float(np.asarray(f(X, y)))
+        for _ in range(5):
+            l2 = float(np.asarray(f(X, y)))
+        assert l2 < l1
+
+    def test_gp_mll_runs(self):
+        from pytensor_tpu.models.gp import make_gp_marginal_likelihood
+
+        f, theta0 = make_gp_marginal_likelihood(n=32, mode="FAST_COMPILE")
+        res = [float(np.asarray(v)) for v in f(*theta0)]
+        assert all(np.isfinite(res))
+
+
+class TestParallel:
+    def test_dp_training_step_on_mesh(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from pytensor_tpu import parallel
+        from pytensor_tpu.models.logreg import make_logreg_training_step
+
+        n_dev = len(jax.devices())
+        mesh = parallel.make_mesh({"data": n_dev})
+        f, (X, y), _ = make_logreg_training_step(n=8 * n_dev, d=8, mesh=mesh)
+        Xs = parallel.device_put_sharded_value(X, mesh, parallel.spec("data", None))
+        ys = parallel.device_put_sharded_value(y, mesh, parallel.spec("data"))
+        l1 = float(np.asarray(f(Xs, ys)))
+        l2 = float(np.asarray(f(Xs, ys)))
+        assert l2 <= l1 + 1e-6
+
+
+class TestDebugModeCatches:
+    def test_bad_lowering_detected(self):
+        from pytensor_tpu.compile.debug import BadThunkOutput, DebugMode
+        from pytensor_tpu.graph.basic import Apply
+        from pytensor_tpu.graph.op import Op
+        from pytensor_tpu.link.xla.dispatch import xla_funcify
+        from pytensor_tpu.tensor.type import TensorType
+
+        class WrongOp(Op):
+            __props__ = ()
+
+            def make_node(self, x):
+                return Apply(self, [x], [x.type()])
+
+            def perform(self, node, inputs, output_storage):
+                output_storage[0][0] = inputs[0] * 2
+
+        @xla_funcify.register(WrongOp)
+        def _wrong(op, node=None, **kw):
+            return lambda x: x * 3  # deliberately inconsistent
+
+        x = pt.dvector("x")
+        out = WrongOp()(x)
+        f = ptt.function([x], out, mode=DebugMode())
+        with pytest.raises(BadThunkOutput):
+            f(np.ones(3))
