@@ -160,7 +160,10 @@ def scan(
     inner_outputs = state_outs + nit_outs + ([condition] if condition is not None else [])
 
     # implicit non-sequences: anything else the inner graph references that
-    # belongs to the OUTER graph (closure variables)
+    # belongs to the OUTER graph (closure variables).  Shared RNGs consumed
+    # by RandomVariable nodes become *untraced states* (reference "untraced
+    # sit-sot"): the key threads through the loop and the final key is
+    # returned as an update for the shared variable.
     implicit = []
     inner_set = set(inner_inputs)
     for v in graph_inputs(inner_outputs):
@@ -170,19 +173,56 @@ def scan(
             if strict:
                 raise ValueError(f"scan(strict=True): implicit input {v}")
             implicit.append(v)
-    # implicit vars are used directly (loop invariants from the outer graph):
-    # add fresh inner placeholders and substitute
-    if implicit:
+
+    from pytensor_tpu.compile.sharedvalue import SharedVariable
+    from pytensor_tpu.tensor.random.op import RandomVariable
+    from pytensor_tpu.tensor.random.type import RandomGeneratorType
+
+    rng_implicit = [
+        v for v in implicit
+        if isinstance(v, SharedVariable) and isinstance(v.type, RandomGeneratorType)
+    ]
+    implicit = [v for v in implicit if v not in rng_implicit]
+
+    untraced_inits = []
+    inner_untraced_in = []
+    inner_untraced_out = []
+    if rng_implicit or implicit:
         from pytensor_tpu.graph.basic import clone_get_equiv
 
         placeholders = [v.type() for v in implicit]
-        memo = dict(zip(implicit, placeholders))
-        memo = clone_get_equiv(inner_inputs + implicit, inner_outputs,
-                               copy_inputs=False, copy_orphans=False, memo=memo)
+        rng_placeholders = [v.type() for v in rng_implicit]
+        memo = dict(zip(implicit + rng_implicit, placeholders + rng_placeholders))
+        memo = clone_get_equiv(
+            inner_inputs + implicit + rng_implicit, inner_outputs,
+            copy_inputs=False, copy_orphans=False, memo=memo,
+        )
         inner_outputs = [memo[o] for o in inner_outputs]
         inner_inputs = [memo.get(i, i) for i in inner_inputs] + placeholders
         non_seq_vars = non_seq_vars + implicit
         inner_non_seqs = inner_non_seqs + placeholders
+        # for each rng placeholder, the next_rng output of its consumer
+        # RandomVariable node is the state transition
+        from pytensor_tpu.graph.traversal import applys_between
+
+        for sv, ph in zip(rng_implicit, rng_placeholders):
+            next_rng = None
+            for node in applys_between([], inner_outputs + [
+                o for n2 in applys_between([ph], inner_outputs)
+                for o in n2.outputs
+            ]):
+                if isinstance(node.op, RandomVariable) and node.inputs[0] is ph:
+                    next_rng = node.outputs[0]
+                    break
+            if next_rng is None:
+                # rng used by something other than an RV: treat as invariant
+                non_seq_vars.append(sv)
+                inner_non_seqs.append(ph)
+                inner_inputs.append(ph)
+                continue
+            untraced_inits.append(sv)
+            inner_untraced_in.append(ph)
+            inner_untraced_out.append(next_rng)
 
     # --- n_steps
     if n_steps is None:
@@ -200,12 +240,28 @@ def scan(
         n_nit_sot=len(nit_outs),
         n_non_seqs=len(non_seq_vars),
         as_while=condition is not None,
+        n_untraced=len(inner_untraced_in),
     )
+    # assemble in canonical order: seqs + taps + untraced + non_seqs
+    n_tapvars = sum(len(t) for t in taps_list)
+    base_inputs = inner_inputs[: info.n_seqs + n_tapvars]
+    nonseq_inputs = inner_inputs[info.n_seqs + n_tapvars:]
+    inner_inputs = base_inputs + inner_untraced_in + nonseq_inputs
+    # outputs: states + untraced + nit (+ cond)
+    cond_tail = inner_outputs[-1:] if condition is not None else []
+    body_outputs = inner_outputs[: len(inner_outputs) - len(cond_tail)]
+    state_part = body_outputs[: info.n_states]
+    nit_part = body_outputs[info.n_states:]
+    inner_outputs = state_part + inner_untraced_out + nit_part + cond_tail
     fgraph = FunctionGraph(inner_inputs, inner_outputs, clone=True)
     op = Scan(fgraph, info, name=name, truncate_gradient=truncate_gradient)
-    node_outs = op(n_steps_var, *seq_vars, *inits, *non_seq_vars)
+    node_outs = op(n_steps_var, *seq_vars, *inits, *untraced_inits, *non_seq_vars)
     if not isinstance(node_outs, list):
         node_outs = [node_outs]
+
+    updates = OrderedUpdates()
+    for u, sv in enumerate(untraced_inits):
+        updates[sv] = node_outs[info.n_states + u]
 
     # map back to the user's output order
     traces = {}
@@ -215,16 +271,17 @@ def scan(
         if st is not None:
             traces[i] = node_outs[ri]
             ri += 1
+    nit_base = info.n_states + info.n_untraced
     for i, st in enumerate(states):
         if st is None:
-            traces[i] = node_outs[len(taps_list) + ni]
+            traces[i] = node_outs[nit_base + ni]
             ni += 1
     results = [traces[i] for i in range(len(states))]
     if go_backwards:
         results = [flip(r, 0) for r in results]
     if len(results) == 1 and not return_list:
         results = results[0]
-    return results, OrderedUpdates()
+    return results, updates
 
 
 def _listify(x):

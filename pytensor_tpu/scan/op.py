@@ -50,6 +50,8 @@ class ScanInfo:
     n_nit_sot: int
     n_non_seqs: int
     as_while: bool = False
+    n_untraced: int = 0  # carried-state outputs without a stacked trace
+    #   (the reference's "untraced sit-sot"; used for RNG-state threading)
 
     @property
     def n_states(self):
@@ -64,8 +66,10 @@ class Scan(Op, HasInnerGraph):
         self.name = name
         self.truncate_gradient = truncate_gradient
         self._oracle_fn = None
-        expected_in = info.n_seqs + sum(len(t) for t in info.taps) + info.n_non_seqs
-        expected_out = info.n_states + info.n_nit_sot + (1 if info.as_while else 0)
+        expected_in = (info.n_seqs + sum(len(t) for t in info.taps)
+                       + info.n_untraced + info.n_non_seqs)
+        expected_out = (info.n_states + info.n_untraced + info.n_nit_sot
+                        + (1 if info.as_while else 0))
         if len(fgraph.inputs) != expected_in:
             raise ValueError(
                 f"Scan inner graph has {len(fgraph.inputs)} inputs, expected {expected_in}"
@@ -106,8 +110,13 @@ class Scan(Op, HasInnerGraph):
         k = 1 + self.info.n_seqs
         return inputs[k: k + self.info.n_states]
 
+    def outer_untraced_inits(self, inputs):
+        k = 1 + self.info.n_seqs + self.info.n_states
+        return inputs[k: k + self.info.n_untraced]
+
     def outer_non_seqs(self, inputs):
-        return inputs[1 + self.info.n_seqs + self.info.n_states:]
+        return inputs[1 + self.info.n_seqs + self.info.n_states
+                      + self.info.n_untraced:]
 
     def inner_seq_vars(self):
         return self.fgraph.inputs[: self.info.n_seqs]
@@ -120,17 +129,26 @@ class Scan(Op, HasInnerGraph):
             n += len(taps)
         return res
 
-    def inner_non_seq_vars(self):
+    def inner_untraced_vars(self):
         n = self.info.n_seqs + sum(len(t) for t in self.info.taps)
+        return self.fgraph.inputs[n: n + self.info.n_untraced]
+
+    def inner_non_seq_vars(self):
+        n = (self.info.n_seqs + sum(len(t) for t in self.info.taps)
+             + self.info.n_untraced)
         return self.fgraph.inputs[n:]
 
     def inner_state_outs(self):
         return self.fgraph.outputs[: self.info.n_states]
 
-    def inner_nit_sot_outs(self):
+    def inner_untraced_outs(self):
         return self.fgraph.outputs[
-            self.info.n_states: self.info.n_states + self.info.n_nit_sot
+            self.info.n_states: self.info.n_states + self.info.n_untraced
         ]
+
+    def inner_nit_sot_outs(self):
+        k = self.info.n_states + self.info.n_untraced
+        return self.fgraph.outputs[k: k + self.info.n_nit_sot]
 
     def inner_cond(self):
         return self.fgraph.outputs[-1] if self.info.as_while else None
@@ -156,6 +174,8 @@ class Scan(Op, HasInnerGraph):
             outputs.append(
                 TensorType(out_inner.type.dtype, (static_T, *out_inner.type.shape))()
             )
+        for out_inner in self.inner_untraced_outs():
+            outputs.append(out_inner.type())  # final value only, no trace
         for out_inner in self.inner_nit_sot_outs():
             outputs.append(
                 TensorType(out_inner.type.dtype, (static_T, *out_inner.type.shape))()
@@ -183,7 +203,9 @@ class Scan(Op, HasInnerGraph):
         n_steps = int(inputs[0])
         seqs = inputs[1: 1 + info.n_seqs]
         inits = inputs[1 + info.n_seqs: 1 + info.n_seqs + info.n_states]
-        non_seqs = inputs[1 + info.n_seqs + info.n_states:]
+        k0 = 1 + info.n_seqs + info.n_states
+        untraced = list(inputs[k0: k0 + info.n_untraced])
+        non_seqs = inputs[k0 + info.n_untraced:]
         fn = self._make_oracle()
 
         # state histories as lists (oldest first)
@@ -203,14 +225,17 @@ class Scan(Op, HasInnerGraph):
                 m = -min(taps)
                 for tap in taps:
                     args.append(hist[k][m + tap])
+            args.extend(untraced)
             args.extend(np.asarray(ns) for ns in non_seqs)
             res = fn(*args)
             for k in range(info.n_states):
                 state_traces[k].append(res[k])
                 hist[k].append(res[k])
                 hist[k].pop(0)
+            for u in range(info.n_untraced):
+                untraced[u] = res[info.n_states + u]
             for m_ in range(info.n_nit_sot):
-                nit_traces[m_].append(res[info.n_states + m_])
+                nit_traces[m_].append(res[info.n_states + info.n_untraced + m_])
             steps_done += 1
             if info.as_while and bool(res[-1]):
                 # ``until`` condition true: this step is included, then stop
@@ -226,8 +251,10 @@ class Scan(Op, HasInnerGraph):
             output_storage[k][0] = np.stack(state_traces[k]) if state_traces[k] \
                 else np.zeros((0, *node.outputs[k].type.shape[1:]),
                               dtype=node.outputs[k].type.numpy_dtype)
+        for u in range(info.n_untraced):
+            output_storage[info.n_states + u][0] = untraced[u]
         for m_ in range(info.n_nit_sot):
-            j = info.n_states + m_
+            j = info.n_states + info.n_untraced + m_
             output_storage[j][0] = np.stack(nit_traces[m_]) if nit_traces[m_] \
                 else np.zeros((0,), dtype=node.outputs[j].type.numpy_dtype)
 
@@ -263,6 +290,12 @@ class Scan(Op, HasInnerGraph):
         from pytensor_tpu.graph.basic import clone_get_equiv
 
         info = self.info
+        if info.n_untraced:
+            return [
+                grad_not_implemented(self, i, inp,
+                                     "grad through a scan with untraced (RNG) state")
+                for i, inp in enumerate(inputs)
+            ]
         if info.as_while:
             return [
                 grad_not_implemented(self, i, inp, "grad through while-scan")
@@ -458,7 +491,9 @@ def _register_xla():
             T = int(_concrete(n_steps, "scan n_steps"))
             seqs = [jnp.asarray(s)[:T] for s in outer[: info.n_seqs]]
             inits = list(outer[info.n_seqs: info.n_seqs + info.n_states])
-            non_seqs = list(outer[info.n_seqs + info.n_states:])
+            k0 = info.n_seqs + info.n_states
+            untraced0 = [jnp.asarray(u) for u in outer[k0: k0 + info.n_untraced]]
+            non_seqs = list(outer[k0 + info.n_untraced:])
 
             windows0 = []
             for k, init in enumerate(inits):
@@ -467,11 +502,12 @@ def _register_xla():
                 else:
                     windows0.append(jnp.asarray(init)[: ms[k]])
 
-            n_ys = info.n_states + info.n_nit_sot
+            n_state_like = info.n_states + info.n_untraced
 
             if not info.as_while:
                 def body(carry, xs):
-                    windows = list(carry)
+                    windows, untraced = carry
+                    windows = list(windows)
                     args = list(xs)
                     for k, taps in enumerate(taps_list):
                         for tap in taps:
@@ -479,6 +515,7 @@ def _register_xla():
                                 args.append(windows[k])
                             else:
                                 args.append(windows[k][ms[k] + tap])
+                    args.extend(untraced)
                     args.extend(non_seqs)
                     outs = inner(*args)
                     new_windows = []
@@ -491,11 +528,25 @@ def _register_xla():
                                     [windows[k][1:], outs[k][None]], axis=0
                                 )
                             )
-                    return tuple(new_windows), tuple(outs[:n_ys])
+                    new_untraced = tuple(
+                        outs[info.n_states + u] for u in range(info.n_untraced)
+                    )
+                    ys = tuple(outs[: info.n_states]) + tuple(
+                        outs[n_state_like: n_state_like + info.n_nit_sot]
+                    )
+                    return (tuple(new_windows), new_untraced), ys
 
-                _, ys = jax.lax.scan(body, tuple(windows0), tuple(seqs), length=T)
-                return ys if len(ys) > 1 else ys[0]
+                (final_w, final_u), ys = jax.lax.scan(
+                    body, (tuple(windows0), tuple(untraced0)), tuple(seqs), length=T
+                )
+                res = (tuple(ys[: info.n_states]) + tuple(final_u)
+                       + tuple(ys[info.n_states:]))
+                return res if len(res) > 1 else res[0]
 
+            if info.n_untraced:
+                raise NotImplementedError(
+                    "while-scan with untraced (RNG) state is not supported yet"
+                )
             # while-scan: carry a done flag + last emitted values; after the
             # condition fails, freeze state and repeat the last outputs
             # (matches the oracle's padding semantics)

@@ -166,3 +166,20 @@ def test_map_view():
     m, _ = ptt.map(lambda xt: xt ** 2, [x])
     f = ptt.function([x], m, mode="FAST_COMPILE")
     np.testing.assert_allclose(np.asarray(f(np.arange(3.0))), [0, 1, 4])
+
+
+def test_scan_with_rng_state_threading():
+    from pytensor_tpu.tensor.random import RandomStream
+
+    srng = RandomStream(seed=42)
+    walk, updates = ptt.scan(lambda prev: prev + srng.normal(0.0, 1.0),
+                             outputs_info=[pt.constant(0.0, dtype="float64")],
+                             n_steps=16)
+    assert len(updates) == 1
+    f = ptt.function([], walk, updates=updates)
+    a, b = np.asarray(f()), np.asarray(f())
+    assert a.shape == (16,)
+    assert not np.allclose(a, b)  # state advances between calls
+    # steps within one call are distinct draws
+    diffs = np.diff(a)
+    assert len(np.unique(np.round(diffs, 12))) > 1
