@@ -21,7 +21,8 @@ class RewriteInnerGraphs(GraphRewriter):
     name = "rewrite_inner_graphs"
 
     def __init__(self, include=("fast_run",),
-                 exclude=("fusion", "inplace", "scan", "inner_unsafe")):
+                 exclude=("fusion", "inplace", "scan", "inner_unsafe",
+                          "rewrite_inner_graphs")):  # no recursive self-application
         self.include = include
         self.exclude = exclude
 
