@@ -669,3 +669,9 @@ def choose(a, choices, mode="raise"):
     res = take_along_axis(ch, second(ch, cast(idx, ch.dtype)).astype("int64")
                           if idx.type.ndim < ch.type.ndim else idx, axis=0)
     return res[0]
+
+
+betainc_dda = scalar_elemwise(psm.betainc_dda)
+betainc_ddb = scalar_elemwise(psm.betainc_ddb)
+gammainc_ddk = scalar_elemwise(psm.gammainc_ddk)
+gammaincc_ddk = scalar_elemwise(psm.gammaincc_ddk)
