@@ -1,0 +1,171 @@
+"""Direct numerical parity against the actual reference implementation.
+
+Compiles the same float64 graphs with pymc-devs/pytensor (C-VM backend,
+/root/reference) and with pytensor_tpu, and compares values and
+gradients at 1e-6 or better — the BASELINE.md acceptance criterion.
+Skipped automatically when the reference tree is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference tree not available")
+    os.environ.setdefault("PYTENSOR_FLAGS", "mode=FAST_RUN,linker=cvm,floatX=float64")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        import pytensor
+        import pytensor.tensor as rt
+    except Exception as e:
+        pytest.skip(f"reference not importable: {e!r}")
+    return pytensor
+
+
+rng = np.random.default_rng(7)
+
+
+@pytest.mark.slow
+def test_elemwise_chain_and_grad(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = rng.random(1000) + 0.1
+
+    def build(mod_t, mod_f, grad_fn):
+        x = mod_t.dvector("x")
+        y = (mod_t.exp(-x) + mod_t.log(x) * mod_t.sigmoid(x)).sum()
+        g = grad_fn(y, x)
+        return mod_f([x], [y, g])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad)
+    f_us = build(pt, ptt.function, ptt.grad)
+    r1 = [np.asarray(a) for a in f_ref(v)]
+    r2 = [np.asarray(a) for a in f_us(v)]
+    np.testing.assert_allclose(r2[0], r1[0], rtol=1e-12)
+    np.testing.assert_allclose(r2[1], r1[1], rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_scan_ewma_grad(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = rng.random(64)
+
+    x_r = rt.dvector("x")
+    a_r = rt.dscalar("a")
+    ew_r, _ = pytensor.scan(lambda xt, prev, a: a * xt + (1 - a) * prev,
+                            sequences=[x_r],
+                            outputs_info=[rt.constant(np.float64(0.0))],
+                            non_sequences=[a_r])
+    g_r = pytensor.grad(ew_r.sum(), a_r)
+    f_ref = pytensor.function([x_r, a_r], [ew_r.sum(), g_r])
+
+    x_u = pt.dvector("x")
+    a_u = pt.dscalar("a")
+    ew_u, _ = ptt.scan(lambda xt, prev, a: a * xt + (1 - a) * prev,
+                       sequences=[x_u],
+                       outputs_info=[pt.constant(0.0, dtype="float64")],
+                       non_sequences=[a_u])
+    g_u = ptt.grad(ew_u.sum(), a_u)
+    f_us = ptt.function([x_u, a_u], [ew_u.sum(), g_u])
+
+    r1 = [float(np.asarray(z)) for z in f_ref(v, 0.3)]
+    r2 = [float(np.asarray(z)) for z in f_us(v, 0.3)]
+    np.testing.assert_allclose(r2, r1, rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_cholesky_solve_grads(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.tensor import linalg as ptl
+
+    A_ = rng.random((8, 8))
+    A_ = A_ @ A_.T + 8 * np.eye(8)
+    b_ = rng.random(8)
+
+    A_r = rt.dmatrix("A")
+    b_r = rt.dvector("b")
+    L_r = rt.linalg.cholesky(A_r)
+    x_r = rt.linalg.solve_triangular(L_r, b_r, lower=True)
+    cost_r = (x_r ** 2).sum() + 2.0 * rt.log(rt.diag(L_r)).sum()
+    g_r = pytensor.grad(cost_r, A_r)
+    f_ref = pytensor.function([A_r, b_r], [cost_r, g_r])
+
+    A_u = pt.dmatrix("A")
+    b_u = pt.dvector("b")
+    L_u = ptl.cholesky(A_u)
+    x_u = ptl.solve_triangular(L_u, b_u, lower=True)
+    cost_u = (x_u ** 2).sum() + 2.0 * pt.log(pt.diagonal(L_u)).sum()
+    g_u = ptt.grad(cost_u, A_u)
+    f_us = ptt.function([A_u, b_u], [cost_u, g_u])
+
+    r1 = [np.asarray(z) for z in f_ref(A_, b_)]
+    r2 = [np.asarray(z) for z in f_us(A_, b_)]
+    np.testing.assert_allclose(r2[0], r1[0], rtol=1e-10)
+    np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_radon_logp_dlogp_vs_reference(ref):
+    """The north-star workload at 1e-6: identical logp+dlogp graphs."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    from pytensor_tpu.models.radon import make_radon_logp_grad, radon_synthetic_data
+
+    N_OBS, N_C = 200, 20
+    county_v, floor_v, y_v = radon_synthetic_data(N_OBS, N_C, 0, "float64")
+    LOG_2PI = float(np.log(2 * np.pi))
+    n_params = N_C + 4
+
+    theta = rt.dvector("theta")
+    county = rt.as_tensor_variable(county_v)
+    floor = rt.as_tensor_variable(floor_v)
+    y = rt.as_tensor_variable(y_v)
+    a_raw = theta[:N_C]
+    mu_a = theta[N_C]
+    log_sigma_a = theta[N_C + 1]
+    b = theta[N_C + 2]
+    log_sigma_y = theta[N_C + 3]
+    sigma_a = rt.exp(log_sigma_a)
+    sigma_y = rt.exp(log_sigma_y)
+    a = mu_a + sigma_a * a_raw
+    mu_y = a[county] + b * floor
+
+    def nlp(x, mu, sigma):
+        return -0.5 * ((x - mu) / sigma) ** 2 - rt.log(sigma) - 0.5 * LOG_2PI
+
+    logp = (rt.sum(nlp(y, mu_y, sigma_y)) + rt.sum(nlp(a_raw, 0.0, 1.0))
+            + rt.sum(nlp(mu_a, 0.0, 10.0)) + rt.sum(nlp(b, 0.0, 10.0))
+            + rt.sum(nlp(log_sigma_a, 0.0, 2.0)) + rt.sum(nlp(log_sigma_y, 0.0, 2.0))
+            + log_sigma_a + log_sigma_y)
+    dlogp = pytensor.grad(logp, theta)
+    f_ref = pytensor.function([theta], [logp, dlogp])
+
+    f_us, theta0, _ = make_radon_logp_grad(N_OBS, N_C, dtype="float64")
+    t = theta0 + 0.1 * rng.standard_normal(n_params)
+    r_ref = [np.asarray(z) for z in f_ref(t)]
+    r_us = [np.asarray(z) for z in f_us(t)]
+    # reduction-order noise on a ~200-term f64 sum: 1e-7 beats the 1e-6 bar
+    np.testing.assert_allclose(r_us[0], r_ref[0], rtol=1e-7)
+    np.testing.assert_allclose(r_us[1], r_ref[1], rtol=1e-6, atol=1e-8)
