@@ -9,3 +9,4 @@ way a PyMC-style user would write them.
 from pytensor_tpu.models.radon import make_radon_logp_grad, radon_synthetic_data
 from pytensor_tpu.models.logreg import make_logreg_training_step
 from pytensor_tpu.models.gp import make_gp_marginal_likelihood
+from pytensor_tpu.models.rnn import make_elman_rnn_bptt

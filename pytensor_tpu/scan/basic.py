@@ -45,16 +45,36 @@ def scan(
     outputs_info = _listify(outputs_info)
     non_sequences = _listify(non_sequences)
 
-    # normalize sequences (dict form supports only taps=[0] for now)
+    # normalize sequences; dict form may carry taps, desugared into
+    # shifted plain sequences (seq tap k at step t reads s[t - lo + k])
     seq_vars = []
+    seq_len_bound = None  # symbolic usable length, if taps shrink it
+
+    def _note_len(expr):
+        nonlocal seq_len_bound
+        seq_len_bound = expr if seq_len_bound is None else seq_len_bound
+
+    from pytensor_tpu.tensor.shape import shape as _shape_of
+
     for s in sequences:
+        taps = [0]
         if isinstance(s, dict):
-            if s.get("taps", [0]) not in ([0], None):
-                raise NotImplementedError("sequence taps other than [0]")
+            taps = list(s.get("taps") or [0])
             s = s["input"]
-        seq_vars.append(as_tensor_variable(s))
-    if go_backwards:
-        seq_vars = [flip(s, 0) for s in seq_vars]
+        sv = as_tensor_variable(s)
+        if go_backwards:
+            sv = flip(sv, 0)
+        if taps == [0]:
+            seq_vars.append(sv)
+            continue
+        lo = min(min(taps), 0)
+        hi = max(max(taps), 0)
+        usable = _shape_of(sv)[0] - int(hi - lo)
+        _note_len(usable)
+        for tap in taps:
+            start = tap - lo
+            view = sv[start:] if hi - lo == 0 else sv[start: start + usable]
+            seq_vars.append(view)
 
     # normalize outputs_info
     states = []  # (initial, taps) or None for nit-sot
@@ -230,7 +250,8 @@ def scan(
             raise ValueError("scan needs sequences or n_steps")
         from pytensor_tpu.tensor.shape import shape
 
-        n_steps_var = shape(seq_vars[0])[0]
+        n_steps_var = seq_len_bound if seq_len_bound is not None \
+            else shape(seq_vars[0])[0]
     else:
         n_steps_var = as_tensor_variable(n_steps)
 

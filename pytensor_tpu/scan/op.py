@@ -301,13 +301,9 @@ class Scan(Op, HasInnerGraph):
                 grad_not_implemented(self, i, inp, "grad through while-scan")
                 for i, inp in enumerate(inputs)
             ]
-        if self.truncate_gradient != -1:
-            return [
-                grad_not_implemented(self, i, inp, "truncated BPTT not yet supported")
-                for i, inp in enumerate(inputs)
-            ]
 
         n_steps = inputs[0]
+        truncate = self.truncate_gradient
         seqs = list(self.outer_seqs(inputs))
         inits = list(self.outer_inits(inputs))
         non_seqs = list(self.outer_non_seqs(inputs))
@@ -427,6 +423,13 @@ class Scan(Op, HasInnerGraph):
                 for i, inp in enumerate(inputs)
             ]
 
+        if truncate != -1:
+            # truncated BPTT: only the last `truncate` reverse steps run;
+            # contributions older than the window are dropped (standard TBPTT)
+            rev_n_steps = tm.minimum(tm.cast(n_steps, "int64"),
+                                     tm.cast(truncate, "int64"))
+        else:
+            rev_n_steps = n_steps
         rev_results, _ = scan(
             reverse_step,
             sequences=rev_seqs,
@@ -436,7 +439,7 @@ class Scan(Op, HasInnerGraph):
                 + [None] * info.n_seqs
             ),
             non_sequences=non_seqs,
-            n_steps=n_steps,
+            n_steps=rev_n_steps,
             name=f"grad_of_{self.name or 'scan'}",
         )
         if not isinstance(rev_results, list):
@@ -448,7 +451,23 @@ class Scan(Op, HasInnerGraph):
         # assemble input grads
         grads = [DisconnectedType()()]  # n_steps
         for i, s in enumerate(seqs):
-            grads.append(flip(seq_grad_traces[i], 0))
+            g_seq = flip(seq_grad_traces[i], 0)
+            if truncate != -1:
+                # pad zeros for the steps outside the truncation window
+                from pytensor_tpu.tensor.basic import concatenate
+                from pytensor_tpu.tensor.shape import shape
+
+                pad_len = tm.maximum(
+                    tm.cast(n_steps, "int64") - tm.cast(truncate, "int64"),
+                    tm.cast(0, "int64"),
+                )
+                zshape = [pad_len] + [shape(g_seq)[d] for d in range(1, g_seq.type.ndim)]
+                from pytensor_tpu.tensor.basic import alloc as _alloc
+
+                zero_pad = _alloc(zeros_like(g_seq[0]), *zshape) if g_seq.type.ndim > 1 \
+                    else _alloc(tm.cast(0.0, g_seq.type.dtype), pad_len)
+                g_seq = concatenate([zero_pad, g_seq], axis=0)
+            grads.append(g_seq)
         for k, (init, taps) in enumerate(zip(inits, info.taps)):
             m = -min(taps)
             final_P = P_traces[k][-1]  # shape (m, *core); slot i = h^{-1-i}
