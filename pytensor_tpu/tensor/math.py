@@ -675,3 +675,6 @@ betainc_dda = scalar_elemwise(psm.betainc_dda)
 betainc_ddb = scalar_elemwise(psm.betainc_ddb)
 gammainc_ddk = scalar_elemwise(psm.gammainc_ddk)
 gammaincc_ddk = scalar_elemwise(psm.gammaincc_ddk)
+hyp2f1_dda = scalar_elemwise(psm.hyp2f1_dda)
+hyp2f1_ddb = scalar_elemwise(psm.hyp2f1_ddb)
+hyp2f1_ddc = scalar_elemwise(psm.hyp2f1_ddc)
