@@ -494,3 +494,199 @@ def _register_xla():
 
 
 _register_xla()
+
+
+class MulSS(Op):
+    """Elementwise sparse*sparse (intersection structure)."""
+
+    __props__ = ()
+
+    def make_node(self, x, y):
+        x = _as_sparse_variable(x)
+        y = _as_sparse_variable(y)
+        return Apply(self, [x, y], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y = inputs
+        output_storage[0][0] = x.multiply(y).asformat(node.outputs[0].type.format)
+
+    def L_op(self, inputs, outputs, output_grads):
+        (gz,) = output_grads
+        x, y = inputs
+        return [MulSS()(gz, y), MulSS()(gz, x)]
+
+
+mul_s_s = MulSS()
+
+
+class HStack(Op):
+    __props__ = ("format",)
+
+    def __init__(self, format="csr"):
+        self.format = format
+
+    def make_node(self, *mats):
+        mats = [_as_sparse_variable(m) for m in mats]
+        out = SparseTensorType(self.format, mats[0].type.dtype)()
+        return Apply(self, list(mats), [out])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        output_storage[0][0] = sp.hstack(inputs).asformat(self.format)
+
+
+class VStack(HStack):
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        output_storage[0][0] = sp.vstack(inputs).asformat(self.format)
+
+
+def hstack(mats, format="csr"):
+    return HStack(format)(*mats)
+
+
+def vstack(mats, format="csr"):
+    return VStack(format)(*mats)
+
+
+class GetItemScalar(Op):
+    __props__ = ()
+
+    def make_node(self, x, i, j):
+        x = _as_sparse_variable(x)
+        i = as_tensor_variable(i)
+        j = as_tensor_variable(j)
+        return Apply(self, [x, i, j], [TensorType(x.type.dtype, ())()])
+
+    def perform(self, node, inputs, output_storage):
+        x, i, j = inputs
+        output_storage[0][0] = np.asarray(x[int(i), int(j)],
+                                          dtype=node.outputs[0].type.numpy_dtype)
+
+
+get_item_scalar = GetItemScalar()
+
+
+class Usmm(Op):
+    """alpha * sparse @ dense + dense, fused (reference Usmm:2017)."""
+
+    __props__ = ()
+
+    def make_node(self, alpha, x, y, z):
+        alpha = as_tensor_variable(alpha)
+        x = _as_sparse_variable(x)
+        y = as_tensor_variable(y)
+        z = as_tensor_variable(z)
+        return Apply(self, [alpha, x, y, z], [z.type()])
+
+    def perform(self, node, inputs, output_storage):
+        alpha, x, y, z = inputs
+        output_storage[0][0] = np.asarray(alpha * (x @ y) + z,
+                                          dtype=node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+        from pytensor_tpu.tensor import math as tm
+
+        alpha, x, y, z = inputs
+        (gz,) = output_grads
+        gy = alpha * StructuredDot()(transpose(x), gz)
+        galpha = tm.sum(gz * StructuredDot()(x, y))
+        gx = StructuredDotGrad()(x, y, alpha * gz)
+        return [galpha, gx, gy, gz]
+
+
+usmm = Usmm()
+
+
+def _register_xla_extra():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsp
+
+    def _to_bcoo2(v):
+        if isinstance(v, jsp.BCOO):
+            return v
+        import scipy.sparse as sp
+
+        if sp.issparse(v):
+            coo = v.tocoo()
+            idx = jnp.stack([jnp.asarray(coo.row, dtype="int32"),
+                             jnp.asarray(coo.col, dtype="int32")], axis=1)
+            return jsp.BCOO((jnp.asarray(coo.data), idx), shape=coo.shape)
+        return v
+
+    @xla_funcify.register(MulSS)
+    def _mulss(op, node=None, **kw):
+        def mulss(x, y):
+            return jsp.BCOO.fromdense(_to_bcoo2(x).todense()
+                                      * _to_bcoo2(y).todense())
+
+        return mulss
+
+    @xla_funcify.register(Usmm)
+    def _usmm(op, node=None, **kw):
+        def usmm_f(alpha, x, y, z):
+            return alpha * (_to_bcoo2(x) @ y) + z
+
+        return usmm_f
+
+    @xla_funcify.register(GetItemScalar)
+    def _gis(op, node=None, **kw):
+        def gis(x, i, j):
+            return _to_bcoo2(x).todense()[i, j]
+
+        return gis
+
+    @xla_funcify.register(HStack)
+    def _hs(op, node=None, **kw):
+        def hs(*mats):
+            return jsp.BCOO.fromdense(
+                jnp.concatenate([_to_bcoo2(m).todense() for m in mats], axis=1)
+            )
+
+        return hs
+
+    @xla_funcify.register(VStack)
+    def _vs(op, node=None, **kw):
+        def vs(*mats):
+            return jsp.BCOO.fromdense(
+                jnp.concatenate([_to_bcoo2(m).todense() for m in mats], axis=0)
+            )
+
+        return vs
+
+
+_register_xla_extra()
+
+
+def _register_sparse_rewrites():
+    """Reference sparse/rewriting.py analog: fuse alpha*dot(sp,d)+d -> Usmm."""
+    from pytensor_tpu.compile.mode import register_specialize
+    from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+    from pytensor_tpu.tensor.elemwise import Elemwise
+
+    @node_rewriter([Elemwise])
+    def local_usmm(fgraph, node):
+        if not (isinstance(node.op, Elemwise)
+                and node.op.scalar_op.name == "add" and len(node.inputs) == 2):
+            return False
+        out = node.outputs[0]
+        for d, z in (node.inputs, reversed(node.inputs)):
+            if d.owner is not None and isinstance(d.owner.op, StructuredDot) \
+                    and len(fgraph.clients.get(d, ())) == 1:
+                x, y = d.owner.inputs
+                one = as_tensor_variable(np.asarray(1.0, dtype=out.type.dtype))
+                res = usmm(one, x, y, z)
+                if out.type.is_super(res.type):
+                    copy_stack_trace(out, res)
+                    return [res]
+        return False
+
+    register_specialize(local_usmm, name="local_usmm")
+
+
+_register_sparse_rewrites()

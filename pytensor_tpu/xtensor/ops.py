@@ -323,3 +323,102 @@ def _register_xla():
 
 
 _register_xla()
+
+
+class XConcat(XOp):
+    """Concatenate along a named dim."""
+
+    __props__ = ("dim",)
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def make_node(self, *xs):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        xs = [as_xtensor(x) for x in xs]
+        dims = xs[0].type.dims
+        for x in xs[1:]:
+            if x.type.dims != dims:
+                raise ValueError("concat operands must share dims")
+        axis = dims.index(self.dim)
+        sizes = [x.type.shape[axis] for x in xs]
+        total = None if any(s is None for s in sizes) else sum(sizes)
+        shape = tuple(total if d == axis else xs[0].type.shape[d]
+                      for d in range(len(dims)))
+        out = XTensorType(xs[0].type.dtype, dims, shape)()
+        return Apply(self, list(xs), [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.basic import concatenate
+
+        axis = node.inputs[0].type.dims.index(self.dim)
+        return [concatenate(list(tensor_inputs), axis=axis)]
+
+
+def concat(xs, dim):
+    return XConcat(dim)(*xs)
+
+
+class XExpandDims(XOp):
+    __props__ = ("dim",)
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        if self.dim in x.type.dims:
+            raise ValueError(f"dim {self.dim} already present")
+        out = XTensorType(x.type.dtype, (self.dim, *x.type.dims),
+                          (1, *x.type.shape))()
+        return Apply(self, [x], [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.basic import shape_padleft
+
+        return [shape_padleft(tensor_inputs[0])]
+
+
+def expand_dims(x, dim):
+    return XExpandDims(dim)(x)
+
+
+class XSqueeze(XOp):
+    __props__ = ("dim",)
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        axis = x.type.dims.index(self.dim)
+        if x.type.shape[axis] not in (1, None):
+            raise ValueError(f"cannot squeeze dim {self.dim} of size "
+                             f"{x.type.shape[axis]}")
+        dims = tuple(d for d in x.type.dims if d != self.dim)
+        shape = tuple(s for d, s in zip(x.type.dims, x.type.shape)
+                      if d != self.dim)
+        out = XTensorType(x.type.dtype, dims, shape)()
+        return Apply(self, [x], [out])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.extra_ops import squeeze
+        from pytensor_tpu.tensor.shape import specify_shape
+
+        x = node.inputs[0]
+        axis = x.type.dims.index(self.dim)
+        t = tensor_inputs[0]
+        if x.type.shape[axis] is None:
+            shp = list(t.type.shape)
+            shp[axis] = 1
+            t = specify_shape(t, shp)
+        return [squeeze(t, axis)]
+
+
+def squeeze(x, dim):
+    return XSqueeze(dim)(x)
