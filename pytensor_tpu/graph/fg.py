@@ -99,31 +99,34 @@ class FunctionGraph:
     def import_node(self, node: Apply, check: bool = True, reason=None, import_missing=False):
         if node in self.apply_nodes:
             return
-        # verify all leaf deps present (or importable)
-        new_nodes = []
-        stack = [node]
-        seen = set()
+        # local postorder over the NEW nodes only (walk stops at variables
+        # already in the graph) — keeps replace() linear in the new subgraph
+        # rather than in the whole graph
+        order: list[Apply] = []
+        visited: set = set()
+        stack: list[tuple[str, Apply]] = [("pre", node)]
         while stack:
-            n = stack.pop()
-            if n in self.apply_nodes or id(n) in seen:
-                continue
-            seen.add(id(n))
-            new_nodes.append(n)
-            for i in n.inputs:
-                if i not in self.variables:
+            phase, n = stack.pop()
+            if phase == "pre":
+                if n in self.apply_nodes or id(n) in visited:
+                    continue
+                visited.add(id(n))
+                stack.append(("post", n))
+                for i in reversed(n.inputs):
+                    if i in self.variables:
+                        continue
                     if i.owner is not None:
-                        stack.append(i.owner)
-                    elif isinstance(i, AtomicVariable):
-                        pass
-                    elif import_missing:
+                        stack.append(("pre", i.owner))
+                    elif isinstance(i, AtomicVariable) or import_missing:
                         pass
                     elif check:
                         raise MissingInputError(
-                            f"Cannot import {node}: input {i} is not in the graph "
+                            f"Cannot import {n}: input {i} is not in the graph "
                             f"and has no owner."
                         )
-        # import in topo order (reverse of discovery is not guaranteed; sort)
-        for n in io_toposort(self.variables, [o for nn in new_nodes for o in nn.outputs]):
+            else:
+                order.append(n)
+        for n in order:
             if n in self.apply_nodes:
                 continue
             self.apply_nodes.add(n)
