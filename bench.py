@@ -150,7 +150,12 @@ def bench_reference():
 
 
 def main():
-    ours_rate, ours_lp = bench_ours()
+    # the axon tunnel occasionally stalls on a first dispatch; retry once
+    try:
+        ours_rate, ours_lp = bench_ours()
+    except Exception as e:
+        print(f"bench_ours retry after: {e!r}", file=sys.stderr)
+        ours_rate, ours_lp = bench_ours()
     try:
         ref_rate, ref_lp = bench_reference()
     except Exception as e:
