@@ -58,6 +58,8 @@ def function(
     wrapped_inputs: list[SymbolicInput] = []
     for i in inputs:
         if isinstance(i, SymbolicInput):
+            if isinstance(i.variable, SharedVariable) and i.update is None:
+                raise TypeError("In(shared) without update is implicit already")
             wrapped_inputs.append(i)
         elif isinstance(i, SharedVariable):
             raise TypeError(
@@ -90,7 +92,14 @@ def function(
             update_pairs.append((k, k.type.filter_variable(v)))
     for wi in wrapped_inputs:
         if wi.update is not None:
-            raise NotImplementedError("In(update=...) — pass updates= instead")
+            if isinstance(wi.variable, SharedVariable):
+                update_pairs.append(
+                    (wi.variable, wi.variable.type.filter_variable(wi.update))
+                )
+            else:
+                raise NotImplementedError(
+                    "In(update=...) on non-shared inputs — pass updates= instead"
+                )
 
     # --- givens substitution on all exprs
     givens_items = []

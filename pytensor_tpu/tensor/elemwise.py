@@ -179,23 +179,32 @@ class Elemwise(Op):
         out_ndim = node.outputs[0].type.ndim
         result = []
         for d in range(out_ndim):
-            dim = None
             static = node.outputs[0].type.shape[d]
             if static is not None:
                 result.append(constant(np.int64(static)))
                 continue
-            # pick the first input with a non-broadcast dim here
+            # a None input dim may still be 1 at runtime (and broadcast), so
+            # the only sound symbolic value is the max over all candidates
             candidates = []
             for inp, ishp in zip(node.inputs, input_shapes):
                 offset = out_ndim - inp.type.ndim
                 if d >= offset:
                     idim = d - offset
-                    if inp.type.shape[idim] != 1:
+                    if inp.type.shape[idim] is None:
                         candidates.append(ishp[idim])
-            if candidates:
+                    elif inp.type.shape[idim] != 1:
+                        # statically known non-1: this IS the output dim
+                        candidates = [ishp[idim]]
+                        break
+            if not candidates:
+                result.append(constant(np.int64(1)))
+            elif len(candidates) == 1:
                 result.append(candidates[0])
             else:
-                result.append(constant(np.int64(1)))
+                acc = candidates[0]
+                for c in candidates[1:]:
+                    acc = tm.maximum(acc, c)
+                result.append(acc)
         return [tuple(result)]
 
     def L_op(self, inputs, outputs, output_grads):

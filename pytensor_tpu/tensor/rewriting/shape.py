@@ -110,3 +110,46 @@ def local_reshape_reshape(fgraph, node):
 
 
 register_canonicalize(local_reshape_reshape, name="local_reshape_reshape")
+
+
+@node_rewriter([Shape_i])
+def local_shape_i_through_op(fgraph, node):
+    """Shape_i(op(...), i) -> the op's symbolic infer_shape entry.
+
+    The local equivalent of the reference ShapeFeature propagation
+    (tensor/rewriting/shape.py:70): shape queries bypass the computation
+    (e.g. Shape_i(dot(a, b), 0) becomes Shape_i(a, 0)), which keeps shape
+    arguments concrete under jit and removes dead compute.
+    """
+    x = node.inputs[0]
+    if x.owner is None:
+        return False
+    op = x.owner.op
+    try:
+        input_shapes = [
+            tuple(shape_i(inp, d) for d in range(inp.type.ndim))
+            if hasattr(inp.type, "ndim") and hasattr(inp.type, "dtype")
+            else None
+            for inp in x.owner.inputs
+        ]
+        out_shapes = op.infer_shape(fgraph, x.owner, input_shapes)
+    except (NotImplementedError, Exception):
+        return False
+    idx = x.index or 0
+    if out_shapes is None or idx >= len(out_shapes):
+        return False
+    entry = out_shapes[idx][node.op.i]
+    from pytensor_tpu.tensor.basic import as_tensor_variable, cast
+
+    entry = as_tensor_variable(entry)
+    if entry.type.dtype != "int64":
+        entry = cast(entry, "int64")
+    out = node.outputs[0]
+    if not out.type.is_super(entry.type):
+        return False
+    # avoid replacing with something that still contains this very node
+    copy_stack_trace(out, entry)
+    return [entry]
+
+
+register_canonicalize(local_shape_i_through_op, name="local_shape_i_through_op")
