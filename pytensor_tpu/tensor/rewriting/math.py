@@ -320,3 +320,140 @@ def local_sum_of_neg(fgraph, node):
 
 
 register_specialize(local_sum_of_neg, name="local_sum_of_neg")
+
+
+@node_rewriter([Elemwise])
+def local_useless_eq_neq(fgraph, node):
+    """eq(x, x) -> ones; neq(x, x) -> zeros."""
+    name = node.op.scalar_op.name
+    if name not in ("eq", "neq") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    from pytensor_tpu.tensor.basic import cast, ones_like, zeros_like
+
+    res = ones_like(x, dtype="bool") if name == "eq" else zeros_like(x, dtype="bool")
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_useless_eq_neq, name="local_useless_eq_neq")
+
+
+@node_rewriter([Elemwise])
+def local_sqrt_sqr(fgraph, node):
+    """sqrt(sqr(x)) -> abs(x)."""
+    if not _is_ew(node, "sqrt"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "sqr"):
+        res = _same_type_out(node, tm.abs(inner.inputs[0]))
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_sqrt_sqr, name="local_sqrt_sqr")
+
+
+@node_rewriter([CAReduce])
+def local_sum_sum(fgraph, node):
+    """sum(sum(x, a), b) -> one sum over the combined axes."""
+    if node.op.scalar_op.name != "add":
+        return False
+    inner_var = node.inputs[0]
+    if inner_var.owner is None or not isinstance(inner_var.owner.op, CAReduce):
+        return False
+    if inner_var.owner.op.scalar_op.name != "add":
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    x = inner_var.owner.inputs[0]
+    inner_axes = inner_var.owner.op.axis
+    outer_axes = node.op.axis
+    if inner_axes is None or outer_axes is None:
+        combined = None
+    else:
+        # outer axes index the reduced tensor: map back to x's axes
+        kept = [d for d in range(x.type.ndim) if d not in inner_axes]
+        combined = tuple(sorted(set(inner_axes) | {kept[a] for a in outer_axes}))
+    from pytensor_tpu.tensor.elemwise import Sum
+
+    res = Sum(combined, dtype=node.op.dtype)(x)
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_sum_sum, name="local_sum_sum")
+
+
+@node_rewriter([CAReduce])
+def local_sum_mul_by_scalar(fgraph, node):
+    """sum(x * c) -> c * sum(x) when c is 0-d (fewer flops on big x)."""
+    if node.op.scalar_op.name != "add" or node.op.axis is not None:
+        return False
+    inner_var = node.inputs[0]
+    if inner_var.owner is None or not _is_ew(inner_var.owner, "mul"):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    scalars = []
+    tensors = []
+    for i in inner_var.owner.inputs:
+        if i.type.ndim == 0:
+            scalars.append(i)
+        else:
+            tensors.append(i)
+    if not scalars or not tensors:
+        return False
+    from pytensor_tpu.tensor.elemwise import Sum
+
+    base = tensors[0] if len(tensors) == 1 else tm.mul(*tensors)
+    res = tm.mul(*scalars) * Sum(None, dtype=node.op.dtype)(base)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        from pytensor_tpu.tensor.basic import cast
+
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_sum_mul_by_scalar, name="local_sum_mul_by_scalar")
+
+
+@node_rewriter([Elemwise])
+def local_log_sum_exp(fgraph, node):
+    """log(sum(exp(x), axis)) -> stable logsumexp graph."""
+    if not _is_ew(node, "log"):
+        return False
+    s = node.inputs[0].owner
+    if s is None or not isinstance(s.op, CAReduce) or s.op.scalar_op.name != "add":
+        return False
+    if len(fgraph.clients.get(node.inputs[0], ())) != 1:
+        return False
+    e = s.inputs[0].owner
+    if e is None or not _is_ew(e, "exp"):
+        return False
+    if len(fgraph.clients.get(s.inputs[0], ())) != 1:
+        return False
+    x = e.inputs[0]
+    axis = s.op.axis
+    res = tm.logsumexp(x, axis=axis)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        from pytensor_tpu.tensor.basic import cast
+
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_stabilize(local_log_sum_exp, name="local_log_sum_exp")
