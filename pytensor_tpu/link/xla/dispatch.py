@@ -423,7 +423,27 @@ def register_all():
         set_mode = op.set_instead_of_inc
 
         def adv_incsub(x, y, *ind):
-            ref = jnp.asarray(x).at[_adv_index(idx_list, ind)]
+            idx = _adv_index(idx_list, ind)
+            if any(e is None for e in idx):
+                # .at[] rejects None: drop newaxes and squeeze y to match
+                squeeze_axes = []
+                pos = 0
+                for e in idx:
+                    if e is None:
+                        squeeze_axes.append(pos)
+                        pos += 1
+                    elif isinstance(e, slice):
+                        pos += 1
+                    elif isinstance(e, (int, np.integer)):
+                        pass
+                    else:
+                        pos += jnp.ndim(e)
+                y2 = jnp.asarray(y)
+                for ax in reversed(squeeze_axes):
+                    y2 = jnp.squeeze(y2, axis=ax)
+                y = y2
+                idx = tuple(e for e in idx if e is not None)
+            ref = jnp.asarray(x).at[idx]
             return ref.set(y) if set_mode else ref.add(y)
 
         return adv_incsub

@@ -110,3 +110,37 @@ def make_radon_graphs(n_obs=919, n_counties=85, dtype="float64", seed=0):
     )
     dlogp = ptt.grad(logp, theta)
     return [theta], [logp, dlogp], n_params
+
+
+def make_radon_logp_batched(n_obs=919, n_counties=85, dtype="float64", seed=0):
+    """Multi-chain variant: theta has shape (chains, n_params), logp is
+    per-chain (chains,).  NUTS-style samplers run many chains in parallel;
+    on TPU the whole batch rides one executable."""
+    county_v, floor_v, y_v = radon_synthetic_data(n_obs, n_counties, seed, dtype)
+    n_params = n_counties + 4
+    theta = pt.tensor("theta", dtype=dtype, shape=(None, n_params))
+    county = pt.as_tensor_variable(county_v)
+    floor = pt.as_tensor_variable(floor_v)
+    y = pt.as_tensor_variable(y_v)
+
+    a_raw = theta[:, :n_counties]                       # (chains, n_c)
+    mu_a = theta[:, n_counties]                         # (chains,)
+    log_sigma_a = theta[:, n_counties + 1]
+    b = theta[:, n_counties + 2]
+    log_sigma_y = theta[:, n_counties + 3]
+    sigma_a = pt.exp(log_sigma_a)
+    sigma_y = pt.exp(log_sigma_y)
+    a = mu_a[:, None] + sigma_a[:, None] * a_raw        # (chains, n_c)
+    mu_y = a[:, county] + b[:, None] * floor[None, :]   # (chains, n_obs)
+
+    logp = (
+        pt.sum(_normal_logp(y[None, :], mu_y, sigma_y[:, None]), axis=1)
+        + pt.sum(_normal_logp(a_raw, 0.0, 1.0), axis=1)
+        + _normal_logp(mu_a, 0.0, 10.0)
+        + _normal_logp(b, 0.0, 10.0)
+        + _normal_logp(log_sigma_a, 0.0, 2.0)
+        + _normal_logp(log_sigma_y, 0.0, 2.0)
+        + log_sigma_a + log_sigma_y
+    )
+    dlogp = ptt.grad(logp.sum(), theta)  # chains decouple: per-chain grads
+    return theta, logp, dlogp, n_params

@@ -386,16 +386,26 @@ class AdvancedSubtensor(Op):
         return Apply(self, [x, *indices], [TensorType(x.type.dtype, out_shape)()])
 
     def _static_shape(self, x, indices):
-        # emulate numpy advanced indexing shape rules on static dims
+        # emulate numpy advanced-indexing shape rules: unknown dims get
+        # unique marker sizes so known/1 dims survive in the output type
         try:
-            dummy_shape = tuple(1 if s is None else s for s in x.type.shape)
-            dummy = np.empty(dummy_shape, dtype=bool)
+            markers = iter(range(7919, 7919 + 64))
+            marker_set = set()
+
+            def dim(sz):
+                if sz is not None:
+                    return sz
+                m = next(markers)
+                marker_set.add(m)
+                return m
+
+            dummy = np.empty(tuple(dim(s) for s in x.type.shape), dtype=bool)
             idx = []
             it = iter(indices)
             for e in self.idx_list:
                 if e == DYN:
                     iv = next(it)
-                    ishape = tuple(1 if s is None else s for s in iv.type.shape)
+                    ishape = tuple(dim(s) for s in iv.type.shape)
                     idx.append(np.zeros(ishape, dtype="int64"))
                 elif isinstance(e, (int, np.integer)):
                     idx.append(0)
@@ -409,8 +419,7 @@ class AdvancedSubtensor(Op):
                         None if c == DYN else c,
                     ))
             out = dummy[tuple(idx)]
-            # dims coming from unknown dims are unknown
-            return tuple(None for _ in out.shape)
+            return tuple(None if d in marker_set else d for d in out.shape)
         except Exception:
             return None
 
@@ -470,10 +479,37 @@ class AdvancedIncSubtensor(Op):
         out = TensorType(x.type.dtype, x.type.shape)()
         return Apply(self, [x, y, *indices], [out])
 
+    def _strip_newaxes(self, idx, y):
+        """Drop None entries from the index and squeeze the matching
+        inserted axes out of y (np.add.at / .at[] reject None)."""
+        if not any(e is None for e in idx):
+            return idx, y
+        squeeze_axes = []
+        pos = 0
+        for e in idx:
+            if e is None:
+                squeeze_axes.append(pos)
+                pos += 1
+            elif isinstance(e, slice):
+                pos += 1
+            elif isinstance(e, (int, np.integer)):
+                pass
+            else:  # advanced array: contributes dims at the front in the
+                # mixed case; conservative: keep position count
+                pos += np.ndim(e)
+        y2 = y
+        for ax in reversed(squeeze_axes):
+            if np.ndim(y2) > 0 and np.shape(y2)[ax] == 1:
+                y2 = np.squeeze(y2, axis=ax) if isinstance(y2, np.ndarray) \
+                    else y2.squeeze(ax)
+        idx2 = tuple(e for e in idx if e is not None)
+        return idx2, y2
+
     def perform(self, node, inputs, output_storage):
         x, y, *ind = inputs
         helper = AdvancedSubtensor(self.idx_list)
         idx = helper._runtime_index(ind)
+        idx, y = self._strip_newaxes(idx, y)
         out = np.array(x, copy=True)
         if self.set_instead_of_inc or self.ignore_duplicates:
             if self.set_instead_of_inc:

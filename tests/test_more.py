@@ -232,3 +232,22 @@ class TestDebugModeCatches:
         f = ptt.function([x], out, mode=DebugMode())
         with pytest.raises(BadThunkOutput):
             f(np.ones(3))
+
+
+class TestBatchedRadon:
+    def test_matches_per_chain(self):
+        from pytensor_tpu.models.radon import (
+            make_radon_logp_batched,
+            make_radon_logp_grad,
+        )
+
+        theta_b, logp_b, dlogp_b, n = make_radon_logp_batched(n_obs=40, n_counties=6)
+        fb = ptt.function([theta_b], [logp_b, dlogp_b], mode="FAST_COMPILE")
+        fs, theta0, _ = make_radon_logp_grad(n_obs=40, n_counties=6,
+                                             mode="FAST_COMPILE")
+        T = theta0 + 0.1 * np.random.default_rng(0).standard_normal((3, n))
+        lb, gb = (np.asarray(v) for v in fb(T))
+        for k in range(3):
+            ls, gs = (np.asarray(v) for v in fs(T[k]))
+            np.testing.assert_allclose(lb[k], ls, rtol=1e-10)
+            np.testing.assert_allclose(gb[k], gs, rtol=1e-9)

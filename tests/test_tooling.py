@@ -1,0 +1,132 @@
+"""Tooling: hostvm, printing, d3viz, profiling, config, bfloat16, edge cases."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+
+
+def test_hostvm_builds_and_runs():
+    from pytensor_tpu.link.c.build import get_hostvm
+
+    m = get_hostvm()
+    if m is None:
+        pytest.skip("no C compiler available")
+    cell = [41]
+    calls = []
+
+    def thunk():
+        calls.append(1)
+
+    m.run_loop((thunk, thunk), ((), (cell,)))
+    assert len(calls) == 2
+    assert cell[0] is None  # dead-storage clearing
+
+
+def test_hostvm_error_attribution():
+    from pytensor_tpu.link.c.build import get_hostvm
+
+    m = get_hostvm()
+    if m is None:
+        pytest.skip("no C compiler available")
+
+    def ok():
+        pass
+
+    def boom():
+        raise RuntimeError("kaboom")
+
+    with pytest.raises(RuntimeError) as ei:
+        m.run_loop((ok, boom), ((), ()))
+    assert getattr(ei.value, "__hostvm_node_index__", None) == 1
+
+
+def test_debugprint_and_d3viz(tmp_path):
+    from pytensor_tpu.d3viz import d3write
+
+    x = pt.dvector("x")
+    y = pt.exp(x) + 1
+    s = ptt.dprint(y, file="str")
+    assert "Elemwise" in s or "exp" in s
+    out = tmp_path / "g.html"
+    d3write(y, out)
+    assert out.stat().st_size > 500
+
+
+def test_profile_stats():
+    x = pt.dvector("x")
+    f = ptt.function([x], pt.exp(x).sum(), mode="FAST_COMPILE", profile=True)
+    f(np.arange(4.0))
+    f(np.arange(4.0))
+    s = f.profile_stats.summary(file=io.StringIO())
+    assert "per-op" in s or "calls" in s
+
+
+def test_config_change_flags():
+    from pytensor_tpu.config import config
+
+    old = config.floatX
+    with config.change_flags(floatX="float64"):
+        assert config.floatX == "float64"
+    assert config.floatX == old
+
+
+def test_bfloat16_elemwise():
+    import ml_dtypes
+
+    x = pt.tensor("x", dtype="bfloat16", shape=(None,))
+    y = x * 2 + 1
+    f = ptt.function([x], y)
+    v = np.asarray([1.0, 2.0], dtype=ml_dtypes.bfloat16)
+    r = np.asarray(f(v))
+    assert str(r.dtype) == "bfloat16"
+    np.testing.assert_allclose(np.asarray(r, dtype="float32"), [3.0, 5.0])
+
+
+def test_scan_empty_sequence():
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                      outputs_info=[pt.constant(0.0, dtype="float64")])
+    f = ptt.function([x], out, mode="FAST_COMPILE")
+    assert np.asarray(f(np.zeros(0))).shape == (0,)
+
+
+def test_cache_cli_list(capsys):
+    from pytensor_tpu.bin.cache import main
+
+    main(["list"])
+    out = capsys.readouterr().out
+    assert "hostvm" in out
+
+
+def test_unify_match_pattern():
+    from pytensor_tpu.graph.rewriting.unify import OpPattern, match_pattern
+    from pytensor_tpu.tensor.elemwise import Elemwise
+
+    x = pt.dvector("x")
+    y = pt.dvector("y")
+    expr = -(x * y)
+    neg_op = expr.owner.op
+    mul_op = expr.owner.inputs[0].owner.op
+    b = match_pattern(expr, (neg_op, (mul_op, "a", "b")))
+    assert b is not None and b["a"] is x and b["b"] is y
+    # commutative backtracking: match constant position regardless of order
+    expr2 = x * 2.0
+    b2 = match_pattern(expr2, (mul_op, 2.0, "t"))
+    assert b2 is not None and b2["t"] is x
+
+
+def test_destroyhandler_metadata():
+    from pytensor_tpu.graph.destroyhandler import donation_report
+    from pytensor_tpu.graph.fg import FunctionGraph
+
+    x = pt.dvector("x")
+    y = pt.dvector("y")
+    out = x + y
+    fg = FunctionGraph([x, y], [out], clone=False)
+    rep = donation_report(fg)
+    assert rep[0] and rep[1]
