@@ -72,3 +72,120 @@ optdb.register(
     "fast_run", "scan",
     position=1.605,  # reference scan_remove_unused_top position
 )
+
+
+@node_rewriter([Scan])
+def scan_sit_sot_to_untraced(fgraph, node):
+    """Convert sit-sot states whose trace is only read at [-1] into
+    untraced states (reference scan/rewriting/trace.py:902): the loop then
+    carries a single value instead of stacking an (n_steps, ...) buffer —
+    the ScanSaveMem memory/bandwidth win.
+    """
+    import numpy as np
+
+    from pytensor_tpu.tensor.subtensor import Subtensor
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+
+    def only_last_element_clients(out):
+        clients = fgraph.clients.get(out, ())
+        if not clients:
+            return False  # unused traces are someone else's rewrite
+        for c, idx in clients:
+            if c == "output":
+                return False
+            if not isinstance(c.op, Subtensor):
+                return False
+            il = c.op.idx_list
+            if len(il) != 1 or not isinstance(il[0], (int, np.integer)) \
+                    or int(il[0]) != -1:
+                return False
+        return True
+
+    convert = []
+    for k, taps in enumerate(info.taps):
+        if taps == (-1,) and only_last_element_clients(node.outputs[k]):
+            convert.append(k)
+    if not convert:
+        return False
+
+    keep = [k for k in range(info.n_states) if k not in convert]
+    # reorder inner inputs: seqs + kept taps + (converted taps + old untraced)
+    n_seqs = info.n_seqs
+    tap_groups = []
+    pos = n_seqs
+    for taps in info.taps:
+        tap_groups.append(op.fgraph.inputs[pos: pos + len(taps)])
+        pos += len(taps)
+    old_untraced_in = op.inner_untraced_vars()
+    non_seq_in = op.inner_non_seq_vars()
+    new_inner_inputs = (
+        list(op.fgraph.inputs[:n_seqs])
+        + [v for k in keep for v in tap_groups[k]]
+        + [tap_groups[k][0] for k in convert]
+        + list(old_untraced_in)
+        + list(non_seq_in)
+    )
+    state_outs = op.inner_state_outs()
+    new_inner_outputs = (
+        [state_outs[k] for k in keep]
+        + [state_outs[k] for k in convert]
+        + list(op.inner_untraced_outs())
+        + list(op.inner_nit_sot_outs())
+    )
+
+    from pytensor_tpu.graph.fg import FunctionGraph
+
+    new_info = ScanInfo(
+        n_seqs=n_seqs,
+        taps=tuple(info.taps[k] for k in keep),
+        n_nit_sot=info.n_nit_sot,
+        n_non_seqs=info.n_non_seqs,
+        as_while=False,
+        n_untraced=info.n_untraced + len(convert),
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_op = Scan(new_fg, new_info, name=op.name,
+                  truncate_gradient=op.truncate_gradient)
+
+    outer_inits = op.outer_inits(node.inputs)
+    outer_untraced = op.outer_untraced_inits(node.inputs)
+    outer_non_seqs = op.outer_non_seqs(node.inputs)
+    new_outer = (
+        list(op.outer_seqs(node.inputs))
+        + [outer_inits[k] for k in keep]
+        + [outer_inits[k] for k in convert]
+        + list(outer_untraced)
+        + list(outer_non_seqs)
+    )
+    new_outs = new_op(node.inputs[0], *new_outer)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+
+    # map: kept traces, then converted finals, old untraced finals, nits
+    repl = []
+    for j, k in enumerate(keep):
+        repl.append((node.outputs[k], new_outs[j]))
+    for j, k in enumerate(convert):
+        final = new_outs[len(keep) + j]
+        # replace every trace[-1] consumer with the final value
+        for c, idx in list(fgraph.clients.get(node.outputs[k], ())):
+            repl.append((c.outputs[0], final))
+    base = len(keep) + len(convert)
+    for u in range(info.n_untraced):
+        repl.append((node.outputs[info.n_states + u], new_outs[base + u]))
+    for m in range(info.n_nit_sot):
+        repl.append((node.outputs[info.n_states + info.n_untraced + m],
+                     new_outs[base + info.n_untraced + m]))
+    return dict(repl)
+
+
+optdb.register(
+    "scan_sit_sot_to_untraced",
+    WalkingGraphRewriter(scan_sit_sot_to_untraced),
+    "fast_run", "scan", "scan_save_mem",
+    position=1.62,  # reference position
+)

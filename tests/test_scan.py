@@ -183,3 +183,15 @@ def test_scan_with_rng_state_threading():
     # steps within one call are distinct draws
     diffs = np.diff(a)
     assert len(np.unique(np.round(diffs, 12))) > 1
+
+
+def test_scan_save_mem_untraced_conversion():
+    from pytensor_tpu.scan.op import Scan
+
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                      outputs_info=[pt.constant(0.0, dtype="float64")])
+    f = ptt.function([x], out[-1])
+    scans = [n.op for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
+    assert scans and scans[0].info.n_untraced == 1 and scans[0].info.n_states == 0
+    assert float(np.asarray(f(np.arange(5.0)))) == 10.0
