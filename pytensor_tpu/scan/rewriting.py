@@ -18,7 +18,7 @@ stacking ys at all.  What remains profitable at graph level:
 from __future__ import annotations
 
 from pytensor_tpu.compile.mode import optdb
-from pytensor_tpu.graph.rewriting.basic import WalkingGraphRewriter, node_rewriter
+from pytensor_tpu.graph.rewriting.basic import (GraphRewriter, WalkingGraphRewriter, node_rewriter)
 from pytensor_tpu.scan.op import Scan, ScanInfo
 
 
@@ -189,3 +189,101 @@ optdb.register(
     "fast_run", "scan", "scan_save_mem",
     position=1.62,  # reference position
 )
+
+
+class ScanMerge(GraphRewriter):
+    """Merge independent Scan nodes that share the same n_steps into one
+    loop (reference scan/rewriting/merge.py): one lax.scan dispatch and a
+    shared loop body instead of several."""
+
+    name = "scan_merge"
+
+    def apply(self, fgraph):
+        from collections import defaultdict
+
+        from pytensor_tpu.graph.traversal import ancestors
+
+        merged = 0
+        groups = defaultdict(list)
+        for node in fgraph.toposort():
+            if isinstance(node.op, Scan) and not node.op.info.as_while \
+                    and node.op.truncate_gradient == -1:
+                groups[id(node.inputs[0])].append(node)
+        for nodes in groups.values():
+            if len(nodes) < 2:
+                continue
+            # independence: no node's input depends on another node's output
+            outs = {id(o): n for n in nodes for o in n.outputs}
+            ok_nodes = []
+            for n in nodes:
+                deps = set(
+                    id(a) for a in ancestors(n.inputs)
+                )
+                if any(oid in deps for oid in outs if outs[oid] is not n):
+                    continue
+                ok_nodes.append(n)
+            if len(ok_nodes) < 2:
+                continue
+            try:
+                self._merge(fgraph, ok_nodes)
+                merged += 1
+            except Exception:
+                continue
+        return merged
+
+    def _merge(self, fgraph, nodes):
+        from pytensor_tpu.graph.fg import FunctionGraph
+
+        ops = [n.op for n in nodes]
+        infos = [op.info for op in ops]
+        new_info = ScanInfo(
+            n_seqs=sum(i.n_seqs for i in infos),
+            taps=tuple(t for i in infos for t in i.taps),
+            n_nit_sot=sum(i.n_nit_sot for i in infos),
+            n_non_seqs=sum(i.n_non_seqs for i in infos),
+            as_while=False,
+            n_untraced=sum(i.n_untraced for i in infos),
+        )
+        inner_inputs = (
+            [v for op in ops for v in op.inner_seq_vars()]
+            + [v for op in ops for g in op.inner_tap_vars() for v in g]
+            + [v for op in ops for v in op.inner_untraced_vars()]
+            + [v for op in ops for v in op.inner_non_seq_vars()]
+        )
+        inner_outputs = (
+            [o for op in ops for o in op.inner_state_outs()]
+            + [o for op in ops for o in op.inner_untraced_outs()]
+            + [o for op in ops for o in op.inner_nit_sot_outs()]
+        )
+        new_fg = FunctionGraph(inner_inputs, inner_outputs, clone=True)
+        new_op = Scan(new_fg, new_info,
+                      name="+".join(op.name or "scan" for op in ops))
+        outer = (
+            [v for n in nodes for v in n.op.outer_seqs(n.inputs)]
+            + [v for n in nodes for v in n.op.outer_inits(n.inputs)]
+            + [v for n in nodes for v in n.op.outer_untraced_inits(n.inputs)]
+            + [v for n in nodes for v in n.op.outer_non_seqs(n.inputs)]
+        )
+        new_outs = new_op(nodes[0].inputs[0], *outer)
+        if not isinstance(new_outs, list):
+            new_outs = [new_outs]
+        # distribute outputs back, section by section
+        repl = []
+        si = 0
+        for n, i in zip(nodes, infos):
+            for k in range(i.n_states):
+                repl.append((n.outputs[k], new_outs[si]))
+                si += 1
+        for n, i in zip(nodes, infos):
+            for u in range(i.n_untraced):
+                repl.append((n.outputs[i.n_states + u], new_outs[si]))
+                si += 1
+        for n, i in zip(nodes, infos):
+            for m in range(i.n_nit_sot):
+                repl.append((n.outputs[i.n_states + i.n_untraced + m],
+                             new_outs[si]))
+                si += 1
+        fgraph.replace_all_validate(repl, reason="scan_merge")
+
+
+optdb.register("scan_merge", ScanMerge(), "fast_run", "scan", position=1.63)

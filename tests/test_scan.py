@@ -195,3 +195,32 @@ def test_scan_save_mem_untraced_conversion():
     scans = [n.op for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
     assert scans and scans[0].info.n_untraced == 1 and scans[0].info.n_states == 0
     assert float(np.asarray(f(np.arange(5.0)))) == 10.0
+
+
+def test_scan_merge_independent_loops():
+    """Two independent equal-length scans fuse into one Scan node
+    (reference scan/rewriting/merge.py)."""
+    from pytensor_tpu.scan.op import Scan
+
+    x = pt.dvector("x")
+    c1, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                     outputs_info=[pt.constant(0.0, dtype="float64")])
+    c2, _ = ptt.scan(lambda xt, acc: acc * 0.5 + xt, sequences=[x],
+                     outputs_info=[pt.constant(1.0, dtype="float64")])
+    f = ptt.function([x], [c1, c2])
+    scans = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
+    assert len(scans) == 1
+    v = np.arange(4.0)
+    r1, r2 = (np.asarray(a) for a in f(v))
+    acc = 0.0
+    e1 = []
+    for t in v:
+        acc += t
+        e1.append(acc)
+    acc = 1.0
+    e2 = []
+    for t in v:
+        acc = acc * 0.5 + t
+        e2.append(acc)
+    np.testing.assert_allclose(r1, e1)
+    np.testing.assert_allclose(r2, e2)
