@@ -356,3 +356,118 @@ class FunctionGraph:
         from pytensor_tpu.printing import debugprint
 
         return debugprint(self, **kwargs)
+
+
+class FrozenFunctionGraph(FunctionGraph):
+    """Immutable, hashable FunctionGraph (reference graph/fg.py:953).
+
+    Used where a graph is a *value* — e.g. as an Op property so two
+    OpFromGraph/Scan instances over structurally identical inner graphs
+    compare equal and merge (CSE).  Mutation raises; ``unfreeze()``
+    returns an ordinary mutable clone; ``bind(*replacements)`` rebuilds
+    the frozen graph with inputs substituted.
+    """
+
+    _frozen = False
+
+    def __init__(self, inputs, outputs, clone=True, **kwargs):
+        super().__init__(inputs, outputs, clone=clone, **kwargs)
+        self._signature = (
+            tuple(type(n.op) for n in self.toposort()),
+            len(self.inputs),
+            tuple(o.type for o in self.outputs),
+        )
+        self._frozen = True
+
+    # -- mutation guards ------------------------------------------------
+    def _no_mutate(self, *a, **k):
+        raise TypeError("FrozenFunctionGraph is immutable; unfreeze() first")
+
+    def replace(self, *a, **k):
+        if self._frozen:
+            self._no_mutate()
+        return super().replace(*a, **k)
+
+    def replace_all(self, *a, **k):
+        if self._frozen:
+            self._no_mutate()
+        return super().replace_all(*a, **k)
+
+    def import_node(self, *a, **k):
+        if self._frozen:
+            self._no_mutate()
+        return super().import_node(*a, **k)
+
+    def add_output(self, *a, **k):
+        if self._frozen:
+            self._no_mutate()
+        return super().add_output(*a, **k)
+
+    # -- hashing --------------------------------------------------------
+    def __hash__(self):
+        # Features key the fgraph by identity during __init__, before the
+        # structural signature exists; identity-hash until frozen.
+        if not self._frozen:
+            return object.__hash__(self)
+        return hash(self._signature)
+
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if not isinstance(other, FrozenFunctionGraph):
+            return NotImplemented
+        if not (self._frozen and other._frozen):
+            return self is other
+        if self._signature != other._signature:
+            return False
+        return equal_computations(self.outputs, other.outputs,
+                                  self.inputs, other.inputs)
+
+    # -- escape hatches ---------------------------------------------------
+    def unfreeze(self) -> FunctionGraph:
+        """Mutable deep clone."""
+        return FunctionGraph(self.inputs, self.outputs, clone=True)
+
+    def bind(self, *replacements):
+        """Outputs with the frozen inputs substituted by ``replacements``."""
+        from pytensor_tpu.graph.replace import clone_replace
+
+        if len(replacements) != len(self.inputs):
+            raise ValueError(
+                f"bind expects {len(self.inputs)} values, got {len(replacements)}")
+        return clone_replace(self.outputs,
+                             dict(zip(self.inputs, replacements)))
+
+
+def equal_computations(xs, ys, in_xs=None, in_ys=None):
+    """Structural graph equality (reference graph/basic.py equal_computations):
+    True iff xs and ys compute the same outputs given in_xs == in_ys."""
+    from pytensor_tpu.graph.basic import Constant, Variable
+
+    in_xs = list(in_xs or [])
+    in_ys = list(in_ys or [])
+    if len(xs) != len(ys) or len(in_xs) != len(in_ys):
+        return False
+    equiv: dict = dict(zip(in_xs, in_ys))
+
+    def eq(a, b):
+        if a in equiv:
+            return equiv[a] is b
+        if isinstance(a, Constant) and isinstance(b, Constant):
+            return a.type == b.type and a.type.values_eq(a.data, b.data)
+        if (a.owner is None) != (b.owner is None):
+            return False
+        if a.owner is None:
+            # free variables must be the *same* variable
+            return a is b
+        na, nb = a.owner, b.owner
+        if na.op != nb.op or len(na.inputs) != len(nb.inputs):
+            return False
+        if na.outputs.index(a) != nb.outputs.index(b):
+            return False
+        if not all(eq(ia, ib) for ia, ib in zip(na.inputs, nb.inputs)):
+            return False
+        equiv[a] = b
+        return True
+
+    return all(eq(x, y) for x, y in zip(xs, ys))

@@ -6,6 +6,9 @@ from pytensor_tpu.tensor.variable import TensorConstant, TensorVariable  # noqa:
 from pytensor_tpu.tensor.basic import *  # noqa: F401,F403
 from pytensor_tpu.tensor.basic import (  # noqa: F401
     alloc,
+    meshgrid,
+    mgrid,
+    ogrid,
     arange,
     as_tensor_variable,
     as_tensor,
@@ -40,6 +43,7 @@ from pytensor_tpu.tensor.basic import (  # noqa: F401
     zeros,
     zeros_like,
 )
+from pytensor_tpu.tensor.reshape import join_dims, split_dims  # noqa: F401
 from pytensor_tpu.tensor.math import *  # noqa: F401,F403
 from pytensor_tpu.tensor import math  # noqa: F401
 from pytensor_tpu.tensor.math import (  # noqa: F401

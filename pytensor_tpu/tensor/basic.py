@@ -1017,3 +1017,66 @@ def tile(x, reps):
 
 def flatten_list(x):
     return x
+
+
+def meshgrid(*xi, indexing="xy"):
+    """Symbolic np.meshgrid (reference tensor/basic.py meshgrid)."""
+    if indexing not in ("xy", "ij"):
+        raise ValueError("indexing must be 'xy' or 'ij'")
+    args = [as_tensor_variable(x) for x in xi]
+    if any(a.type.ndim != 1 for a in args):
+        raise ValueError("meshgrid expects 1d inputs")
+    n = len(args)
+    outs = []
+    for k, a in enumerate(args):
+        idx = [None] * n
+        idx[k] = slice(None)
+        outs.append(a[tuple(idx)])
+    if indexing == "xy" and n >= 2:
+        outs = ([outs[0].swapaxes(0, 1)] + [outs[1].swapaxes(0, 1)]
+                + outs[2:])
+    from pytensor_tpu.tensor.extra_ops import broadcast_arrays
+
+    return list(broadcast_arrays(*outs))
+
+
+class _Grid:
+    """``mgrid``/``ogrid`` index helpers (reference tensor/basic.py:3339):
+    ``mgrid[0:5, 0:3]`` builds dense symbolic coordinate grids, ``ogrid``
+    builds open (broadcastable singleton) ones."""
+
+    def __init__(self, sparse):
+        self.sparse = sparse
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        ranges = []
+        for sl in key:
+            if not isinstance(sl, slice):
+                raise NotImplementedError("mgrid/ogrid take slices")
+            start = 0 if sl.start is None else sl.start
+            step = 1 if sl.step is None else sl.step
+            ranges.append(arange(start, sl.stop, step))
+        from pytensor_tpu.scalar.basic import upcast
+
+        dtype = upcast(*[r.type.dtype for r in ranges])
+        ranges = [r.astype(dtype) for r in ranges]
+        n = len(ranges)
+        outs = []
+        for k, r in enumerate(ranges):
+            idx = [None] * n
+            idx[k] = slice(None)
+            outs.append(r[tuple(idx)])
+        if self.sparse:
+            return outs if n > 1 else outs[0]
+        from pytensor_tpu.tensor.extra_ops import broadcast_arrays
+
+        dense = list(broadcast_arrays(*outs))
+        if n == 1:
+            return dense[0]
+        return stack(dense, axis=0)
+
+
+mgrid = _Grid(sparse=False)
+ogrid = _Grid(sparse=True)

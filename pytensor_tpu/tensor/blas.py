@@ -94,6 +94,42 @@ class Dot22(Op):
 _dot22 = Dot22()
 
 
+class Dot22Scalar(Op):
+    """alpha * dot(x, y) with 2-d operands (reference blas/gemm.py
+    Dot22Scalar:298).  On XLA the scale fuses into the dot_general epilogue;
+    the op exists so the blas rewrite pack has the same vocabulary."""
+
+    __props__ = ()
+
+    def make_node(self, x, y, alpha):
+        x, y, alpha = (as_tensor_variable(v) for v in (x, y, alpha))
+        if x.type.ndim != 2 or y.type.ndim != 2 or alpha.type.ndim != 0:
+            raise TypeError("Dot22Scalar expects (matrix, matrix, scalar)")
+        dtype = upcast(x.type.dtype, y.type.dtype, alpha.type.dtype)
+        out = TensorType(dtype, (x.type.shape[0], y.type.shape[1]))()
+        return Apply(self, [x, y, alpha], [out])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, alpha = inputs
+        output_storage[0][0] = np.asarray(
+            alpha * np.dot(x, y), dtype=node.outputs[0].type.numpy_dtype
+        )
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [(input_shapes[0][0], input_shapes[1][1])]
+
+    def L_op(self, inputs, outputs, output_grads):
+        x, y, alpha = inputs
+        (gz,) = output_grads
+        from pytensor_tpu.tensor.basic import matrix_transpose as mt
+
+        return [alpha * dot(gz, mt(y)), alpha * dot(mt(x), gz),
+                tm.sum(gz * dot(x, y))]
+
+
+_dot22scalar = Dot22Scalar()
+
+
 class Gemv(Op):
     """y_out = beta * y + alpha * dot(A, x)."""
 
@@ -223,6 +259,10 @@ def _register_xla():
 
         return f
 
+    @xla_funcify.register(Dot22Scalar)
+    def _dot22s(op, node=None, **kw):
+        return lambda x, y, alpha: alpha * jnp.dot(x, y)
+
     @xla_funcify.register(Dot22)
     def _d22(op, node=None, **kw):
         return lambda x, y: jnp.dot(x, y, precision=_prec())
@@ -285,6 +325,35 @@ def _register_rewrites():
         return False
 
     register_specialize(local_dot_to_gemm, name="local_dot_to_gemm")
+
+    @node_rewriter([Elemwise])
+    def local_dot22_to_dot22scalar(fgraph, node):
+        """alpha * dot(x, y) -> Dot22Scalar (reference rewriting/blas.py
+        local_dot22_to_dot22scalar)."""
+        if node.op.scalar_op.name != "mul" or len(node.inputs) != 2:
+            return False
+        out = node.outputs[0]
+        if out.type.ndim != 2:
+            return False
+        for a, d in (node.inputs, reversed(node.inputs)):
+            xy = _as_dot(d)
+            if xy is None or len(fgraph.clients.get(d, ())) != 1:
+                continue
+            # alpha must be a broadcast scalar
+            av = a
+            while av.owner is not None and                     type(av.owner.op).__name__ == "DimShuffle" and                     av.owner.op.is_expand_dims:
+                av = av.owner.inputs[0]
+            if av.type.ndim != 0:
+                continue
+            res = _dot22scalar(*xy, av)
+            if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+                continue
+            copy_stack_trace(out, res)
+            return [res]
+        return False
+
+    register_specialize(local_dot22_to_dot22scalar,
+                        name="local_dot22_to_dot22scalar")
 
 
 _register_rewrites()

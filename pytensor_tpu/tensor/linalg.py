@@ -15,7 +15,7 @@ import numpy as np
 from pytensor_tpu.graph.basic import Apply
 from pytensor_tpu.graph.null_type import DisconnectedType
 from pytensor_tpu.graph.op import Op
-from pytensor_tpu.scalar.basic import upcast_float
+from pytensor_tpu.scalar.basic import upcast, upcast_float
 from pytensor_tpu.tensor import math as tm
 from pytensor_tpu.tensor.basic import (
     as_tensor_variable,
@@ -849,3 +849,349 @@ def _register_xla():
 
 
 _register_xla()
+
+
+# --- long-tail decompositions / solvers ---------------------------------------
+#
+# Schur / QZ / ARE have no TPU-native XLA kernels (they are sequential
+# LAPACK algorithms); like the reference's LAPACK-backed ops they run on
+# the host CPU — here via jax.pure_callback inside the compiled executable.
+
+
+class Schur(MatrixOp):
+    """Real/complex Schur decomposition A = Z T Z^H (reference
+    tensor/linalg/decomposition/schur.py)."""
+
+    __props__ = ("output",)
+    gufunc_signature = "(n,n)->(n,n),(n,n)"
+
+    def __init__(self, output="real"):
+        if output not in ("real", "complex"):
+            raise ValueError("output must be 'real' or 'complex'")
+        self.output = output
+
+    def make_node(self, x):
+        x = self._check_matrix(x)
+        dtype = upcast_float(x.type.dtype)
+        if self.output == "complex":
+            dtype = "complex128" if dtype == "float64" else "complex64"
+        t = TensorType(dtype, x.type.shape)
+        return Apply(self, [x], [t(), t()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0], input_shapes[0]]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        T, Z = sla.schur(np.asarray(inputs[0]), output=self.output)
+        dt = node.outputs[0].type.numpy_dtype
+        output_storage[0][0] = T.astype(dt)
+        output_storage[1][0] = Z.astype(dt)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, 0, inputs[0],
+                               "Schur has no gradient implementation")]
+
+
+def schur(a, output="real"):
+    return _core2(Schur(output=output), a, out_ndims=(2, 2))
+
+
+class QZ(MatrixOp):
+    """Generalized Schur (QZ) decomposition of (A, B) (reference
+    tensor/linalg/decomposition qz)."""
+
+    __props__ = ("output",)
+    core_in_ndims = (2, 2)
+    gufunc_signature = "(n,n),(n,n)->(n,n),(n,n),(n,n),(n,n)"
+
+    def __init__(self, output="real"):
+        if output not in ("real", "complex"):
+            raise ValueError("output must be 'real' or 'complex'")
+        self.output = output
+
+    def make_node(self, a, b):
+        a = self._check_matrix(a)
+        b = self._check_matrix(b)
+        dtype = upcast_float(upcast(a.type.dtype, b.type.dtype))
+        if self.output == "complex":
+            dtype = "complex128" if dtype == "float64" else "complex64"
+        t = TensorType(dtype, a.type.shape)
+        return Apply(self, [a, b], [t(), t(), t(), t()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]] * 4
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        AA, BB, Q, Z = sla.qz(np.asarray(inputs[0]), np.asarray(inputs[1]),
+                              output=self.output)
+        dt = node.outputs[0].type.numpy_dtype
+        for k, v in enumerate((AA, BB, Q, Z)):
+            output_storage[k][0] = v.astype(dt)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, k, inputs[k],
+                               "QZ has no gradient implementation")
+                for k in range(2)]
+
+
+def qz(a, b, output="real"):
+    return _core2(QZ(output=output), a, b, out_ndims=(2, 2, 2, 2))
+
+
+class TridiagonalSolve(MatrixOp):
+    """Solve tridiag(dl, d, du) x = b.
+
+    Diagonals follow the lax.linalg convention: each has length n with
+    ``dl[0]`` and ``du[-1]`` ignored.  Reference
+    tensor/linalg/solvers/tridiagonal.py; here the XLA lowering rides
+    ``lax.linalg.tridiagonal_solve`` (O(n) Thomas algorithm on device).
+    """
+
+    __props__ = ("b_ndim",)
+    core_in_ndims = (1, 1, 1, None)
+
+    def __init__(self, b_ndim=1):
+        if b_ndim not in (1, 2):
+            raise ValueError("b_ndim must be 1 or 2")
+        self.b_ndim = b_ndim
+        self.core_in_ndims = (1, 1, 1, b_ndim)
+        self.gufunc_signature = ("(n),(n),(n),(n)->(n)" if b_ndim == 1
+                                 else "(n),(n),(n),(n,k)->(n,k)")
+
+    def make_node(self, dl, d, du, b):
+        dl, d, du, b = map(as_tensor_variable, (dl, d, du, b))
+        if b.type.ndim != self.b_ndim:
+            raise TypeError(f"b must have ndim={self.b_ndim}")
+        dtype = upcast_float(upcast(dl.type.dtype, d.type.dtype,
+                                    du.type.dtype, b.type.dtype))
+        return Apply(self, [dl, d, du, b], [TensorType(dtype, b.type.shape)()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[3]]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        dl, d, du, b = (np.asarray(v, dtype=node.outputs[0].type.numpy_dtype)
+                        for v in inputs)
+        n = d.shape[0]
+        ab = np.zeros((3, n), dtype=d.dtype)
+        ab[0, 1:] = du[:-1]
+        ab[1, :] = d
+        ab[2, :-1] = dl[1:]
+        output_storage[0][0] = sla.solve_banded((1, 1), ab, b)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.tensor.basic import concatenate, zeros
+
+        dl, d, du, b = inputs
+        (x,) = outputs
+        (xbar,) = output_grads
+        z1 = zeros((1,), dtype=d.type.dtype)
+        # A^T is tridiagonal with dl_T = shift-right(du), du_T = shift-left(dl)
+        dl_T = concatenate([z1, du[:-1]])
+        du_T = concatenate([dl[1:], z1])
+        bbar = tridiagonal_solve(dl_T, d, du_T, xbar, b_ndim=self.b_ndim)
+        if self.b_ndim == 1:
+            prod = bbar * x
+            lo = bbar[1:] * x[:-1]
+            hi = bbar[:-1] * x[1:]
+        else:
+            prod = (bbar * x).sum(axis=-1)
+            lo = (bbar[1:] * x[:-1]).sum(axis=-1)
+            hi = (bbar[:-1] * x[1:]).sum(axis=-1)
+        dbar = -prod
+        dlbar = concatenate([z1, -lo])
+        dubar = concatenate([-hi, z1])
+        return [dlbar, dbar, dubar, bbar]
+
+
+def tridiagonal_solve(dl, d, du, b, b_ndim=None):
+    b = as_tensor_variable(b)
+    if b_ndim is None:
+        b_ndim = min(b.type.ndim, 2)
+    op = TridiagonalSolve(b_ndim=b_ndim)
+    return _core2(op, dl, d, du, b)
+
+
+def lstsq(a, b, rcond=None):
+    """Least squares via SVD, composed in-graph (differentiable, runs on
+    the MXU; reference solvers lstsq wraps LAPACK gelsd).
+
+    Returns (x, residuals, rank, singular_values) like np.linalg.lstsq,
+    except ``residuals`` is always the per-column squared residual sum
+    (static shape — TPU executables cannot return the empty array numpy
+    uses for rank-deficient cases).
+    """
+    from pytensor_tpu.tensor.math import maximum, sum as pt_sum
+    from pytensor_tpu.tensor.shape import shape
+
+    a = as_tensor_variable(a)
+    b = as_tensor_variable(b)
+    u, s, vt = svd(a, full_matrices=False)
+    m = shape(a)[-2]
+    n = shape(a)[-1]
+    if rcond is None:
+        from pytensor_tpu.tensor.basic import cast
+
+        eps = np.finfo(np.dtype(upcast_float(a.type.dtype))).eps
+        rcond_v = cast(maximum(m, n), s.type.dtype) * eps
+    else:
+        rcond_v = as_tensor_variable(rcond)
+    cutoff = rcond_v * s.max()
+    keep = s > cutoff
+    s_inv = tm.switch(keep, 1.0 / s, zeros_like(s))
+    utb = dot(_mT(u), b)
+    if b.type.ndim == 1:
+        x = dot(_mT(vt), utb * s_inv)
+    else:
+        x = dot(_mT(vt), utb * s_inv[:, None])
+    r = dot(a, x) - b
+    residuals = pt_sum(r * r, axis=0)
+    rank = keep.sum().astype("int64")
+    return x, residuals, rank, s
+
+
+class SolveDiscreteARE(MatrixOp):
+    """Discrete algebraic Riccati equation solver (reference
+    tensor/linalg/solvers/linear_control.py).  LAPACK-sequential: runs on
+    host via callback, like the reference's scipy wrapper."""
+
+    __props__ = ()
+    core_in_ndims = (2, 2, 2, 2)
+    gufunc_signature = "(n,n),(n,m),(n,n),(m,m)->(n,n)"
+
+    def make_node(self, a, b, q, r):
+        a, b, q, r = map(self._check_matrix, (a, b, q, r))
+        dtype = upcast_float(upcast(*[v.type.dtype for v in (a, b, q, r)]))
+        return Apply(self, [a, b, q, r],
+                     [TensorType(dtype, a.type.shape)()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        X = sla.solve_discrete_are(*(np.asarray(v) for v in inputs))
+        output_storage[0][0] = X.astype(node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        # Implicit differentiation of the DARE fixed point
+        # X = A^T X A - A^T X B (R + B^T X B)^-1 B^T X A + Q.
+        # With K = (R + B^T X B)^-1 B^T X A and Acl = A - B K:
+        #   Qbar   = S, where S solves the *adjoint* discrete Lyapunov
+        #            equation S = Acl S Acl^T + Xbar_sym
+        #   Abar   = 2 X Acl S
+        #   Bbar   = -2 X Acl S K^T
+        #   Rbar   = K S K^T
+        # (standard result; see e.g. control-theory sensitivity analyses)
+        from pytensor_tpu.gradient import disconnected_grad
+
+        A, B, Q, R = inputs
+        (X,) = outputs
+        (Xbar,) = output_grads
+        X = disconnected_grad(X)
+        K = solve(R + matmul(_mT(B), matmul(X, B)),
+                  matmul(_mT(B), matmul(X, A)), assume_a="gen")
+        Acl = A - matmul(B, K)
+        Xbar_sym = 0.5 * (Xbar + _mT(Xbar))
+        S = solve_discrete_lyapunov(Acl, Xbar_sym, method="direct")
+        XAclS = matmul(X, matmul(Acl, S))
+        Abar = 2.0 * XAclS
+        Bbar = -2.0 * matmul(XAclS, _mT(K))
+        Qbar = S
+        Rbar = matmul(K, matmul(S, _mT(K)))
+        return [Abar, Bbar, Qbar, Rbar]
+
+
+def solve_discrete_are(A, B, Q, R):
+    return _core2(SolveDiscreteARE(), A, B, Q, R)
+
+
+class SolveContinuousARE(SolveDiscreteARE):
+    """Continuous ARE: A^T X + X A - X B R^-1 B^T X + Q = 0."""
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        X = sla.solve_continuous_are(*(np.asarray(v) for v in inputs))
+        output_storage[0][0] = X.astype(node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, k, inputs[k],
+                               "continuous-ARE gradient not implemented")
+                for k in range(4)]
+
+
+def solve_continuous_are(A, B, Q, R):
+    return _core2(SolveContinuousARE(), A, B, Q, R)
+
+
+def _register_xla_longtail():
+    import jax
+    import jax.numpy as jnp
+
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    def _host_cb(op, node):
+        """Generic host-callback lowering for LAPACK-sequential ops."""
+        out_types = [jax.ShapeDtypeStruct(
+            tuple(d if d is not None else -1 for d in o.type.shape),
+            o.type.numpy_dtype) for o in node.outputs]
+
+        def run(*args):
+            # resolve any unknown dims from the runtime input shapes
+            shapes = [a.shape for a in args]
+            outs = []
+            for o, t in zip(node.outputs, out_types):
+                shp = list(t.shape)
+                # all longtail ops are square-ish: every unknown output dim
+                # equals some input dim; probe inputs for a match by position
+                for k, d in enumerate(shp):
+                    if d == -1:
+                        for s in shapes:
+                            if len(s) > k:
+                                shp[k] = s[k]
+                                break
+                outs.append(jax.ShapeDtypeStruct(tuple(shp), t.dtype))
+
+            def _h(*vals):
+                storage = [[None] for _ in node.outputs]
+                op.perform(node, [np.asarray(v) for v in vals], storage)
+                return tuple(np.asarray(s[0], dtype=t.dtype)
+                             for s, t in zip(storage, outs))
+
+            res = jax.pure_callback(_h, tuple(outs), *args)
+            return res if len(res) > 1 else res[0]
+
+        return run
+
+    @xla_funcify.register(Schur)
+    @xla_funcify.register(QZ)
+    @xla_funcify.register(SolveDiscreteARE)
+    @xla_funcify.register(SolveContinuousARE)
+    def _lapack_host(op, node=None, **kw):
+        return _host_cb(op, node)
+
+    @xla_funcify.register(TridiagonalSolve)
+    def _tridiag(op, node=None, **kw):
+        def run(dl, d, du, b):
+            b2 = b[:, None] if op.b_ndim == 1 else b
+            x = jax.lax.linalg.tridiagonal_solve(dl, d, du, b2)
+            return x[:, 0] if op.b_ndim == 1 else x
+
+        return run
+
+
+_register_xla_longtail()

@@ -148,3 +148,92 @@ def to_return_values(values):
     if len(values) == 1:
         return values[0]
     return values
+
+
+def may_share_memory(a, b, raise_other_type=True):
+    """Whether two values may alias (reference pytensor/misc/may_share_memory).
+
+    numpy arrays use ``np.may_share_memory``; jax device arrays are
+    immutable so aliasing is never observable — returns False; sparse
+    values compare their underlying data/index arrays.
+    """
+    import numpy as np
+
+    def _np_parts(v):
+        try:
+            import scipy.sparse as sp
+
+            if sp.issparse(v):
+                return [v.data, v.indices, v.indptr]
+        except Exception:
+            pass
+        if isinstance(v, np.ndarray):
+            return [v]
+        return None
+
+    pa, pb = _np_parts(a), _np_parts(b)
+    if pa is None or pb is None:
+        try:
+            import jax
+
+            if isinstance(a, jax.Array) or isinstance(b, jax.Array):
+                return False
+        except Exception:
+            pass
+        if raise_other_type:
+            raise TypeError("may_share_memory supports numpy/scipy/jax values")
+        return False
+    return any(np.may_share_memory(x, y) for x in pa for y in pb)
+
+
+class frozendict(dict):
+    """Immutable dict (reference pytensor/misc/frozendict.py behavior)."""
+
+    def _blocked(self, *a, **k):
+        raise TypeError("frozendict is immutable")
+
+    __setitem__ = __delitem__ = _blocked
+    pop = popitem = setdefault = update = clear = _blocked
+
+    def __hash__(self):
+        return hash(frozenset(self.items()))
+
+
+class OrderedSet:
+    """Insertion-ordered set (dict-backed; reference misc/ordered_set.py)."""
+
+    def __init__(self, iterable=()):
+        self._d = dict.fromkeys(iterable)
+
+    def add(self, item):
+        self._d[item] = None
+
+    def discard(self, item):
+        self._d.pop(item, None)
+
+    remove = discard
+
+    def update(self, iterable):
+        for i in iterable:
+            self._d[i] = None
+
+    def __contains__(self, item):
+        return item in self._d
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __len__(self):
+        return len(self._d)
+
+    def __or__(self, other):
+        out = OrderedSet(self)
+        out.update(other)
+        return out
+
+    def __sub__(self, other):
+        other = set(other)
+        return OrderedSet(x for x in self if x not in other)
+
+    def __repr__(self):
+        return f"OrderedSet({list(self._d)!r})"

@@ -1,0 +1,220 @@
+"""Long-tail parity components: schur/qz/tridiagonal/lstsq/ARE solvers,
+mgrid/ogrid/meshgrid, join_dims/split_dims, FrozenFunctionGraph,
+Dot22Scalar, misc utils."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+from pytensor_tpu.tensor import linalg as ptl
+
+rng = np.random.default_rng(7)
+
+
+class TestLinalgLongtail:
+    def test_schur(self):
+        A = pt.dmatrix("A")
+        Av = rng.random((5, 5))
+        T, Z = ptl.schur(A)
+        Tv, Zv = (np.asarray(v) for v in ptt.function([A], [T, Z])(Av))
+        np.testing.assert_allclose(Zv @ Tv @ Zv.T, Av, atol=1e-10)
+        # quasi-triangular: strictly-lower part below the first subdiagonal is 0
+        assert np.allclose(np.tril(Tv, -2), 0.0)
+
+    def test_qz(self):
+        A, B = pt.dmatrix("A"), pt.dmatrix("B")
+        Av = rng.random((4, 4))
+        Bv = rng.random((4, 4)) + 4 * np.eye(4)
+        AA, BB, Q, Z = ptl.qz(A, B)
+        aa, bb, q, z = (np.asarray(v)
+                        for v in ptt.function([A, B], [AA, BB, Q, Z])(Av, Bv))
+        np.testing.assert_allclose(q @ aa @ z.T, Av, atol=1e-9)
+        np.testing.assert_allclose(q @ bb @ z.T, Bv, atol=1e-9)
+
+    def test_tridiagonal_solve_and_grad(self):
+        from pytensor_tpu.gradient import verify_grad
+
+        n = 6
+        dl = np.r_[0.0, rng.random(n - 1)]
+        d = 4 + rng.random(n)
+        du = np.r_[rng.random(n - 1), 0.0]
+        bv = rng.random(n)
+        M = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+        args = [pt.as_tensor_variable(v) for v in (dl, d, du, bv)]
+        x = ptl.tridiagonal_solve(*args)
+        for mode in (None, "FAST_COMPILE"):
+            xv = np.asarray(ptt.function([], x, mode=mode)())
+            np.testing.assert_allclose(xv, np.linalg.solve(M, bv), rtol=1e-10)
+        verify_grad(lambda a, b, c, e: ptl.tridiagonal_solve(a, b, c, e).sum(),
+                    [dl, d, du, bv], rng=rng)
+
+    def test_tridiagonal_solve_2d_rhs(self):
+        n = 5
+        dl = np.r_[0.0, rng.random(n - 1)]
+        d = 4 + rng.random(n)
+        du = np.r_[rng.random(n - 1), 0.0]
+        bv = rng.random((n, 3))
+        M = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+        x = ptl.tridiagonal_solve(*[pt.as_tensor_variable(v)
+                                    for v in (dl, d, du, bv)])
+        np.testing.assert_allclose(np.asarray(ptt.function([], x)()),
+                                   np.linalg.solve(M, bv), rtol=1e-10)
+
+    def test_lstsq(self):
+        Am = rng.random((6, 4))
+        bm = rng.random(6)
+        a_, b_ = pt.dmatrix("a"), pt.dvector("b")
+        x_, res_, rank_, s_ = ptl.lstsq(a_, b_)
+        xs, rs, rk, sv = (np.asarray(v) for v in
+                          ptt.function([a_, b_], [x_, res_, rank_, s_])(Am, bm))
+        xe, re_, rke, se = np.linalg.lstsq(Am, bm, rcond=None)
+        np.testing.assert_allclose(xs, xe, rtol=1e-8)
+        assert int(rk) == rke
+        np.testing.assert_allclose(sv, se, rtol=1e-10)
+        np.testing.assert_allclose(rs, re_, rtol=1e-8)
+
+    def test_discrete_are_and_ift_grads(self):
+        Av = np.array([[0.9, 0.1], [0.0, 0.8]])
+        Bv = np.array([[0.0], [1.0]])
+        Qv = np.eye(2)
+        Rv = np.array([[1.0]])
+        a, b, q, r = (pt.dmatrix("a"), pt.dmatrix("b"),
+                      pt.dmatrix("q"), pt.dmatrix("r"))
+        X = ptl.solve_discrete_are(a, b, q, r)
+        Xv = np.asarray(ptt.function([a, b, q, r], X)(Av, Bv, Qv, Rv))
+        np.testing.assert_allclose(Xv, sla.solve_discrete_are(Av, Bv, Qv, Rv),
+                                   rtol=1e-9)
+        grads = [ptt.grad(X.sum(), v) for v in (a, b, q, r)]
+        G = [np.asarray(v) for v in
+             ptt.function([a, b, q, r], grads, mode="FAST_COMPILE")(Av, Bv, Qv, Rv)]
+
+        def dare_sum(A, B, Q, R):
+            return sla.solve_discrete_are(A, B, Q, R).sum()
+
+        eps = 1e-6
+        # directional FD with admissible (symmetric where required) directions
+        Ea = rng.standard_normal((2, 2))
+        num = (dare_sum(Av + eps * Ea, Bv, Qv, Rv)
+               - dare_sum(Av - eps * Ea, Bv, Qv, Rv)) / (2 * eps)
+        np.testing.assert_allclose((G[0] * Ea).sum(), num, rtol=1e-5)
+        Eq = rng.standard_normal((2, 2))
+        Eq = Eq + Eq.T
+        num = (dare_sum(Av, Bv, Qv + eps * Eq, Rv)
+               - dare_sum(Av, Bv, Qv - eps * Eq, Rv)) / (2 * eps)
+        np.testing.assert_allclose((G[2] * Eq).sum(), num, rtol=1e-5)
+
+    def test_continuous_are(self):
+        Av = np.array([[0.9, 0.1], [0.0, 0.8]])
+        Bv = np.array([[0.0], [1.0]])
+        Qv = np.eye(2)
+        Rv = np.array([[1.0]])
+        a, b, q, r = (pt.dmatrix("a"), pt.dmatrix("b"),
+                      pt.dmatrix("q"), pt.dmatrix("r"))
+        X = ptl.solve_continuous_are(a, b, q, r)
+        Xv = np.asarray(ptt.function([a, b, q, r], X)(Av, Bv, Qv, Rv))
+        np.testing.assert_allclose(Xv,
+                                   sla.solve_continuous_are(Av, Bv, Qv, Rv),
+                                   rtol=1e-9)
+
+
+class TestGridsAndReshape:
+    def test_mgrid_ogrid(self):
+        g = pt.mgrid[0:4, 0:3]
+        np.testing.assert_array_equal(np.asarray(g.eval()), np.mgrid[0:4, 0:3])
+        for a, b in zip(pt.ogrid[0:4, 0:3], np.ogrid[0:4, 0:3]):
+            np.testing.assert_array_equal(np.asarray(a.eval()), b)
+
+    def test_meshgrid(self):
+        xs, ys = np.arange(3.0), np.arange(4.0)
+        for ind in ("xy", "ij"):
+            outs = pt.meshgrid(pt.as_tensor_variable(xs),
+                               pt.as_tensor_variable(ys), indexing=ind)
+            for a, b in zip(outs, np.meshgrid(xs, ys, indexing=ind)):
+                np.testing.assert_array_equal(np.asarray(a.eval()), b)
+
+    def test_join_split_dims(self):
+        x = pt.tensor("x", dtype="float64", shape=(2, 3, 4))
+        v = np.arange(24.0).reshape(2, 3, 4)
+        j = pt.join_dims(x, 0, 2)
+        np.testing.assert_array_equal(
+            np.asarray(ptt.function([x], j)(v)), v.reshape(6, 4))
+        sp = pt.split_dims(j, 0, [2, 3])
+        np.testing.assert_array_equal(np.asarray(ptt.function([x], sp)(v)), v)
+        with pytest.raises(ValueError):
+            pt.join_dims(x, 2, 2)
+
+
+class TestDot22Scalar:
+    def test_rewrite_and_grad(self):
+        from pytensor_tpu.tensor.blas import Dot22Scalar
+
+        x, y, a = pt.dmatrix("x"), pt.dmatrix("y"), pt.dscalar("a")
+        out = a * pt.dot(x, y)
+        f = ptt.function([x, y, a], out)
+        assert any(isinstance(n.op, Dot22Scalar) for n in f.fgraph.apply_nodes)
+        X, Y = rng.random((3, 4)), rng.random((4, 2))
+        np.testing.assert_allclose(np.asarray(f(X, Y, 2.5)), 2.5 * (X @ Y),
+                                   rtol=1e-12)
+        ga = np.asarray(ptt.function([x, y, a],
+                                     ptt.grad(out.sum(), a))(X, Y, 2.5))
+        np.testing.assert_allclose(ga, (X @ Y).sum(), rtol=1e-12)
+
+
+class TestFrozenFunctionGraph:
+    def test_structural_eq_hash_bind(self):
+        from pytensor_tpu.graph.fg import FrozenFunctionGraph, equal_computations
+
+        x, y = pt.dvector("x"), pt.dvector("y")
+        f1 = FrozenFunctionGraph([x], [pt.exp(x) + 1])
+        f2 = FrozenFunctionGraph([y], [pt.exp(y) + 1])
+        f3 = FrozenFunctionGraph([y], [pt.exp(y) * 2])
+        assert f1 == f2 and hash(f1) == hash(f2)
+        assert f1 != f3
+        with pytest.raises(TypeError):
+            f1.replace(f1.outputs[0], f1.inputs[0])
+        m = f1.unfreeze()
+        m.replace(m.outputs[0], m.inputs[0])  # mutable clone works
+        (out,) = f1.bind(pt.as_tensor_variable(np.arange(3.0)))
+        np.testing.assert_allclose(np.asarray(out.eval()),
+                                   np.exp(np.arange(3.0)) + 1)
+        assert equal_computations([pt.exp(x)], [pt.exp(y)], [x], [y])
+        assert not equal_computations([pt.exp(x)], [pt.log(y)], [x], [y])
+
+
+class TestMiscUtils:
+    def test_may_share_memory(self):
+        from pytensor_tpu.utils import may_share_memory
+
+        a = np.arange(5.0)
+        assert may_share_memory(a, a[1:])
+        assert not may_share_memory(a, np.arange(5.0))
+        with pytest.raises(TypeError):
+            may_share_memory(a, "nope")
+        assert not may_share_memory(a, "nope", raise_other_type=False)
+
+    def test_frozendict_ordered_set(self):
+        from pytensor_tpu.utils import OrderedSet, frozendict
+
+        fd = frozendict(x=1)
+        with pytest.raises(TypeError):
+            fd["y"] = 2
+        assert hash(fd) == hash(frozendict(x=1))
+        s = OrderedSet([3, 1, 2])
+        s.add(1)
+        assert list(s) == [3, 1, 2]
+        assert list(s - [1]) == [3, 2]
+
+    def test_check_blas_probe(self):
+        from pytensor_tpu.misc.check_blas import execute
+
+        assert execute(N=64, iters=2, verbose=False) > 0
+
+    def test_scan_profile_stats(self):
+        from pytensor_tpu.scan.utils import ScanProfileStats
+
+        s = ScanProfileStats("loop")
+        s.record(10, 0.25)
+        s.record(10, 0.25)
+        assert s.callcount == 2 and s.nbsteps == 20
