@@ -138,6 +138,81 @@ def _vonmises(key, shape, mu, kappa):
     return mu_b + draw
 
 
+invgamma = RandomVariable(
+    "invgamma", [0, 0], 0, "floatX",
+    lambda key, shape, a, scale: scale / _jr().gamma(
+        key, a, _full_shape(shape, a, scale)),
+)
+
+
+def _truncexpon(key, shape, b, loc, scale):
+    jnp = _jnp()
+    shp = _full_shape(shape, b, loc, scale)
+    u = _jr().uniform(key, shp)
+    # inverse CDF of the exponential truncated to [0, b]
+    return loc + scale * (-jnp.log1p(-u * (1.0 - jnp.exp(-b))))
+
+
+truncexpon = RandomVariable(
+    "truncexpon", [0, 0, 0], 0, "floatX", _truncexpon,
+)
+
+
+def _betabinom(key, shape, n, a, b):
+    k1, k2 = _jr().split(key)
+    shp = _full_shape(shape, n, a, b)
+    p = _jr().beta(k1, a, b, shp)
+    return _jr().binomial(k2, n, p, shape=shp).astype("int64")
+
+
+betabinom = RandomVariable(
+    "betabinom", [0, 0, 0], 0, "int64", _betabinom,
+)
+
+
+def _gengamma(key, shape, alpha, p, lambd):
+    # scipy.stats.gengamma convention: X = lambd * G(alpha/p)**(1/p)
+    jnp = _jnp()
+    shp = _full_shape(shape, alpha, p, lambd)
+    g = _jr().gamma(key, alpha / p, shp)
+    return lambd * g ** (1.0 / jnp.asarray(p, g.dtype))
+
+
+gengamma = RandomVariable(
+    "gengamma", [0, 0, 0], 0, "floatX", _gengamma,
+)
+
+
+def _hypergeometric(key, shape, ngood, nbad, nsample):
+    # No dynamic-shape-free device algorithm exists (the support depends on
+    # the parameter *values*); like the reference's numpy sampler this runs
+    # on the host, seeded deterministically from the threefry key.
+    import jax
+
+    jnp = _jnp()
+    shp = _full_shape(shape, ngood, nbad, nsample)
+    kdata = _jr().key_data(key)
+
+    def _host(kd, g, b, n):
+        seed = int(np.asarray(kd).astype(np.uint64).sum())
+        host_rng = np.random.default_rng(seed)
+        return host_rng.hypergeometric(g, b, n, size=shp).astype(np.int64)
+
+    out = jax.ShapeDtypeStruct(shp, np.int64)
+    return jax.pure_callback(
+        _host, out,
+        kdata,
+        jnp.broadcast_to(ngood, shp),
+        jnp.broadcast_to(nbad, shp),
+        jnp.broadcast_to(nsample, shp),
+    )
+
+
+hypergeometric = RandomVariable(
+    "hypergeometric", [0, 0, 0], 0, "int64", _hypergeometric,
+)
+
+
 cauchy = RandomVariable(
     "cauchy", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().cauchy(key, shp)),

@@ -123,3 +123,32 @@ def test_oracle_matches_xla_exactly(srng):
     f_py = ptt.function([], y, mode="FAST_COMPILE")
     val_py = np.asarray(f_py())
     np.testing.assert_allclose(val_xla, val_py, rtol=1e-6)
+
+
+def test_longtail_distributions_statistics():
+    """invgamma/truncexpon/gengamma/betabinom/hypergeometric (reference
+    tensor/random/basic.py InvGammaRV/TruncExponentialRV/GenGammaRV/
+    BetaBinomialRV/HyperGeometricRV)."""
+    import scipy.stats as st
+
+    import pytensor_tpu.tensor.random as ptr
+    from pytensor_tpu.tensor.random.utils import RandomStream
+
+    srng = RandomStream(seed=42)
+    N = 20000
+
+    def draws(rv):
+        return np.asarray(ptt.function([], rv)())
+
+    d = draws(srng.gen(ptr.invgamma, 3.0, 2.0, size=(N,)))
+    assert abs(d.mean() - st.invgamma(3.0, scale=2.0).mean()) < 0.05
+    d = draws(srng.gen(ptr.truncexpon, 2.0, 0.0, 1.5, size=(N,)))
+    assert abs(d.mean() - st.truncexpon(2.0, scale=1.5).mean()) < 0.03
+    assert d.max() <= 3.0 + 1e-6  # truncation bound loc + scale*b
+    d = draws(srng.gen(ptr.gengamma, 4.0, 2.0, 1.0, size=(N,)))
+    assert abs(d.mean() - st.gengamma(2.0, 2.0).mean()) < 0.03
+    d = draws(srng.gen(ptr.betabinom, 10, 2.0, 3.0, size=(N,)))
+    assert d.dtype.kind == "i" and abs(d.mean() - 4.0) < 0.15
+    d = draws(srng.gen(ptr.hypergeometric, 7, 13, 5, size=(N,)))
+    assert d.min() >= 0 and d.max() <= 5
+    assert abs(d.mean() - 5 * 7 / 20) < 0.1
