@@ -11,7 +11,7 @@ not rebuilt: XLA buffer donation supplies in-place semantics.
 from __future__ import annotations
 
 from pytensor_tpu.config import config
-from pytensor_tpu.graph.rewriting.basic import MergeOptimizer
+from pytensor_tpu.graph.rewriting.basic import GraphRewriter, MergeOptimizer
 from pytensor_tpu.graph.rewriting.db import (
     EquilibriumDB,
     RewriteDatabaseQuery,
@@ -57,6 +57,39 @@ fusedb = SequenceDB(name="elemwise_fusion")
 optdb.register("elemwise_fusion", fusedb, "fast_run", "fusion", position=49.05)
 
 optdb.register("merge3", MergeOptimizer(), "fast_run", "merge", position=100)
+
+
+class CheckStackTraceRewriter(GraphRewriter):
+    """Final no-op audit pass (reference tensor/rewriting CheckStackTrace /
+    check_stack_trace mode option): verifies every Apply produced by the
+    rewrite pipeline still carries a creation trace so runtime errors can
+    be attributed to user model code.  Warns (never fails) on untagged
+    nodes; excluded by default — select with ``.including("check_stack_trace")``
+    or via a mode's query."""
+
+    name = "check_stack_trace"
+
+    def apply(self, fgraph):
+        import warnings
+
+        missing = [
+            node for node in fgraph.apply_nodes
+            if not getattr(node.outputs[0].tag, "trace", None)
+            and node.outputs[0].name is None
+        ]
+        if missing:
+            ops = sorted({type(n.op).__name__ for n in missing})
+            warnings.warn(
+                f"check_stack_trace: {len(missing)} rewritten nodes lost "
+                f"their creation trace (ops: {', '.join(ops[:8])}). A rewrite "
+                "is missing a copy_stack_trace call.",
+                stacklevel=2,
+            )
+        return len(missing)
+
+
+optdb.register("check_stack_trace", CheckStackTraceRewriter(),
+               "check_stack_trace", position=101)
 
 
 # convenient registration helpers (reference tensor/rewriting/basic.py:261)

@@ -180,6 +180,10 @@ class Scan(Op, HasInnerGraph):
             outputs.append(
                 TensorType(out_inner.type.dtype, (static_T, *out_inner.type.shape))()
             )
+        if info.as_while:
+            # number of steps actually executed (termination included);
+            # consumed by L_op to mask the padded region in reverse BPTT
+            outputs.append(TensorType("int64", ())())
         return Apply(self, [n_steps, *outer_inputs], outputs)
 
     # --- oracle ---
@@ -257,6 +261,8 @@ class Scan(Op, HasInnerGraph):
             j = info.n_states + info.n_untraced + m_
             output_storage[j][0] = np.stack(nit_traces[m_]) if nit_traces[m_] \
                 else np.zeros((0,), dtype=node.outputs[j].type.numpy_dtype)
+        if info.as_while:
+            output_storage[-1][0] = np.int64(steps_done)
 
     def infer_shape(self, fgraph, node, input_shapes):
         # per-dim shapes beyond the leading time dim require inner-graph
@@ -296,11 +302,21 @@ class Scan(Op, HasInnerGraph):
                                      "grad through a scan with untraced (RNG) state")
                 for i, inp in enumerate(inputs)
             ]
-        if info.as_while:
+        if info.as_while and self.truncate_gradient != -1:
             return [
-                grad_not_implemented(self, i, inp, "grad through while-scan")
+                grad_not_implemented(self, i, inp,
+                                     "truncated grad through while-scan")
                 for i, inp in enumerate(inputs)
             ]
+        as_while = info.as_while
+        if as_while:
+            # last output is steps_done (int); the trace beyond it is frozen
+            # padding.  BPTT masks the padded region: zero cotangents there,
+            # and the padded outputs' grads (which are grads of copies of the
+            # step T-1 value) are accumulated and injected at step T-1.
+            steps_done = outputs[-1]
+            outputs = outputs[:-1]
+            output_grads = output_grads[:-1]
 
         n_steps = inputs[0]
         truncate = self.truncate_gradient
@@ -341,6 +357,11 @@ class Scan(Op, HasInnerGraph):
                 sl = hists[k][m + tap: m + tap + n_steps_i]
                 rev_seqs.append(flip(sl, 0))
         rev_seqs += [flip(s, 0) for s in seqs]
+        if as_while:
+            from pytensor_tpu.tensor.basic import arange as _arange
+
+            # forward time index for each reverse step: n-1, ..., 0
+            rev_seqs.append(flip(_arange(n_steps_i), 0))
 
         inner_inputs = self.fgraph.inputs
         inner_outputs = self.fgraph.outputs
@@ -350,16 +371,38 @@ class Scan(Op, HasInnerGraph):
 
         def reverse_step(*args):
             # args: state grads gk..., nit grads gm..., tap values (flattened),
-            #       seq slices..., then carries: P_k windows..., wbar...,
-            #       then non-seq values
+            #       seq slices..., [t index], then carries: P_k windows...,
+            #       wbar..., [gacc...], then non-seq values [+ steps_done]
             pos = 0
             g_states = list(args[pos: pos + info.n_states]); pos += info.n_states
             g_nits = list(args[pos: pos + info.n_nit_sot]); pos += info.n_nit_sot
             tap_vals = list(args[pos: pos + n_taps_total]); pos += n_taps_total
             seq_vals = list(args[pos: pos + info.n_seqs]); pos += info.n_seqs
+            if as_while:
+                t_idx = args[pos]; pos += 1
             P = list(args[pos: pos + info.n_states]); pos += info.n_states
             wbars = list(args[pos: pos + info.n_non_seqs]); pos += info.n_non_seqs
-            ns_vals = list(args[pos:])
+            if as_while:
+                gaccs = list(args[pos: pos + info.n_states]); pos += info.n_states
+                gacc_nits = list(args[pos: pos + info.n_nit_sot]); pos += info.n_nit_sot
+                ns_vals = list(args[pos:-1])
+                T_done = args[-1]
+                active = tm.lt(t_idx, T_done)
+                is_last = tm.eq(t_idx, T_done - 1)
+                g_states = [
+                    tm.switch(active,
+                              g + tm.switch(is_last, ga, zeros_like(ga)),
+                              zeros_like(g))
+                    for g, ga in zip(g_states, gaccs)
+                ]
+                g_nits = [
+                    tm.switch(active,
+                              g + tm.switch(is_last, ga, zeros_like(ga)),
+                              zeros_like(g))
+                    for g, ga in zip(g_nits, gacc_nits)
+                ]
+            else:
+                ns_vals = list(args[pos:])
 
             # clone the inner graph onto this step's variables
             memo = {}
@@ -373,6 +416,8 @@ class Scan(Op, HasInnerGraph):
             memo = clone_get_equiv(inner_inputs, inner_outputs,
                                    copy_inputs=False, copy_orphans=False, memo=memo)
             step_outs = [memo[o] for o in inner_outputs]
+            if as_while:
+                step_outs = step_outs[:-1]  # drop the until-condition
 
             # cotangents: state outs get trace grad + pending window head
             cots = []
@@ -405,6 +450,21 @@ class Scan(Op, HasInnerGraph):
                     rows.append(shifted)
                 new_P.append(stack(rows, axis=0))
             new_wbars = [wb + g for wb, g in zip(wbars, ns_grads)]
+            if as_while:
+                new_gaccs = [
+                    ga + tm.switch(active, zeros_like(g0), g0)
+                    for ga, g0 in zip(gaccs,
+                                      list(args[:info.n_states]))
+                ]
+                new_gacc_nits = [
+                    ga + tm.switch(active, zeros_like(g0), g0)
+                    for ga, g0 in zip(
+                        gacc_nits,
+                        list(args[info.n_states:
+                                  info.n_states + info.n_nit_sot]))
+                ]
+                return (new_P + new_wbars + new_gaccs + new_gacc_nits
+                        + seq_grads)
             return new_P + new_wbars + seq_grads
 
         # initial carries: zero windows and zero non-seq accumulators
@@ -430,15 +490,22 @@ class Scan(Op, HasInnerGraph):
                                      tm.cast(truncate, "int64"))
         else:
             rev_n_steps = n_steps
+        gacc0 = []
+        if as_while:
+            gacc0 = ([zeros_like(state_traces[k][0])
+                      for k in range(info.n_states)]
+                     + [zeros_like(nit_traces[m][0])
+                        for m in range(info.n_nit_sot)])
         rev_results, _ = scan(
             reverse_step,
             sequences=rev_seqs,
             outputs_info=(
                 [dict(initial=p, taps=[-1]) for p in P0]
                 + [dict(initial=w, taps=[-1]) for w in w0]
+                + [dict(initial=g, taps=[-1]) for g in gacc0]
                 + [None] * info.n_seqs
             ),
-            non_sequences=non_seqs,
+            non_sequences=(non_seqs + ([steps_done] if as_while else [])),
             n_steps=rev_n_steps,
             name=f"grad_of_{self.name or 'scan'}",
         )
@@ -446,7 +513,8 @@ class Scan(Op, HasInnerGraph):
             rev_results = [rev_results]
         P_traces = rev_results[: info.n_states]
         w_traces = rev_results[info.n_states: info.n_states + info.n_non_seqs]
-        seq_grad_traces = rev_results[info.n_states + info.n_non_seqs:]
+        seq_grad_traces = rev_results[info.n_states + info.n_non_seqs
+                                      + len(gacc0):]
 
         # assemble input grads
         grads = [DisconnectedType()()]  # n_steps
@@ -569,6 +637,7 @@ def _register_xla():
             # while-scan: carry a done flag + last emitted values; after the
             # condition fails, freeze state and repeat the last outputs
             # (matches the oracle's padding semantics)
+            n_ys = info.n_states + info.n_nit_sot
             zero_outs = []
             # trace one step to get output shapes for the frozen buffer
             probe_args = [s[0] for s in seqs]
@@ -582,7 +651,7 @@ def _register_xla():
             zero_outs = [jnp.zeros(p.shape, p.dtype) for p in probe[:n_ys]]
 
             def body(carry, xs):
-                windows, done, last = carry
+                windows, done, last, steps = carry
                 windows = list(windows)
                 args = list(xs)
                 for k, taps in enumerate(taps_list):
@@ -603,11 +672,15 @@ def _register_xla():
                     jnp.where(done, last[i], outs[i]) for i in range(n_ys)
                 )
                 new_done = jnp.logical_or(done, cond)
-                return (tuple(new_windows), new_done, emitted), emitted
+                new_steps = steps + jnp.where(done, 0, 1).astype("int64")
+                return ((tuple(new_windows), new_done, emitted, new_steps),
+                        emitted)
 
-            carry0 = (tuple(windows0), jnp.asarray(False), tuple(zero_outs))
-            _, ys = jax.lax.scan(body, carry0, tuple(seqs), length=T)
-            return ys if len(ys) > 1 else ys[0]
+            carry0 = (tuple(windows0), jnp.asarray(False), tuple(zero_outs),
+                      jnp.asarray(0, "int64"))
+            (_, _, _, steps_done), ys = jax.lax.scan(
+                body, carry0, tuple(seqs), length=T)
+            return tuple(ys) + (steps_done,)
 
         return scan_fn
 

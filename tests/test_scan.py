@@ -224,3 +224,104 @@ def test_scan_merge_independent_loops():
         e2.append(acc)
     np.testing.assert_allclose(r1, e1)
     np.testing.assert_allclose(r2, e2)
+
+
+def test_while_scan_xla_lowering_not_constant_folded():
+    """While-scan through the actual lax lowering (regression: the XLA
+    while branch had an undefined name that constant folding masked)."""
+    x0 = pt.dscalar("x0")
+    out, _ = ptt.scan(lambda acc: (acc * 2, until(acc * 2 > 100)),
+                      outputs_info=[x0], n_steps=20)
+    expect = [2.0 ** k for k in range(1, 8)] + [128.0] * 13
+    for mode in (None, "FAST_COMPILE"):
+        f = ptt.function([x0], out, mode=mode)
+        np.testing.assert_allclose(np.asarray(f(1.0)), expect)
+    # steps_done output (while-scans expose the executed step count)
+    steps = out.owner.outputs[-1]
+    assert int(np.asarray(ptt.function([x0], steps)(1.0))) == 7
+
+
+def test_while_scan_gradient():
+    """BPTT through a while-scan: padded region contributes zero seq grads,
+    padded output grads fold into the final executed step (reference
+    scan/op.py pullback handles while-loops the same way)."""
+    x = pt.dvector("x")
+    y0 = pt.dscalar("y0")
+    a = pt.dscalar("a")
+    tr, _ = ptt.scan(
+        lambda xt, acc, aa: (aa * acc + xt, until(aa * acc + xt > 3.0)),
+        sequences=[x], outputs_info=[y0], non_sequences=[a])
+    loss = tr.sum() + tr[-1]
+    g = ptt.grad(loss, [x, y0, a])
+    xv = np.array([0.3, 0.4, 0.5, 0.6, 0.7, 0.8])
+    y0v, av = 0.5, 1.3
+
+    def L(xv_, y0_, a_):
+        acc = y0_
+        trace = []
+        for t in range(len(xv_)):
+            acc = a_ * acc + xv_[t]
+            trace.append(acc)
+            if acc > 3.0:
+                break
+        trace = trace + [trace[-1]] * (len(xv_) - len(trace))
+        return sum(trace) + trace[-1]
+
+    eps = 1e-6
+    for mode in ("FAST_COMPILE", None):
+        f = ptt.function([x, y0, a], [loss] + list(g), mode=mode)
+        lv, gx, gy, ga_ = (np.asarray(v) for v in f(xv, y0v, av))
+        np.testing.assert_allclose(lv, L(xv, y0v, av), rtol=1e-10)
+        gx_fd = np.array([
+            (L(xv + eps * np.eye(6)[i], y0v, av)
+             - L(xv - eps * np.eye(6)[i], y0v, av)) / (2 * eps)
+            for i in range(6)])
+        np.testing.assert_allclose(gx, gx_fd, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(
+            gy, (L(xv, y0v + eps, av) - L(xv, y0v - eps, av)) / (2 * eps),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            ga_, (L(xv, y0v, av + eps) - L(xv, y0v, av - eps)) / (2 * eps),
+            rtol=1e-6)
+    # steps 5..6 are beyond termination: zero gradient
+    assert np.all(gx[4:] == 0.0)
+
+
+def test_while_scan_gradient_multitap_nit():
+    c9, c4, c2 = (pt.constant(np.float64(v)) for v in (0.9, 0.4, 2.0))
+    y0 = pt.dvector("y0")
+
+    def step(ym2, ym1):
+        nxt = c9 * ym1 + c4 * ym2
+        return (nxt, nxt ** 2), until(nxt > c2)
+
+    (tr, sq), _ = ptt.scan(
+        step, outputs_info=[dict(initial=y0, taps=[-2, -1]), None], n_steps=12)
+    loss = tr.sum() + 2.0 * sq.sum()
+    g = ptt.grad(loss, y0)
+    y0v = np.array([0.5, 0.6])
+
+    def L(y):
+        h = [y[0], y[1]]
+        trace, sqs = [], []
+        for t in range(12):
+            nxt = 0.9 * h[-1] + 0.4 * h[-2]
+            trace.append(nxt)
+            sqs.append(nxt ** 2)
+            h.append(nxt)
+            if nxt > 2.0:
+                break
+        pad = 12 - len(trace)
+        trace += [trace[-1]] * pad
+        sqs += [sqs[-1]] * pad
+        return sum(trace) + 2.0 * sum(sqs)
+
+    eps = 1e-6
+    for mode in ("FAST_COMPILE", None):
+        f = ptt.function([y0], [loss, g], mode=mode)
+        lv, gv = (np.asarray(v) for v in f(y0v))
+        np.testing.assert_allclose(lv, L(y0v), rtol=1e-10)
+        fd = np.array([(L(y0v + eps * np.eye(2)[i])
+                        - L(y0v - eps * np.eye(2)[i])) / (2 * eps)
+                       for i in range(2)])
+        np.testing.assert_allclose(gv, fd, rtol=1e-6)
