@@ -85,6 +85,39 @@ class XOp(Op):
             "execution (run with a rewriting mode)"
         )
 
+    def L_op(self, inputs, outputs, output_grads):
+        """Generic pullback: differentiate through the lowered tensor
+        subgraph and rewrap with each input's dims."""
+        from pytensor_tpu.gradient import DisconnectedType, pullback
+        from pytensor_tpu.graph.null_type import NullType
+        from pytensor_tpu.xtensor.type import XTensorType
+
+        node = outputs[0].owner
+        t_ins = [tensor_from_xtensor(i) if isinstance(i.type, XTensorType)
+                 else i for i in inputs]
+        t_outs = self.lower(node, t_ins)
+        cots = []
+        for g, o in zip(output_grads, t_outs):
+            if isinstance(getattr(g, "type", None), (DisconnectedType, NullType)):
+                from pytensor_tpu.tensor.basic import zeros_like
+
+                cots.append(zeros_like(o))
+            elif isinstance(g.type, XTensorType):
+                cots.append(tensor_from_xtensor(g))
+            else:
+                cots.append(g)
+        igs = pullback(list(t_outs), t_ins, cots,
+                       disconnected_inputs="ignore",
+                       return_disconnected="disconnected")
+        res = []
+        for i, ig in zip(inputs, igs):
+            if isinstance(getattr(ig, "type", None), (DisconnectedType, NullType)) \
+                    or not isinstance(i.type, XTensorType):
+                res.append(DisconnectedType()())
+            else:
+                res.append(xtensor_from_tensor(ig, i.type.dims))
+        return res
+
 
 class XElemwise(XOp):
     __props__ = ("scalar_op",)
@@ -422,3 +455,66 @@ class XSqueeze(XOp):
 
 def squeeze(x, dim):
     return XSqueeze(dim)(x)
+
+
+class XProd(XReduce):
+    def _out_dtype(self, dtype):
+        if dtype in ("bool", "int8", "int16", "int32", "int64"):
+            return "int64"
+        if dtype.startswith("uint"):
+            return "uint64"
+        return dtype
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.prod(t, axis=list(axes))
+
+
+class XStd(XReduce):
+    __props__ = ("dims", "ddof")
+
+    def __init__(self, dims=None, ddof=0):
+        super().__init__(dims)
+        self.ddof = int(ddof)
+
+    def _out_dtype(self, dtype):
+        from pytensor_tpu.config import config
+        from pytensor_tpu.tensor.type import discrete_dtypes
+
+        return config.floatX if dtype in discrete_dtypes else dtype
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.std(t, axis=list(axes), ddof=self.ddof)
+
+
+class XVar(XStd):
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.var(t, axis=list(axes), ddof=self.ddof)
+
+
+class XCumSum(XOp):
+    """Cumulative sum along a named dim (keeps dims)."""
+
+    __props__ = ("dim",)
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        if self.dim not in x.type.dims:
+            raise ValueError(f"cumsum: unknown dim {self.dim}")
+        return Apply(self, [x], [x.type()])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.extra_ops import cumsum
+
+        axis = node.inputs[0].type.dims.index(self.dim)
+        return [cumsum(tensor_inputs[0], axis=axis)]

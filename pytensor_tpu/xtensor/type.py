@@ -170,11 +170,89 @@ class XTensorVariable(Variable):
         return XRename(tuple(sorted(m.items())))(self)
 
     def isel(self, indexers=None, **kwargs):
-        from pytensor_tpu.xtensor.ops import XIsel
+        from pytensor_tpu.xtensor.indexing import isel
 
-        m = dict(indexers or {})
-        m.update(kwargs)
-        return XIsel(tuple(sorted((k, int(v)) for k, v in m.items())))(self)
+        return isel(self, indexers, **kwargs)
+
+    def prod(self, dim=None):
+        from pytensor_tpu.xtensor.ops import XProd
+
+        return XProd(_norm_dims(dim))(self)
+
+    def std(self, dim=None, ddof=0):
+        from pytensor_tpu.xtensor.ops import XStd
+
+        return XStd(_norm_dims(dim), ddof)(self)
+
+    def var(self, dim=None, ddof=0):
+        from pytensor_tpu.xtensor.ops import XVar
+
+        return XVar(_norm_dims(dim), ddof)(self)
+
+    def cumsum(self, dim):
+        from pytensor_tpu.xtensor.ops import XCumSum
+
+        return XCumSum(dim)(self)
+
+    def dot(self, other):
+        from pytensor_tpu.xtensor.ops import xdot
+
+        return xdot(self, other)
+
+    def stack(self, dim=None, **dims):
+        from pytensor_tpu.xtensor.shape import stack
+
+        return stack(self, dim, **dims)
+
+    def unstack(self, dim=None, **dims):
+        from pytensor_tpu.xtensor.shape import unstack
+
+        return unstack(self, dim, **dims)
+
+    def expand_dims(self, dim):
+        from pytensor_tpu.xtensor.ops import expand_dims
+
+        return expand_dims(self, dim)
+
+    def squeeze(self, dim):
+        from pytensor_tpu.xtensor.ops import squeeze
+
+        return squeeze(self, dim)
+
+    def broadcast_like(self, other):
+        from pytensor_tpu.xtensor.shape import broadcast
+
+        return broadcast(other, self)[1]
+
+    def astype(self, dtype):
+        from pytensor_tpu.scalar.basic import cast_op
+        from pytensor_tpu.xtensor.ops import XElemwise
+
+        return XElemwise(cast_op(str(dtype)))(self)
+
+    def __lt__(self, other):
+        return self._binop(other, "lt")
+
+    def __le__(self, other):
+        return self._binop(other, "le")
+
+    def __gt__(self, other):
+        return self._binop(other, "gt")
+
+    def __ge__(self, other):
+        return self._binop(other, "ge")
+
+    def __mod__(self, other):
+        return self._binop(other, "mod")
+
+    def __floordiv__(self, other):
+        return self._binop(other, "int_div")
+
+    def __abs__(self):
+        from pytensor_tpu.scalar import basic as ps
+        from pytensor_tpu.xtensor.ops import XElemwise
+
+        return XElemwise(ps.abs)(self)
 
     @property
     def values(self):

@@ -1,0 +1,153 @@
+"""Extended xtensor surface: generated math wrappers, stack/unstack,
+broadcast/full_like, slice/array isel, index_update, linalg, grads.
+(Reference xtensor/math.py, shape.py, indexing.py, linalg.py.)"""
+
+import numpy as np
+import pytest
+
+import pytensor_tpu as ptt
+import pytensor_tpu.xtensor as px
+from pytensor_tpu.xtensor import math as pxm
+
+rng = np.random.default_rng(3)
+
+
+def _x():
+    x = px.xtensor("x", dims=("a", "b"), shape=(3, 4), dtype="float64")
+    return x, np.arange(12.0).reshape(3, 4)
+
+
+class TestXMath:
+    def test_generated_wrappers(self):
+        x, xv = _x()
+        y = pxm.exp(x) + pxm.log(x + 1.0) - pxm.sqrt(x)
+        r = np.asarray(ptt.function([x], y.values)(xv))
+        np.testing.assert_allclose(r, np.exp(xv) + np.log(xv + 1) - np.sqrt(xv),
+                                   rtol=1e-12)
+
+    def test_dim_name_broadcasting(self):
+        a = px.xtensor("aa", dims=("i",), shape=(2,), dtype="float64")
+        b = px.xtensor("bb", dims=("j",), shape=(3,), dtype="float64")
+        y = pxm.add(a, b)
+        assert set(y.type.dims) == {"i", "j"}
+        av, bv = np.arange(2.0), np.arange(3.0)
+        r = np.asarray(ptt.function([a, b], y.values)(av, bv))
+        np.testing.assert_allclose(r, av[:, None] + bv[None, :])
+
+    def test_softmax_named_dim(self):
+        x, xv = _x()
+        sm = pxm.softmax(x, "b")
+        r = np.asarray(ptt.function([x], sm.values)(xv))
+        np.testing.assert_allclose(
+            r, np.exp(xv) / np.exp(xv).sum(1, keepdims=True), rtol=1e-10)
+
+    def test_comparisons_and_astype(self):
+        x, xv = _x()
+        m = (x > 5.0).astype("float64")
+        r = np.asarray(ptt.function([x], m.values)(xv))
+        np.testing.assert_allclose(r, (xv > 5).astype(float))
+
+
+class TestXShape:
+    def test_stack_unstack_roundtrip(self):
+        x, xv = _x()
+        st = px.stack(x, z=("a", "b"))
+        assert st.type.dims == ("z",) and st.type.shape == (12,)
+        us = px.unstack(st, z={"a": 3, "b": 4})
+        assert us.type.dims == ("a", "b")
+        np.testing.assert_allclose(np.asarray(ptt.function([x], us.values)(xv)),
+                                   xv)
+
+    def test_broadcast_and_like(self):
+        a = px.xtensor("aa", dims=("i",), shape=(2,), dtype="float64")
+        b = px.xtensor("bb", dims=("j",), shape=(3,), dtype="float64")
+        ba, bb = px.broadcast(a, b)
+        assert set(ba.type.dims) == {"i", "j"} == set(bb.type.dims)
+        x, xv = _x()
+        fl = px.full_like(x, 7.0)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], fl.values)(xv)), 7.0)
+        z = px.zeros_like(x)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], z.values)(xv)), 0.0)
+
+    def test_reduce_cumsum(self):
+        x, xv = _x()
+        assert np.allclose(np.asarray(ptt.function([x], x.prod("b").values)(xv)),
+                           xv.prod(1))
+        assert np.allclose(
+            np.asarray(ptt.function([x], x.var("a", ddof=1).values)(xv)),
+            xv.var(0, ddof=1))
+        assert np.allclose(
+            np.asarray(ptt.function([x], x.cumsum("b").values)(xv)),
+            xv.cumsum(1))
+
+
+class TestXIndexing:
+    def test_isel_slice_and_array(self):
+        x, xv = _x()
+        s1 = px.isel(x, a=slice(1, None), b=[0, 2, 3])
+        assert s1.type.dims == ("a", "b")
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], s1.values)(xv)), xv[1:][:, [0, 2, 3]])
+
+    def test_isel_xtensor_indexer_renames(self):
+        x, xv = _x()
+        idx = px.as_xtensor(np.array([2, 0]), dims=("sel",))
+        s2 = x.isel(a=idx)
+        assert s2.type.dims == ("sel", "b")
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], s2.values)(xv)), xv[[2, 0]])
+
+    def test_index_set_and_inc(self):
+        x, xv = _x()
+        u = px.index_set(x, dict(a=1), px.as_xtensor(np.float64(9.0)))
+        r = np.asarray(ptt.function([x], u.values)(xv))
+        assert (r[1] == 9.0).all() and (r[0] == xv[0]).all()
+        val = px.as_xtensor(np.ones((2, 2)), dims=("a", "b"))
+        u2 = px.index_inc(x, dict(a=slice(0, 2), b=[1, 3]), val)
+        r2 = np.asarray(ptt.function([x], u2.values)(xv))
+        exp = xv.copy()
+        exp[np.ix_([0, 1], [1, 3])] += 1
+        np.testing.assert_allclose(r2, exp)
+
+    def test_value_dims_validated(self):
+        x, _ = _x()
+        bad = px.as_xtensor(np.ones(5), dims=("nope",))
+        with pytest.raises(ValueError):
+            px.index_set(x, dict(a=1), bad)
+
+
+class TestXLinalg:
+    def test_cholesky_solve(self):
+        m = px.xtensor("m", dims=("r", "c"), shape=(3, 3), dtype="float64")
+        A = rng.random((3, 3))
+        A = A @ A.T + 3 * np.eye(3)
+        L = px.linalg.cholesky(m, dims=("r", "c"))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m], L.values)(A)),
+            np.linalg.cholesky(A), rtol=1e-10)
+        rhs = px.xtensor("rhs", dims=("r",), shape=(3,), dtype="float64")
+        sol = px.linalg.solve(m, rhs, dims=("r", "c"))
+        bv = np.arange(3.0)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m, rhs], sol.values)(A, bv)),
+            np.linalg.solve(A, bv), rtol=1e-10)
+
+
+class TestXGrad:
+    def test_grad_keeps_dims(self):
+        x, xv = _x()
+        g = ptt.grad(pxm.exp(x).sum().values, x)
+        assert g.type.dims == ("a", "b")
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], g.values)(xv)), np.exp(xv), rtol=1e-12)
+
+    def test_grad_through_isel(self):
+        x, xv = _x()
+        y = (x.isel(a=1) ** 2).sum().values
+        g = ptt.grad(y, x)
+        gv = np.asarray(ptt.function([x], g.values)(xv))
+        exp = np.zeros_like(xv)
+        exp[1] = 2 * xv[1]
+        np.testing.assert_allclose(gv, exp)
