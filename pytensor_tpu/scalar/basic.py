@@ -405,11 +405,17 @@ right_shift = _op("right_shift", 2, np.right_shift, lambda a, b: _jnp().right_sh
 
 # control
 def _switch_grad(i, o, gz):
+    # switch (not mul-by-cast) so the guarded branch's gradient is never
+    # *evaluated into* the other region: switch(c, gz, 0) composes with the
+    # mul/div switch-sink rewrites to keep 0*inf NaNs out of guarded logps
+    # (reference rewriting/math.py local_mul_switch_sink rationale)
     tm = _tm()
     c, t, f = i
     zero = _zero_like(c)
-    gt_ = gz[0] * tm.cast(c, gz[0].dtype)
-    gf_ = gz[0] * tm.cast(tm.eq(c, 0), gz[0].dtype)
+    gz0 = gz[0]
+    zval = _zero_like(gz0)
+    gt_ = tm.switch(c, gz0, zval)
+    gf_ = tm.switch(c, zval, gz0)
     return [zero, gt_, gf_]
 
 

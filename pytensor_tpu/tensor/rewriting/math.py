@@ -38,6 +38,14 @@ def _unique_value(v):
             return data.flat[0]
     if v.owner is not None and isinstance(v.owner.op, DimShuffle):
         return _unique_value(v.owner.inputs[0])
+    if v.owner is not None and isinstance(v.owner.op, Elemwise) \
+            and v.owner.op.scalar_op.name in ("second", "cast"):
+        # fill(x, c) / cast(c): the value is the last input's value
+        return _unique_value(v.owner.inputs[-1])
+    from pytensor_tpu.tensor.basic import Alloc
+
+    if v.owner is not None and isinstance(v.owner.op, Alloc):
+        return _unique_value(v.owner.inputs[0])
     return None
 
 
@@ -457,3 +465,151 @@ def local_log_sum_exp(fgraph, node):
 
 
 register_stabilize(local_log_sum_exp, name="local_log_sum_exp")
+
+
+
+def _as_guarded_switch(v, fgraph):
+    """If v (possibly under neg) is switch(c, ...) with a zero branch and a
+    single client chain, return (cond, zero_idx, other_branch, negate)."""
+    negate = False
+    while v.owner is not None and _is_ew(v.owner, "neg") \
+            and len(fgraph.clients.get(v, ())) == 1:
+        negate = not negate
+        v = v.owner.inputs[0]
+    if v.owner is None or not _is_ew(v.owner, "switch") \
+            or len(fgraph.clients.get(v, ())) != 1:
+        return None
+    cond, tbranch, fbranch = v.owner.inputs
+    if _unique_value(tbranch) == 0:
+        return cond, 1, fbranch, negate
+    if _unique_value(fbranch) == 0:
+        return cond, 2, tbranch, negate
+    return None
+
+
+@node_rewriter([Elemwise])
+def local_mul_switch_sink(fgraph, node):
+    """mul(switch(c, 0, x), y) -> switch(c, 0, mul(x, y)) (reference
+    rewriting/math.py local_mul_switch_sink).  Load-bearing for NaN-free
+    gradients: logp graphs guard invalid regions with switch(cond, 0, expr);
+    without sinking, grad produces 0 * inf = NaN."""
+    if not _is_ew(node, "mul"):
+        return False
+    for pos, inp in enumerate(node.inputs):
+        got = _as_guarded_switch(inp, fgraph)
+        if got is None:
+            continue
+        cond, zero_idx, other_branch, negate = got
+        others = [i for k, i in enumerate(node.inputs) if k != pos]
+        new_mul = tm.mul(other_branch, *others)
+        if negate:
+            new_mul = -new_mul
+        zero = tm.second(new_mul, cast(as_tensor_variable(0.0),
+                                       new_mul.type.dtype))
+        if zero_idx == 1:
+            res = tm.switch(cond, zero, new_mul)
+        else:
+            res = tm.switch(cond, new_mul, zero)
+        res = _same_type_out(node, res)
+        if res is None:
+            return False
+        copy_stack_trace(node.outputs[0], res)
+        return [res]
+    return False
+
+
+register_specialize(local_mul_switch_sink, name="local_mul_switch_sink")
+
+
+@node_rewriter([Elemwise])
+def local_div_switch_sink(fgraph, node):
+    """true_div(switch(c, 0, x), y) -> switch(c, 0, x/y) (reference
+    local_div_switch_sink); same NaN-guard rationale as mul."""
+    if not _is_ew(node, "true_div"):
+        return False
+    num, den = node.inputs
+    got = _as_guarded_switch(num, fgraph)
+    if got is None:
+        return False
+    cond, zero_idx, other_branch, negate = got
+    new_div = tm.true_div(other_branch, den)
+    if negate:
+        new_div = -new_div
+    zero = tm.second(new_div, cast(as_tensor_variable(0.0),
+                                   new_div.type.dtype))
+    if zero_idx == 1:
+        res = tm.switch(cond, zero, new_div)
+    else:
+        res = tm.switch(cond, new_div, zero)
+    res = _same_type_out(node, res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_div_switch_sink, name="local_div_switch_sink")
+
+
+@node_rewriter([Elemwise])
+def local_exp_over_1_plus_exp(fgraph, node):
+    """exp(x) / (1 + exp(x)) -> sigmoid(x); 1 / (1 + exp(-x)) -> sigmoid(x)
+    (reference rewriting/math.py sigmoid stabilizations :553-677)."""
+    if not _is_ew(node, "true_div"):
+        return False
+    num, den = node.inputs
+    if den.owner is None or not _is_ew(den.owner, "add") \
+            or len(den.owner.inputs) != 2:
+        return False
+    a, b = den.owner.inputs
+    one_side, exp_side = (a, b) if _unique_value(a) == 1 else (b, a)
+    if _unique_value(one_side) != 1 or exp_side.owner is None \
+            or not _is_ew(exp_side.owner, "exp"):
+        return False
+    (z,) = exp_side.owner.inputs
+    if num.owner is not None and _is_ew(num.owner, "exp") \
+            and num.owner.inputs[0] is z:
+        res = _same_type_out(node, tm.sigmoid(z))
+    elif _unique_value(num) == 1:
+        res = _same_type_out(node, tm.sigmoid(-z))
+    else:
+        return False
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_exp_over_1_plus_exp, name="local_exp_over_1_plus_exp")
+
+
+@node_rewriter(None)
+def local_0_dot_x(fgraph, node):
+    """dot(zeros, x) -> zeros (reference local_0_dot_x)."""
+    from pytensor_tpu.tensor.basic import zeros
+    from pytensor_tpu.tensor.math import Dot
+    from pytensor_tpu.tensor.shape import shape
+
+    if not isinstance(node.op, Dot):
+        return False
+    x, y = node.inputs
+    if _unique_value(x) == 0 or _unique_value(y) == 0:
+        out = node.outputs[0]
+        shp = [shape(x)[0], shape(y)[1]][: out.type.ndim] if out.type.ndim else []
+        if out.type.ndim == 1:
+            shp = [shape(x)[0]] if x.type.ndim == 2 else [shape(y)[1]]
+        res = zeros(shp, dtype=out.type.dtype) if shp else \
+            cast(as_tensor_variable(0.0), out.type.dtype)
+        if res.type.ndim == out.type.ndim and any(d is not None
+                                                  for d in out.type.shape):
+            from pytensor_tpu.tensor.shape import specify_shape
+
+            res = specify_shape(res, out.type.shape)
+        if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+    return False
+
+
+register_canonicalize(local_0_dot_x, name="local_0_dot_x")

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pytensor_tpu.compile.mode import register_canonicalize, register_useless
+from pytensor_tpu.compile.mode import (register_canonicalize, register_specialize, register_useless)
 from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
 from pytensor_tpu.tensor.subtensor import DYN, IncSubtensor, Subtensor
 
@@ -79,3 +79,33 @@ def local_subtensor_merge(fgraph, node):
 
 
 register_canonicalize(local_subtensor_merge, name="local_subtensor_merge")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_dot(fgraph, node):
+    """dot(a, b)[i_rows] -> dot(a[i_rows], b) (reference
+    rewriting/subtensor.py local_subtensor_of_dot): indexing before the
+    matmul shrinks the MXU work and the HBM traffic."""
+    from pytensor_tpu.tensor.math import Dot, dot
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, Dot):
+        return False
+    if len(fgraph.clients.get(x, ())) != 1:
+        return False
+    a, b = x.owner.inputs
+    if a.type.ndim != 2:
+        return False
+    idx = node.op.idx_list
+    if len(idx) != 1:
+        return False  # only leading-dim indexing moves cleanly
+    new_a = type(node.op)(node.op.idx_list)(a, *node.inputs[1:])
+    res = dot(new_a, b)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_dot, name="local_subtensor_of_dot")

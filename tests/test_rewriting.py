@@ -157,3 +157,72 @@ def test_rewrites_preserve_semantics():
     f_ref = ptt.function([x], exprs, mode="FAST_COMPILE")
     for a, b in zip(f_opt(X), f_ref(X)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+class TestSwitchSinkNanGuards:
+    """local_mul/div_switch_sink + switch-grad-as-switch: guarded logp
+    expressions must have NaN-free gradients (reference rewriting/math.py
+    local_mul_switch_sink / local_div_switch_sink)."""
+
+    def test_guarded_log_grad(self):
+        x = pt.dvector("x")
+        safe = pt.switch(x > 0, pt.log(x), 0.0)
+        g = ptt.grad((safe * 2.0).sum(), x)
+        gv = np.asarray(ptt.function([x], g)(np.array([-1.0, 2.0, 0.0])))
+        np.testing.assert_allclose(gv, [0.0, 1.0, 0.0])
+
+    def test_guarded_div_grad(self):
+        x = pt.dvector("x")
+        safe = pt.switch(x > 0, 1.0 / x, 0.0)
+        g = ptt.grad(safe.sum(), x)
+        gv = np.asarray(ptt.function([x], g)(np.array([-1.0, 2.0, 0.0])))
+        np.testing.assert_allclose(gv, [0.0, -0.25, 0.0])
+
+
+class TestSigmoidStabilize:
+    def test_exp_over_1_plus_exp(self):
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        z = pt.dvector("z")
+        f = ptt.function([z], pt.exp(z) / (1 + pt.exp(z)))
+        zv = np.array([-30.0, 0.0, 30.0, 800.0])
+        np.testing.assert_allclose(np.asarray(f(zv)), 1 / (1 + np.exp(-np.clip(zv, -700, 700))),
+                                   rtol=1e-12)
+        assert not np.isnan(np.asarray(f(np.array([800.0])))).any()
+
+    def test_one_over_1_plus_exp_neg(self):
+        z = pt.dvector("z")
+        f = ptt.function([z], 1 / (1 + pt.exp(-z)))
+        zv = np.array([-3.0, 0.5])
+        np.testing.assert_allclose(np.asarray(f(zv)), 1 / (1 + np.exp(-zv)),
+                                   rtol=1e-12)
+
+
+class TestDotRewrites:
+    def test_subtensor_of_dot(self):
+        import pytensor_tpu.tensor.subtensor as pts
+        from pytensor_tpu.tensor.blas import Dot22, Gemm
+        from pytensor_tpu.tensor.math import Dot
+
+        rng = np.random.default_rng(0)
+        a, b = pt.dmatrix("a"), pt.dmatrix("b")
+        f = ptt.function([a, b], pt.dot(a, b)[:2])
+        av, bv = rng.random((6, 5)), rng.random((5, 4))
+        np.testing.assert_allclose(np.asarray(f(av, bv)), (av @ bv)[:2],
+                                   rtol=1e-12)
+        topo = f.fgraph.toposort()
+        di = [i for i, n in enumerate(topo)
+              if isinstance(n.op, (Dot, Dot22, Gemm))]
+        si = [i for i, n in enumerate(topo) if isinstance(n.op, pts.Subtensor)]
+        assert si and di and si[0] < di[0]
+
+    def test_zero_dot_folds(self):
+        from pytensor_tpu.tensor.blas import Dot22, Gemm
+        from pytensor_tpu.tensor.math import Dot
+
+        b = pt.dmatrix("b")
+        f = ptt.function([b], pt.dot(pt.zeros((3, 4)), b))
+        assert not any(isinstance(n.op, (Dot, Dot22, Gemm))
+                       for n in f.fgraph.apply_nodes)
+        np.testing.assert_allclose(
+            np.asarray(f(np.random.default_rng(0).random((4, 2)))), 0.0)
