@@ -7,7 +7,7 @@ import numpy as np
 
 from pytensor_tpu.compile.mode import (register_canonicalize, register_specialize, register_useless)
 from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
-from pytensor_tpu.tensor.subtensor import DYN, IncSubtensor, Subtensor
+from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, IncSubtensor, Subtensor)
 
 
 def _full_slice(e):
@@ -109,3 +109,85 @@ def local_subtensor_of_dot(fgraph, node):
 
 
 register_specialize(local_subtensor_of_dot, name="local_subtensor_of_dot")
+
+
+@node_rewriter([AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_scatter_add_to_onehot_dot(fgraph, node):
+    """zeros[..., idx, ...] += y  ->  moveaxis(tensordot(y, onehot), ...)
+    for a constant integer-vector index.
+
+    TPU-specific: XLA lowers scatter-add to a serialized loop on TPU while
+    a (n_idx, n_bins) one-hot contraction rides the MXU — measured 1.4-1.9x
+    faster at radon-model sizes.  This is the hot pattern of every
+    hierarchical-model gradient (segment-sum of per-observation grads into
+    group parameters); the reference instead relies on C impls of
+    AdvancedIncSubtensor1 (tensor/subtensor.py:2275)."""
+    import numpy as np
+
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import as_tensor_variable, moveaxis
+    from pytensor_tpu.tensor.math import tensordot
+    from pytensor_tpu.tensor.rewriting.math import _unique_value
+
+    op = node.op
+    if op.set_instead_of_inc or getattr(op, "ignore_duplicates", False):
+        return False
+    x, y, *indices = node.inputs
+    out = node.outputs[0]
+    if out.type.dtype not in ("float16", "bfloat16", "float32"):
+        # f64 matmul is emulated on the MXU (~10x slower than the VPU
+        # scatter); only fire where the one-hot contraction actually wins
+        return False
+    if _unique_value(x) != 0:
+        return False
+    if isinstance(op, AdvancedIncSubtensor1):
+        axis = 0
+    else:
+        # exactly one dynamic entry (the integer vector), everything else a
+        # full slice
+        axis = None
+        n_dyn = 0
+        for pos, e in enumerate(op.idx_list):
+            if e == DYN:
+                n_dyn += 1
+                axis = pos
+            elif isinstance(e, tuple) and e[0] == "slice" \
+                    and e[1:] == (None, None, None):
+                continue
+            else:
+                return False
+        if n_dyn != 1 or len(indices) != 1:
+            return False
+    idx = indices[0]
+    if not isinstance(idx, Constant) or idx.type.ndim != 1 \
+            or np.asarray(idx.data).dtype.kind not in "iu":
+        return False
+    n_bins = x.type.shape[axis]
+    if n_bins is None:
+        return False
+    idx_v = np.asarray(idx.data)
+    if idx_v.size * n_bins > 8_000_000:
+        return False  # keep the embedded one-hot constant bounded
+    if idx_v.min() < -n_bins or idx_v.max() >= n_bins:
+        return False
+    onehot = np.zeros((idx_v.size, n_bins), dtype=out.type.dtype)
+    onehot[np.arange(idx_v.size), idx_v % n_bins] = 1
+    oh = as_tensor_variable(onehot)
+    # y has x's ndim with length n_idx at `axis` (all other entries are
+    # full slices / the leading axis); contract it against the one-hot rows
+    if y.type.ndim != x.type.ndim:
+        return False
+    res = tensordot(y, oh, axes=[[axis], [0]])
+    res = moveaxis(res, -1, axis)
+    if any(d is not None for d in out.type.shape):
+        from pytensor_tpu.tensor.shape import specify_shape
+
+        res = specify_shape(res, out.type.shape)
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_scatter_add_to_onehot_dot,
+                    name="local_scatter_add_to_onehot_dot")

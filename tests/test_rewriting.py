@@ -226,3 +226,42 @@ class TestDotRewrites:
                        for n in f.fgraph.apply_nodes)
         np.testing.assert_allclose(
             np.asarray(f(np.random.default_rng(0).random((4, 2)))), 0.0)
+
+
+class TestScatterToOnehot:
+    """local_scatter_add_to_onehot_dot: constant-index segment-sum becomes
+    a one-hot MXU contraction for f32/bf16 (f64 stays scatter — emulated
+    matmul would lose)."""
+
+    def test_f32_converts_and_matches(self):
+        from pytensor_tpu.tensor.subtensor import (AdvancedIncSubtensor,
+                                                   AdvancedIncSubtensor1)
+
+        rng = np.random.default_rng(0)
+        county = rng.integers(0, 7, size=40)
+        a = pt.tensor("a", dtype="float32", shape=(7,))
+        r = pt.tensor("r", dtype="float32", shape=(40,))
+        g = ptt.grad((a[county] * r).sum(), a)
+        f = ptt.function([a, r], g)
+        assert not any(isinstance(n.op, (AdvancedIncSubtensor,
+                                         AdvancedIncSubtensor1))
+                       for n in f.fgraph.apply_nodes)
+        av = rng.random(7, dtype=np.float32)
+        rv = rng.random(40, dtype=np.float32)
+        exp = np.zeros(7, np.float32)
+        np.add.at(exp, county, rv)
+        np.testing.assert_allclose(np.asarray(f(av, rv)), exp, rtol=1e-5)
+
+    def test_f64_keeps_scatter(self):
+        from pytensor_tpu.tensor.subtensor import (AdvancedIncSubtensor,
+                                                   AdvancedIncSubtensor1)
+
+        rng = np.random.default_rng(0)
+        county = rng.integers(0, 7, size=40)
+        a = pt.dvector("a")
+        r = pt.dvector("r")
+        g = ptt.grad((a[county] * r).sum(), a)
+        f = ptt.function([a, r], g)
+        assert any(isinstance(n.op, (AdvancedIncSubtensor,
+                                     AdvancedIncSubtensor1))
+                   for n in f.fgraph.apply_nodes)
