@@ -77,3 +77,69 @@ def make_radon_hmc(n_obs=919, n_counties=85, dtype="float32", **kwargs):
 
     n_params = n_counties + 4
     return make_hmc_step(build, n_params, dtype=dtype, **kwargs)
+
+
+def make_radon_hmc_chains(n_chains=256, n_obs=919, n_counties=85,
+                          n_leapfrog=16, step_size=0.02, dtype="float32",
+                          seed=0, mesh=None):
+    """Multi-chain HMC: every chain advances one full transition per call,
+    all on device.  With ``mesh`` given, chains shard over the mesh's
+    'data' axis (SPMD via GSPMD; each device integrates its chain block —
+    embarrassingly parallel, zero collectives in the hot loop).
+
+    Returns (step_fn, position_shared, n_params); step_fn() -> (logp
+    per chain, accept per chain).
+    """
+    from pytensor_tpu.models.radon import make_radon_logp_batched
+
+    theta_in, logp, dlogp, n_params = make_radon_logp_batched(
+        n_obs=n_obs, n_counties=n_counties, dtype=dtype, seed=seed)
+
+    srng = RandomStream(seed=seed)
+    position = ptt.shared(
+        np.zeros((n_chains, n_params), dtype), name="hmc_chains_position")
+    m0 = pt.cast(srng.normal(0.0, 1.0, size=(n_chains, n_params)), dtype)
+
+    def leapfrog(theta, m):
+        g = graph_replace(dlogp, {theta_in: theta})
+        m_half = m + (step_size / 2) * g
+        theta_new = theta + step_size * m_half
+        g_new = graph_replace(dlogp, {theta_in: theta_new})
+        m_new = m_half + (step_size / 2) * g_new
+        return theta_new, m_new
+
+    (thetas, ms), lf_updates = ptt.scan(
+        leapfrog, outputs_info=[position, m0], n_steps=n_leapfrog,
+        name="hmc_chains_leapfrog",
+    )
+    theta_prop = thetas[-1]
+    m_prop = ms[-1]
+
+    logp0 = graph_replace(logp, {theta_in: position})
+    logp1 = graph_replace(logp, {theta_in: theta_prop})
+    h0 = logp0 - 0.5 * pt.sum(m0 ** 2, axis=1)
+    h1 = logp1 - 0.5 * pt.sum(m_prop ** 2, axis=1)
+    log_accept_ratio = h1 - h0
+
+    u = srng.uniform(0.0, 1.0, size=(n_chains,))
+    accept = pt.lt(pt.log(pt.cast(u, dtype)), log_accept_ratio)
+    new_position = pt.switch(accept[:, None], theta_prop, position)
+    new_logp = pt.switch(accept, logp1, logp0)
+
+    updates = dict(lf_updates)
+    updates[position] = new_position
+
+    if mesh is None:
+        f = ptt.function([], [new_logp, accept], updates=updates,
+                         name="hmc_chains_step")
+    else:
+        from pytensor_tpu import parallel
+
+        # output shardings are inferred by GSPMD (update outputs for the
+        # RNG states are replicated; chain outputs follow the data axis)
+        f = parallel.function(
+            [], [new_logp, accept], updates=updates, mesh=mesh,
+            shared_specs={position: parallel.spec("data", None)},
+            name="hmc_chains_step",
+        )
+    return f, position, n_params

@@ -251,3 +251,58 @@ class TestBatchedRadon:
             ls, gs = (np.asarray(v) for v in fs(T[k]))
             np.testing.assert_allclose(lb[k], ls, rtol=1e-10)
             np.testing.assert_allclose(gb[k], gs, rtol=1e-9)
+
+
+class TestParallelTP:
+    def test_mlp_dp_tp_step(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 devices")
+        from pytensor_tpu import parallel
+        from pytensor_tpu.models.mlp import make_mlp_training_step
+
+        mesh = parallel.make_mesh({"data": len(jax.devices()) // 2, "model": 2})
+        f, (X, y), _ = make_mlp_training_step(n=32, d=8, h=16, mesh=mesh)
+        Xs = parallel.device_put_sharded_value(X, mesh,
+                                               parallel.spec("data", None))
+        ys = parallel.device_put_sharded_value(y, mesh, parallel.spec("data"))
+        l1 = float(np.asarray(f(Xs, ys)))
+        for _ in range(4):
+            l2 = float(np.asarray(f(Xs, ys)))
+        assert np.isfinite(l1) and l2 < l1
+
+    def test_mlp_sharded_matches_unsharded(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 devices")
+        from pytensor_tpu import parallel
+        from pytensor_tpu.models.mlp import make_mlp_training_step
+
+        mesh = parallel.make_mesh({"data": 2, "model": 2})
+        fs, (X, y), _ = make_mlp_training_step(n=32, d=8, h=16, mesh=mesh)
+        fu, _, _ = make_mlp_training_step(n=32, d=8, h=16)
+        Xs = parallel.device_put_sharded_value(X, mesh,
+                                               parallel.spec("data", None))
+        ys = parallel.device_put_sharded_value(y, mesh, parallel.spec("data"))
+        l_sharded = float(np.asarray(fs(Xs, ys)))
+        l_plain = float(np.asarray(fu(X, y)))
+        np.testing.assert_allclose(l_sharded, l_plain, rtol=1e-5)
+
+    def test_hmc_chains_sharded(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from pytensor_tpu import parallel
+        from pytensor_tpu.models.hmc import make_radon_hmc_chains
+
+        mesh = parallel.make_mesh({"data": len(jax.devices())})
+        f, pos, n = make_radon_hmc_chains(
+            n_chains=2 * len(jax.devices()), n_obs=40, n_counties=5,
+            n_leapfrog=3, mesh=mesh)
+        lp1, _ = f()
+        lp2, _ = f()
+        assert np.isfinite(np.asarray(lp2)).all()
+        assert np.abs(np.asarray(pos.get_value())).sum() > 0
