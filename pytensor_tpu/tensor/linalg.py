@@ -509,20 +509,60 @@ class QR(MatrixOp):
             s[0] = np.asarray(r, dtype=dt)
 
     def L_op(self, inputs, outputs, output_grads):
-        # pullback for reduced QR with m >= n (Townsend 2016)
-        from pytensor_tpu.gradient import grad_not_implemented
+        # QR pullback (Townsend 2016; Liao et al. 2019 for m < n), covering
+        # modes reduced / r / complete — the same coverage as the reference
+        # decomposition/qr.py:230-319 (mode=raw and complete-with-m>n have
+        # no defined gradient there either)
+        from pytensor_tpu.gradient import DisconnectedType, grad_not_implemented
+        from pytensor_tpu.graph.null_type import NullType
+        from pytensor_tpu.tensor.basic import concatenate, zeros_like
 
-        if self.mode != "reduced":
-            return [grad_not_implemented(self, 0, inputs[0], "qr mode != reduced")]
+        if self.mode == "raw":
+            return [grad_not_implemented(self, 0, inputs[0], "qr mode=raw")]
         (x,) = inputs
-        q, r = outputs
-        qbar, rbar = output_grads
-        M = matmul(r, _mT(rbar)) - matmul(_mT(qbar), q)
-        copyltu = tril(M, -1) + _mT(tril(M, -1)) + diag(diagonal(M, axis1=-2, axis2=-1))
-        rhs = qbar + matmul(q, copyltu)
-        xbar = _mT(_core2(SolveTriangular(lower=False),
-                          _conj_r(r), _mT(rhs)))
-        return [xbar]
+        m_s, n_s = x.type.shape
+        if self.mode == "r":
+            # recompute the reduced factorization: the R-pullback needs Q
+            q, r = _core2(QR(mode="reduced"), x)
+            (rbar,) = output_grads
+            qbar = zeros_like(q)
+        else:
+            q, r = outputs
+            qbar, rbar = output_grads
+            if isinstance(getattr(qbar, "type", None), (DisconnectedType, NullType)):
+                qbar = zeros_like(q)
+            if isinstance(getattr(rbar, "type", None), (DisconnectedType, NullType)):
+                rbar = zeros_like(r)
+        if m_s is None or n_s is None:
+            return [grad_not_implemented(
+                self, 0, x, "qr gradient needs static (m, n) to pick the "
+                "m>=n / m<n formula (TPU graphs are static-shape)")]
+
+        def copyltu(M):
+            return (tril(M, -1) + _mT(tril(M, -1))
+                    + diag(diagonal(M, axis1=-2, axis2=-1)))
+
+        solve_ut = SolveTriangular(lower=False)
+        if self.mode == "complete" and m_s > n_s:
+            return [grad_not_implemented(
+                self, 0, x, "qr mode=complete with m > n: the extra Q "
+                "columns are gauge freedom (reference raises too)")]
+        if m_s >= n_s:
+            M = matmul(r, _mT(rbar)) - matmul(_mT(qbar), q)
+            K = qbar + matmul(q, copyltu(M))
+            xbar = _mT(_core2(solve_ut, _conj_r(r), _mT(K)))
+            return [xbar]
+        # m < n (wide): split A = [X | Y] with X (m, m)
+        Y = x[:, m_s:]
+        U = r[:, :m_s]
+        dU = rbar[:, :m_s]
+        dV = rbar[:, m_s:]
+        dQ2 = qbar + matmul(Y, _mT(dV))
+        M = matmul(U, _mT(dU)) - matmul(_mT(dQ2), q)
+        Xbar = _mT(_core2(solve_ut, _conj_r(U),
+                          _mT(dQ2 + matmul(q, copyltu(M)))))
+        Ybar = matmul(q, dV)
+        return [concatenate([Xbar, Ybar], axis=1)]
 
 
 def _conj_r(r):

@@ -145,3 +145,55 @@ def test_gp_marginal_likelihood_pipeline():
     rp = [np.asarray(v) for v in f_p(Xv, yv, 1.3)]
     np.testing.assert_allclose(rx[0], rp[0], rtol=1e-9)
     np.testing.assert_allclose(rx[1], rp[1], rtol=1e-8)
+
+
+class TestQRGradModes:
+    """QR pullback across modes reduced / r / complete, tall and wide
+    (reference decomposition/qr.py:230-319; Townsend 2016 + Liao et al.
+    2019 for the wide case).  Checked by directional finite differences
+    — entrywise FD trips over QR curvature at default eps."""
+
+    def _check(self, shape, mode, with_q=True):
+        from pytensor_tpu.tensor import linalg as ptl
+
+        rng = np.random.default_rng(0)
+        A = rng.random(shape)
+        x = pt.tensor("x", dtype="float64", shape=shape)
+        res = ptl.qr(x, mode=mode)
+        if mode == "r":
+            cost = (res ** 2).sum()
+        else:
+            q, r = res
+            cost = (r ** 2).sum() + ((q * 0.3).sum() if with_q else 0.0)
+        g = ptt.grad(cost, x)
+        f = ptt.function([x], [cost, g], mode="FAST_COMPILE")
+        c0, gv = (np.asarray(v) for v in f(A))
+        h = 1e-6
+        for _ in range(3):
+            E = rng.standard_normal(shape)
+            num = (float(np.asarray(f(A + h * E)[0]))
+                   - float(np.asarray(f(A - h * E)[0]))) / (2 * h)
+            np.testing.assert_allclose((gv * E).sum(), num, rtol=1e-6)
+
+    def test_tall_reduced(self):
+        self._check((5, 3), "reduced")
+
+    def test_wide_reduced(self):
+        self._check((3, 5), "reduced")
+
+    def test_r_mode(self):
+        self._check((5, 3), "r")
+        self._check((3, 5), "r")
+
+    def test_complete_square_and_wide(self):
+        self._check((4, 4), "complete")
+        self._check((3, 5), "complete")
+
+    def test_complete_tall_not_implemented(self):
+        from pytensor_tpu.gradient import NullTypeGradError
+        from pytensor_tpu.tensor import linalg as ptl
+
+        x = pt.tensor("x", dtype="float64", shape=(5, 3))
+        q, r = ptl.qr(x, mode="complete")
+        with pytest.raises(NullTypeGradError):
+            ptt.grad((q ** 2).sum(), x)
