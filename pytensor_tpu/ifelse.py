@@ -137,3 +137,88 @@ def _register_xla():
 
 
 _register_xla()
+
+
+def _register_rewrites():
+    """IfElse graph rewrites (reference ifelse.py:424-691): merge
+    conditionals on the same predicate into one node (one lax.cond
+    dispatch / one branch pair for XLA to compile) and drop conditionals
+    with a constant predicate."""
+    from pytensor_tpu.compile.mode import register_canonicalize, register_specialize
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+
+    @node_rewriter([IfElse])
+    def local_useless_ifelse(fgraph, node):
+        """ifelse(const, t, f) -> taken branch; ifelse(c, x, x) -> x."""
+        cond = node.inputs[0]
+        ts = node.inputs[1: 1 + node.op.n_outs]
+        fs = node.inputs[1 + node.op.n_outs:]
+        if isinstance(cond, Constant):
+            branch = ts if bool(cond.data) else fs
+            res = []
+            for b, out in zip(branch, node.outputs):
+                if b.type.dtype != out.type.dtype:
+                    b = cast(b, out.type.dtype)
+                if not out.type.is_super(b.type):
+                    from pytensor_tpu.tensor.shape import specify_shape
+
+                    b = specify_shape(b, out.type.shape)
+                copy_stack_trace(out, b)
+                res.append(b)
+            return res
+        if all(t is f for t, f in zip(ts, fs)):
+            return list(ts)
+        return False
+
+    register_canonicalize(local_useless_ifelse, name="local_useless_ifelse")
+
+    @node_rewriter([IfElse])
+    def local_ifelse_merge(fgraph, node):
+        """Merge independent IfElse nodes on the same condition into one
+        multi-output conditional (reference cond_merge): one lax.cond
+        dispatch / branch pair instead of several."""
+        from pytensor_tpu.graph.traversal import ancestors
+
+        cond = node.inputs[0]
+        n = node.op.n_outs
+        # find another IfElse on the same condition, independent of node
+        other = None
+        for client_node, _ in fgraph.clients.get(cond, ()):
+            if client_node == "output" or client_node is node:
+                continue
+            if isinstance(client_node.op, IfElse) \
+                    and client_node.inputs[0] is cond \
+                    and client_node in fgraph.apply_nodes:
+                other = client_node
+                break
+        if other is None:
+            return False
+        node_out_ids = {id(o) for o in node.outputs}
+        other_out_ids = {id(o) for o in other.outputs}
+        if any(id(a) in other_out_ids for a in ancestors(node.inputs)):
+            return False
+        if any(id(a) in node_out_ids for a in ancestors(other.inputs)):
+            return False
+        m = other.op.n_outs
+        ts = list(node.inputs[1: 1 + n])
+        fs = list(node.inputs[1 + n:])
+        o_ts = list(other.inputs[1: 1 + m])
+        o_fs = list(other.inputs[1 + m:])
+        merged = IfElse(n + m, name=node.op.name)(
+            cond, *ts, *o_ts, *fs, *o_fs)
+        if not isinstance(merged, list):
+            merged = [merged]
+        repl = {}
+        for old, new in zip(list(node.outputs) + list(other.outputs), merged):
+            if not old.type.is_super(new.type):
+                return False
+            repl[old] = new
+        for old, new in repl.items():
+            copy_stack_trace(old, new)
+        return repl
+
+    register_specialize(local_ifelse_merge, name="local_ifelse_merge")
+
+
+_register_rewrites()

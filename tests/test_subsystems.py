@@ -196,3 +196,45 @@ class TestConvFFT:
         v = rng.random(8)
         f = ptt.function([x], irfft(rfft(x)))
         np.testing.assert_allclose(np.asarray(f(v)), v, atol=1e-8)
+
+
+class TestIfElseRewrites:
+    """cond-merge + useless-ifelse (reference ifelse.py:424-691)."""
+
+    def test_merge_same_condition(self):
+        from pytensor_tpu.ifelse import IfElse, ifelse
+
+        cv = pt.dscalar("cv")
+        c = cv > 0
+        x, y = pt.dvector("x"), pt.dvector("y")
+        a = ifelse(c, x * 2, y + 1)
+        b = ifelse(c, x - y, y * 3)
+        f = ptt.function([cv, x, y], [a, b])
+        assert sum(isinstance(n.op, IfElse) for n in f.fgraph.apply_nodes) == 1
+        xv, yv = np.arange(3.0), np.ones(3)
+        av, bv = (np.asarray(v) for v in f(1.0, xv, yv))
+        np.testing.assert_allclose(av, xv * 2)
+        np.testing.assert_allclose(bv, xv - yv)
+        av, bv = (np.asarray(v) for v in f(-1.0, xv, yv))
+        np.testing.assert_allclose(av, yv + 1)
+        np.testing.assert_allclose(bv, yv * 3)
+
+    def test_constant_condition_folds(self):
+        from pytensor_tpu.ifelse import IfElse, ifelse
+
+        x, y = pt.dvector("x"), pt.dvector("y")
+        f = ptt.function([x, y], ifelse(pt.constant(np.bool_(True)), x, y))
+        assert not any(isinstance(n.op, IfElse) for n in f.fgraph.apply_nodes)
+        xv, yv = np.arange(3.0), np.ones(3)
+        np.testing.assert_allclose(np.asarray(f(xv, yv)), xv)
+
+    def test_same_branches_fold(self):
+        from pytensor_tpu.ifelse import IfElse, ifelse
+
+        cv = pt.dscalar("cv")
+        x = pt.dvector("x")
+        z = x * 2
+        f = ptt.function([cv, x], ifelse(cv > 0, z, z))
+        assert not any(isinstance(n.op, IfElse) for n in f.fgraph.apply_nodes)
+        np.testing.assert_allclose(np.asarray(f(1.0, np.arange(3.0))),
+                                   np.arange(3.0) * 2)
