@@ -169,3 +169,172 @@ def test_radon_logp_dlogp_vs_reference(ref):
     # reduction-order noise on a ~200-term f64 sum: 1e-7 beats the 1e-6 bar
     np.testing.assert_allclose(r_us[0], r_ref[0], rtol=1e-7)
     np.testing.assert_allclose(r_us[1], r_ref[1], rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_subtensor_inc_grads(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = rng.random(12)
+    w = rng.random(4)
+    idx = np.array([1, 3, 5, 3])
+
+    def build(mod_t, mod_f, grad_fn, set_st, inc_st):
+        x = mod_t.dvector("x")
+        y = mod_t.dvector("y")
+        a = x[2:9:2].sum() + x[idx].prod()
+        b = inc_st(x[idx], y).sum() + set_st(x[:4], y * 2).sum()
+        out = a + b
+        gx, gy = grad_fn(out, [x, y])
+        return mod_f([x, y], [out, gx, gy])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad,
+                  rt.set_subtensor, rt.inc_subtensor)
+    from pytensor_tpu.tensor.subtensor import inc_subtensor, set_subtensor
+
+    f_us = build(pt, ptt.function, ptt.grad, set_subtensor, inc_subtensor)
+    r1 = [np.asarray(a) for a in f_ref(v, w)]
+    r2 = [np.asarray(a) for a in f_us(v, w)]
+    for a, b in zip(r2, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_softmax_logsumexp_grads(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = rng.random((6, 5)) * 4 - 2
+
+    def build(mod_t, mod_f, grad_fn, sm, lse):
+        x = mod_t.dmatrix("x")
+        y = (sm(x) ** 2).sum() + lse(x, 1).sum()
+        g = grad_fn(y, x)
+        return mod_f([x], [y, g])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad,
+                  lambda x: rt.special.softmax(x, axis=-1),
+                  lambda x, ax: rt.logsumexp(x, axis=ax))
+    from pytensor_tpu.tensor.special import logsumexp, softmax
+
+    f_us = build(pt, ptt.function, ptt.grad,
+                 lambda x: softmax(x, axis=-1),
+                 lambda x, ax: logsumexp(x, axis=ax))
+    r1 = [np.asarray(a) for a in f_ref(v)]
+    r2 = [np.asarray(a) for a in f_us(v)]
+    np.testing.assert_allclose(r2[0], r1[0], rtol=1e-10)
+    np.testing.assert_allclose(r2[1], r1[1], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_betainc_gammainc_grads(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    av = rng.random(5) * 3 + 0.5
+    bv = rng.random(5) * 3 + 0.5
+    xv = rng.random(5) * 0.8 + 0.1
+
+    def build(mod_t, mod_f, grad_fn, betainc, gammainc):
+        a = mod_t.dvector("a")
+        b = mod_t.dvector("b")
+        x = mod_t.dvector("x")
+        y = betainc(a, b, x).sum() + gammainc(a, x).sum()
+        ga, gb, gx = grad_fn(y, [a, b, x])
+        return mod_f([a, b, x], [y, ga, gb, gx])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad, rt.betainc, rt.gammainc)
+    f_us = build(pt, ptt.function, ptt.grad, pt.math.betainc, pt.math.gammainc)
+    r1 = [np.asarray(v) for v in f_ref(av, bv, xv)]
+    r2 = [np.asarray(v) for v in f_us(av, bv, xv)]
+    for a, b in zip(r2, r1):
+        np.testing.assert_allclose(a, b, rtol=5e-6, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_extra_ops_values(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = rng.random((4, 6))
+
+    def build(mod_t, mod_f, cumsum, repeat, diff):
+        x = mod_t.dmatrix("x")
+        return mod_f([x], [cumsum(x, 1), repeat(x, 3, 0), diff(x, axis=1)])
+
+    f_ref = build(rt, pytensor.function, rt.cumsum, rt.repeat, rt.diff)
+    from pytensor_tpu.tensor.extra_ops import cumsum, diff, repeat
+
+    f_us = build(pt, ptt.function, cumsum, repeat, diff)
+    for a, b in zip(f_us(v), f_ref(v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-14)
+
+
+@pytest.mark.slow
+def test_einsum_and_batched_dot(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    A = rng.random((3, 4, 5))
+    B = rng.random((3, 5, 2))
+
+    def build(mod_t, mod_f, grad_fn, einsum):
+        a = mod_t.tensor("a", dtype="float64", shape=(3, 4, 5))
+        b = mod_t.tensor("b", dtype="float64", shape=(3, 5, 2))
+        y = einsum("bij,bjk->bik", a, b)
+        cost = (y ** 2).sum()
+        ga, gb = grad_fn(cost, [a, b])
+        return mod_f([a, b], [y, cost, ga, gb])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad, rt.einsum)
+    f_us = build(pt, ptt.function, ptt.grad, pt.einsum)
+    r1 = [np.asarray(v) for v in f_ref(A, B)]
+    r2 = [np.asarray(v) for v in f_us(A, B)]
+    for a, b in zip(r2, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_ifelse_and_switch(ref):
+    import pytensor
+    import pytensor.tensor as rt
+    from pytensor.ifelse import ifelse as ref_ifelse
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.ifelse import ifelse as our_ifelse
+
+    v = rng.random(7) - 0.5
+
+    def build(mod_t, mod_f, grad_fn, ife):
+        x = mod_t.dvector("x")
+        c = x.sum() > 0
+        y = ife(c, (x ** 2).sum(), (-x).sum())
+        z = mod_t.switch(x > 0, mod_t.log1p(x), x)
+        out = y + z.sum()
+        g = grad_fn(out, x)
+        return mod_f([x], [out, g])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad, ref_ifelse)
+    f_us = build(pt, ptt.function, ptt.grad, our_ifelse)
+    for vv in (v, -v):
+        r1 = [np.asarray(a) for a in f_ref(vv)]
+        r2 = [np.asarray(a) for a in f_us(vv)]
+        np.testing.assert_allclose(r2[0], r1[0], rtol=1e-12)
+        np.testing.assert_allclose(r2[1], r1[1], rtol=1e-12)
