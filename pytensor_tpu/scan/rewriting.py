@@ -287,3 +287,89 @@ class ScanMerge(GraphRewriter):
 
 
 optdb.register("scan_merge", ScanMerge(), "fast_run", "scan", position=1.63)
+
+
+@node_rewriter([Scan])
+def scan_push_out_non_seqs(fgraph, node):
+    """Hoist inner-graph subvalues that depend only on non-sequence inputs
+    out of the loop (reference scan/rewriting/push_out.py): they become
+    extra non-sequence inputs computed once.  XLA also hoists loop
+    invariants, but doing it symbolically shrinks the traced loop body
+    (faster jit) and exposes the hoisted value to outer-graph rewrites.
+    """
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.replace import clone_replace
+    from pytensor_tpu.graph.traversal import ancestors
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    inner_non_seqs = set(op.inner_non_seq_vars())
+    loop_vars = set(op.fgraph.inputs) - inner_non_seqs
+
+    # find maximal inner Apply outputs whose ancestors avoid loop vars
+    def invariant(v):
+        if v in inner_non_seqs or isinstance(v, Constant):
+            return True
+        if v.owner is None:
+            return False
+        return all(invariant(i) for i in v.owner.inputs)
+
+    candidates = []
+    for inner_node in op.fgraph.toposort():
+        for out in inner_node.outputs:
+            if not invariant(out):
+                continue
+            clients = op.fgraph.clients.get(out, ())
+            # maximal: some client is NOT itself invariant (or it's an
+            # inner output) — otherwise hoist the bigger parent instead
+            if any(c == "output" or not all(invariant(o) for o in c.outputs)
+                   for c, _ in clients):
+                candidates.append(out)
+    if not candidates:
+        return False
+    candidates = list(dict.fromkeys(candidates))
+
+    # outer expressions: clone candidate subgraphs with inner non-seqs
+    # replaced by the matching outer inputs
+    outer_non_seqs = list(op.outer_non_seqs(node.inputs))
+    mapping = dict(zip(op.inner_non_seq_vars(), outer_non_seqs))
+    outer_values = clone_replace(candidates, replace=mapping)
+
+    # rebuild the inner graph with fresh inputs standing for the hoisted
+    # values
+    fresh = [c.type() for c in candidates]
+    new_inner_outputs = clone_replace(
+        list(op.fgraph.outputs), replace=dict(zip(candidates, fresh)))
+    new_inner_inputs = list(op.fgraph.inputs) + fresh
+    # drop if nothing was actually replaced (candidates not upstream of
+    # outputs)
+    used = set(map(id, ancestors(new_inner_outputs)))
+    if not any(id(f) in used for f in fresh):
+        return False
+
+    new_info = ScanInfo(
+        n_seqs=info.n_seqs,
+        taps=info.taps,
+        n_nit_sot=info.n_nit_sot,
+        n_non_seqs=info.n_non_seqs + len(fresh),
+        as_while=False,
+        n_untraced=info.n_untraced,
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_op = Scan(new_fg, new_info, name=op.name,
+                  truncate_gradient=op.truncate_gradient)
+    new_outs = new_op(*node.inputs, *outer_values)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+    return dict(zip(node.outputs, new_outs))
+
+
+optdb.register(
+    "scan_push_out_non_seqs",
+    WalkingGraphRewriter(scan_push_out_non_seqs),
+    "fast_run", "scan",
+    position=1.601,  # reference scan_eqopt2 push-out region
+)

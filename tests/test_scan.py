@@ -325,3 +325,27 @@ def test_while_scan_gradient_multitap_nit():
                         - L(y0v - eps * np.eye(2)[i])) / (2 * eps)
                        for i in range(2)])
         np.testing.assert_allclose(gv, fd, rtol=1e-6)
+
+
+def test_scan_push_out_non_seqs():
+    """Loop-invariant inner computation hoists to a precomputed
+    non-sequence (reference scan/rewriting/push_out.py)."""
+    from pytensor_tpu.scan.op import Scan
+
+    x = pt.dvector("x")
+    w = pt.dmatrix("w")
+    out, _ = ptt.scan(lambda xt, acc, ww: acc + xt * pt.exp(ww).sum(),
+                      sequences=[x],
+                      outputs_info=[pt.constant(0.0, dtype="float64")],
+                      non_sequences=[w])
+    f = ptt.function([x, w], out[-1])
+    scan_node = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)][0]
+    assert not any(
+        getattr(getattr(n.op, "scalar_op", None), "name", "") == "exp"
+        for n in scan_node.op.fgraph.apply_nodes)
+    xv, wv = np.arange(4.0), np.ones((2, 2))
+    expect = np.cumsum(xv * np.exp(wv).sum())[-1]
+    for mode in (None, "FAST_COMPILE"):
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x, w], out[-1], mode=mode)(xv, wv)),
+            expect, rtol=1e-12)
