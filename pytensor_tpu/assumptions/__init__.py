@@ -163,6 +163,37 @@ def _register_default_rules():
 
     register_assumption(Elemwise, elemwise_rule)
 
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    def dimshuffle_rule(node, fact, holds_fn):
+        op = node.op
+        (x,) = node.inputs
+        if op.is_transpose and op.shuffle == tuple(reversed(range(len(op.shuffle)))):
+            if fact == "lower_triangular":
+                return holds_fn(x, "upper_triangular")
+            if fact == "upper_triangular":
+                return holds_fn(x, "lower_triangular")
+            if fact in ("symmetric", "diagonal", "positive_definite",
+                        "orthogonal", "non_negative", "positive", "zero"):
+                return holds_fn(x, fact)
+        if not op.drop and not op.shuffle:
+            # pure expand_dims of a scalar: value facts pass through
+            if fact in ("non_negative", "positive", "zero"):
+                return holds_fn(x, fact)
+        return FactState.UNKNOWN
+
+    register_assumption(DimShuffle, dimshuffle_rule)
+
+    def inverse_rule(node, fact, holds_fn):
+        (x,) = node.inputs
+        if fact in ("positive_definite", "diagonal", "symmetric",
+                    "lower_triangular", "upper_triangular", "orthogonal"):
+            # all preserved under matrix inverse
+            return holds_fn(x, fact)
+        return FactState.UNKNOWN
+
+    register_assumption(MatrixInverse, inverse_rule)
+
 
 _register_default_rules()
 
@@ -191,6 +222,21 @@ def _register_rewrites():
         return [res]
 
     register_specialize(local_solve_to_triangular, name="local_solve_to_triangular")
+
+    @node_rewriter([Solve])
+    def local_solve_to_cholesky(fgraph, node):
+        """solve(A, b) with A known positive-definite -> the Cholesky path
+        (reference linalg/solvers.py:703 psd specialization)."""
+        A, b = node.inputs
+        if node.op.assume_a != "gen":
+            return False
+        if holds(A, "positive_definite") != FactState.TRUE:
+            return False
+        res = Solve(assume_a="pos", b_ndim=node.op.b_ndim)(A, b)
+        copy_stack_trace(node.outputs[0], res)
+        return [res]
+
+    register_specialize(local_solve_to_cholesky, name="local_solve_to_cholesky")
 
     @node_rewriter([CheckAndRaise])
     def local_remove_proven_assert(fgraph, node):

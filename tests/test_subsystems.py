@@ -238,3 +238,49 @@ class TestIfElseRewrites:
         assert not any(isinstance(n.op, IfElse) for n in f.fgraph.apply_nodes)
         np.testing.assert_allclose(np.asarray(f(1.0, np.arange(3.0))),
                                    np.arange(3.0) * 2)
+
+
+class TestAssumptionsExtended:
+    def test_transpose_flips_triangularity(self):
+        from pytensor_tpu.assumptions import FactState, holds
+        from pytensor_tpu.tensor import linalg as ptl
+
+        A = pt.dmatrix("A")
+        L = ptl.cholesky(A)
+        assert holds(pt.transpose(L), "upper_triangular") == FactState.TRUE
+        assert holds(pt.transpose(L), "lower_triangular") != FactState.TRUE
+
+    def test_solve_upper_transpose_specializes(self):
+        from pytensor_tpu.tensor import linalg as ptl
+        from pytensor_tpu.tensor.linalg import SolveTriangular
+
+        A, b = pt.dmatrix("A"), pt.dvector("b")
+        x = ptl.solve(pt.transpose(ptl.cholesky(A)), b, b_ndim=1)
+        f = ptt.function([A, b], x)
+        assert any(isinstance(n.op, SolveTriangular) and not n.op.lower
+                   for n in f.fgraph.apply_nodes)
+
+    def test_pd_solve_goes_cholesky(self):
+        from pytensor_tpu.assumptions import assume
+        from pytensor_tpu.tensor import linalg as ptl
+        from pytensor_tpu.tensor.linalg import Solve
+
+        A, b = pt.dmatrix("A"), pt.dvector("b")
+        assume(A, "positive_definite")
+        f = ptt.function([A, b], ptl.solve(A, b, b_ndim=1))
+        assert any(isinstance(n.op, Solve) and n.op.assume_a == "pos"
+                   for n in f.fgraph.apply_nodes)
+        rng2 = np.random.default_rng(0)
+        Av = rng2.random((3, 3))
+        Av = Av @ Av.T + 3 * np.eye(3)
+        bv = np.arange(3.0)
+        np.testing.assert_allclose(np.asarray(f(Av, bv)),
+                                   np.linalg.solve(Av, bv), rtol=1e-9)
+
+    def test_inverse_preserves_pd(self):
+        from pytensor_tpu.assumptions import FactState, assume, holds
+        from pytensor_tpu.tensor import linalg as ptl
+
+        A = pt.dmatrix("A")
+        assume(A, "positive_definite")
+        assert holds(ptl.inv(A), "positive_definite") == FactState.TRUE
