@@ -86,17 +86,32 @@ def profile_function(fn, stats: ProfileStats | None = None):
 
         fn.vm = timed_vm
     else:
-        # XLA: surface the compiled executable's cost analysis
-        try:
-            import jax
-
-            lowered = fn.vm
-            stats.xla_cost = "available via fn.vm.lower(...).compile().cost_analysis()"
-        except Exception:
-            pass
+        # XLA: surface the compiled executable's cost analysis (flops,
+        # bytes accessed, per-output sizes) from the jitted callable
         orig_vm = fn.vm
 
+        def _fill_cost(*example_args):
+            try:
+                lowered = orig_vm.lower(*example_args)
+                cost = lowered.compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0] if cost else {}
+                stats.xla_cost = {
+                    k: v for k, v in dict(cost).items()
+                    if k in ("flops", "bytes accessed",
+                             "bytes accessed output", "transcendentals",
+                             "optimal_seconds") or k.startswith("bytes")
+                }
+            except Exception:
+                stats.xla_cost = None
+
+        fn._fill_xla_cost = _fill_cost
+        filled = [False]
+
         def timed_vm(*vals):
+            if not filled[0]:
+                filled[0] = True
+                _fill_cost(*vals)
             t0 = time.perf_counter()
             res = orig_vm(*vals)
             import jax

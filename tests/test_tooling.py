@@ -130,3 +130,17 @@ def test_destroyhandler_metadata():
     fg = FunctionGraph([x, y], [out], clone=False)
     rep = donation_report(fg)
     assert rep[0] and rep[1]
+
+
+def test_profile_xla_cost_analysis():
+    """profile=True surfaces the XLA executable's cost analysis
+    (reference exposes per-op timing from its VMs; on one fused
+    executable the equivalent is flops/bytes from the compiler)."""
+    x = pt.dmatrix("x")
+    f = ptt.function([x], pt.dot(x, pt.transpose(x)).sum(), profile=True)
+    v = np.random.default_rng(0).random((64, 32))
+    f(v)
+    f(v)
+    st = f.profile_stats
+    assert st.call_count == 2
+    assert st.xla_cost and st.xla_cost.get("flops", 0) > 0
