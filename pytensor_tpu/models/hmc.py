@@ -143,3 +143,70 @@ def make_radon_hmc_chains(n_chains=256, n_obs=919, n_counties=85,
             name="hmc_chains_step",
         )
     return f, position, n_params
+
+
+def make_multinomial_hmc_step(make_logp_graph, n_params, n_leapfrog=16,
+                              step_size=0.02, dtype="float32", seed=0):
+    """Multinomial HMC: sample a state from the whole trajectory with
+    weights softmax(H_t) instead of accepting only the endpoint
+    (Betancourt 2017, "A conceptual introduction to HMC", app. A.3 —
+    what modern NUTS implementations do within each trajectory).
+
+    Whole transition = one XLA executable: leapfrog scan traces H along
+    the trajectory, a Gumbel-max draw picks the next state on device.
+    """
+    theta_in, logp = make_logp_graph()
+    dlogp = ptt.grad(logp, theta_in)
+
+    srng = RandomStream(seed=seed)
+    position = ptt.shared(np.zeros(n_params, dtype), name="mhmc_position")
+    m0 = pt.cast(srng.normal(0.0, 1.0, size=(n_params,)), dtype)
+
+    def leapfrog(theta, m):
+        g = graph_replace(dlogp, {theta_in: theta})
+        m_half = m + (step_size / 2) * g
+        theta_new = theta + step_size * m_half
+        g_new = graph_replace(dlogp, {theta_in: theta_new})
+        m_new = m_half + (step_size / 2) * g_new
+        return theta_new, m_new
+
+    (thetas, ms), lf_updates = ptt.scan(
+        leapfrog, outputs_info=[position, m0], n_steps=n_leapfrog,
+        name="mhmc_leapfrog",
+    )
+
+    # H_t along the trajectory (including the start point)
+    def H(theta, m):
+        return graph_replace(logp, {theta_in: theta}) - 0.5 * pt.sum(m ** 2)
+
+    Hs, _ = ptt.scan(lambda th, mm: H(th, mm), sequences=[thetas, ms],
+                     name="mhmc_energies")
+    H0 = H(position, m0)
+    all_H = pt.concatenate([H0[None], Hs], axis=0)     # (T+1,)
+    all_theta = pt.concatenate([position[None, :], thetas], axis=0)
+
+    # Gumbel-max: idx = argmax(H_t + G_t) samples \propto exp(H_t)
+    u = srng.uniform(0.0, 1.0, size=(n_leapfrog + 1,))
+    gumbel = -pt.log(-pt.log(pt.cast(u, dtype) + 1e-12) + 1e-12)
+    idx = pt.argmax(all_H + gumbel)
+    new_position = all_theta[idx]
+    new_logp = graph_replace(logp, {theta_in: new_position})
+
+    updates = dict(lf_updates)
+    updates[position] = new_position
+    f = ptt.function([], [new_logp, idx], updates=updates,
+                     name="multinomial_hmc_step")
+    return f, position
+
+
+def make_radon_multinomial_hmc(n_obs=919, n_counties=85, dtype="float32",
+                               **kwargs):
+    from pytensor_tpu.models.radon import make_radon_graphs
+
+    inputs, (logp, _), n_params = make_radon_graphs(
+        n_obs=n_obs, n_counties=n_counties, dtype=dtype)
+
+    def build():
+        return inputs[0], logp
+
+    return (*make_multinomial_hmc_step(build, n_params, **kwargs), n_params)

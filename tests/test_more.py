@@ -306,3 +306,28 @@ class TestParallelTP:
         lp2, _ = f()
         assert np.isfinite(np.asarray(lp2)).all()
         assert np.abs(np.asarray(pos.get_value())).sum() > 0
+
+
+class TestMultinomialHMC:
+    def test_trajectory_sampling_moves(self):
+        from pytensor_tpu.models.hmc import make_radon_multinomial_hmc
+
+        f, pos, n = make_radon_multinomial_hmc(n_obs=50, n_counties=6,
+                                               n_leapfrog=6)
+        idxs = set()
+        for _ in range(10):
+            lp, idx = f()
+            idxs.add(int(np.asarray(idx)))
+        assert np.isfinite(float(np.asarray(lp)))
+        assert len(idxs) > 1  # samples along the trajectory, not endpoint-only
+        assert np.abs(np.asarray(pos.get_value())).sum() > 0
+
+
+def test_dump_function():
+    from pytensor_tpu.compile.debug.dump import dump_function
+
+    x = pt.dvector("x")
+    f = ptt.function([x], (x ** 2).sum(), profile=True)
+    f(np.arange(3.0))
+    txt = dump_function(f, hlo=True)
+    assert "backend" in txt and len(txt) > 200
