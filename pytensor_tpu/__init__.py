@@ -55,11 +55,15 @@ map = scan_map
 reduce = scan_reduce
 
 
-def __getattr__(name):
-    if name == "ifelse":
-        from pytensor_tpu.ifelse import ifelse
+# import the submodule eagerly, then rebind the name to the callable —
+# a later `from pytensor_tpu.ifelse import ...` must not shadow it back
+# to the module (the import system only sets the parent attr on the
+# submodule's FIRST load)
+import pytensor_tpu.ifelse as _ifelse_module  # noqa: E402
+from pytensor_tpu.ifelse import ifelse  # noqa: E402,F401
 
-        return ifelse
+
+def __getattr__(name):
     if name == "OpFromGraph":
         from pytensor_tpu.compile.builders import OpFromGraph
 
