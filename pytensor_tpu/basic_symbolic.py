@@ -17,6 +17,10 @@ from pytensor_tpu.graph.basic import Variable
 
 @singledispatch
 def as_symbolic(x, **kwargs):
+    # lazy scipy registration (reference _sparse_lazy.py trick): only pay
+    # the scipy.sparse import when a sparse value actually shows up
+    if _register_sparse():
+        return as_symbolic(x, **kwargs)
     from pytensor_tpu.tensor.basic import as_tensor_variable
 
     return as_tensor_variable(x, **kwargs)
@@ -41,7 +45,16 @@ def _as_symbolic_none(x, **kwargs):
     return NoneConst
 
 
+_sparse_registered = False
+
+
 def _register_sparse():
+    """Register the scipy.sparse dispatch on first use; True if this call
+    added it (caller should redispatch)."""
+    global _sparse_registered
+    if _sparse_registered:
+        return False
+    _sparse_registered = True
     try:
         import scipy.sparse as sp
 
@@ -50,8 +63,7 @@ def _register_sparse():
             from pytensor_tpu.sparse.basic import as_sparse_variable
 
             return as_sparse_variable(x)
+
+        return True
     except Exception:
-        pass
-
-
-_register_sparse()
+        return False
