@@ -265,9 +265,39 @@ class Scan(Op, HasInnerGraph):
             output_storage[-1][0] = np.int64(steps_done)
 
     def infer_shape(self, fgraph, node, input_shapes):
-        # per-dim shapes beyond the leading time dim require inner-graph
-        # shape propagation; defer (callers fall back to Shape ops)
-        raise NotImplementedError()
+        """Trace shapes are (n_steps, *core); core dims come from the state
+        inits (reference scan/op.py:2331).  nit-sot / unknown dims fall
+        back to Shape_i of the actual output."""
+        from pytensor_tpu.tensor.math import cast as tm_cast
+        from pytensor_tpu.tensor.shape import shape as sym_shape
+
+        info = self.info
+        n_steps = tm_cast(node.inputs[0], "int64")
+        res = []
+        out_idx = 0
+        for k, taps in enumerate(info.taps):
+            init_shape = input_shapes[1 + info.n_seqs + k]
+            m = -min(taps)
+            core = init_shape if (m == 1 and len(taps) == 1) else init_shape[1:]
+            res.append((n_steps, *core))
+            out_idx += 1
+        for u in range(info.n_untraced):
+            res.append(tuple(
+                input_shapes[1 + info.n_seqs + info.n_states + u]))
+            out_idx += 1
+        for m_ in range(info.n_nit_sot):
+            out = node.outputs[info.n_states + info.n_untraced + m_]
+            inner_out = self.inner_nit_sot_outs()[m_]
+            dims = [n_steps]
+            for d, static in enumerate(inner_out.type.shape):
+                if static is not None:
+                    dims.append(static)
+                else:
+                    dims.append(sym_shape(out)[d + 1])
+            res.append(tuple(dims))
+        if info.as_while:
+            res.append(())
+        return res
 
     def connection_pattern(self, node):
         # conservative: every input may affect every output except n_steps
