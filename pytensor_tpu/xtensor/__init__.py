@@ -2,6 +2,7 @@ from pytensor_tpu.xtensor.type import XTensorType, as_xtensor, xtensor
 from pytensor_tpu.xtensor import rewriting  # noqa: F401  (registers lower_xtensor)
 from pytensor_tpu.xtensor import math  # noqa: F401
 from pytensor_tpu.xtensor import linalg  # noqa: F401
+from pytensor_tpu.xtensor import random  # noqa: F401
 from pytensor_tpu.xtensor.indexing import (  # noqa: F401
     index_inc,
     index_set,

@@ -151,3 +151,26 @@ class TestXGrad:
         exp = np.zeros_like(xv)
         exp[1] = 2 * xv[1]
         np.testing.assert_allclose(gv, exp)
+
+
+class TestXRandom:
+    def test_dims_and_param_alignment(self):
+        from pytensor_tpu.tensor.random.utils import RandomStream
+        from pytensor_tpu.xtensor import random as pxr
+
+        srng = RandomStream(seed=0)
+        d = pxr.normal(srng, 0.0, 1.0, dims={"chain": 8, "param": 3})
+        assert d.type.dims == ("chain", "param") and d.type.shape == (8, 3)
+        mu = px.as_xtensor(np.arange(3.0), dims=("param",))
+        d2 = pxr.normal(srng, mu, 0.001, dims={"chain": 200, "param": 3})
+        v2 = np.asarray(ptt.function([], d2.values)())
+        np.testing.assert_allclose(v2.mean(0), [0, 1, 2], atol=0.01)
+
+    def test_bad_param_dim_rejected(self):
+        from pytensor_tpu.tensor.random.utils import RandomStream
+        from pytensor_tpu.xtensor import random as pxr
+
+        srng = RandomStream(seed=0)
+        mu = px.as_xtensor(np.arange(3.0), dims=("other",))
+        with pytest.raises(ValueError):
+            pxr.normal(srng, mu, 1.0, dims={"chain": 4})
