@@ -267,6 +267,20 @@ config.add("nan_guard__inf_is_error", BoolParam(True))
 config.add("nan_guard__big_is_error", BoolParam(True))
 
 # --- scan ---
+config.add(
+    "xla__matmul_precision",
+    EnumStr("default", ("bfloat16", "tensorfloat32", "float32", "highest"),
+            doc="jax default_matmul_precision for compiled functions: "
+                "'bfloat16' runs MXU matmuls at bf16 inputs (fastest), "
+                "'float32'/'highest' forces full-precision passes."),
+)
+config.add(
+    "scan__unroll",
+    IntParam(1, doc="lax.scan unroll factor for compiled for-loops: >1 "
+                    "replicates the loop body, amortizing TPU per-iteration "
+                    "control overhead (good for small, latency-bound "
+                    "bodies). n_steps must be divisible or XLA pads."),
+)
 config.add("scan__allow_gc", BoolParam(False))
 config.add("scan__allow_output_prealloc", BoolParam(True))
 

@@ -123,5 +123,13 @@ class XlaLinker(Linker):
             kwargs["in_shardings"] = self.in_shardings
         if self.out_shardings is not None:
             kwargs["out_shardings"] = self.out_shardings
+        prec = config.xla__matmul_precision
+        if prec != "default":
+            inner = fn
+
+            def fn(*args, _inner=inner, _prec=prec):
+                with jax.default_matmul_precision(_prec):
+                    return _inner(*args)
+
         jitted = jax.jit(fn, donate_argnums=donate or (), **kwargs)
         return jitted

@@ -653,8 +653,14 @@ def _register_xla():
                     )
                     return (tuple(new_windows), new_untraced), ys
 
+                from pytensor_tpu.config import config as _cfg
+
+                unroll = max(1, int(_cfg.scan__unroll))
+                if unroll > 1 and T % unroll:
+                    unroll = 1  # keep exact trip counts; no padding surprises
                 (final_w, final_u), ys = jax.lax.scan(
-                    body, (tuple(windows0), tuple(untraced0)), tuple(seqs), length=T
+                    body, (tuple(windows0), tuple(untraced0)), tuple(seqs),
+                    length=T, unroll=unroll
                 )
                 res = (tuple(ys[: info.n_states]) + tuple(final_u)
                        + tuple(ys[info.n_states:]))
