@@ -60,11 +60,17 @@ class ScanInfo:
 
 class Scan(Op, HasInnerGraph):
     def __init__(self, fgraph: FunctionGraph, info: ScanInfo, name=None,
-                 truncate_gradient: int = -1, mode=None):
+                 truncate_gradient: int = -1, mode=None, unroll=None):
+        from pytensor_tpu.config import config
+
         self.fgraph = fgraph
         self.info = info
         self.name = name
         self.truncate_gradient = truncate_gradient
+        # capture at construction: the lax lowering runs at trace time,
+        # typically outside any config.change_flags block
+        self.unroll = max(1, int(config.scan__unroll if unroll is None
+                                 else unroll))
         self._oracle_fn = None
         expected_in = (info.n_seqs + sum(len(t) for t in info.taps)
                        + info.n_untraced + info.n_non_seqs)
@@ -653,9 +659,7 @@ def _register_xla():
                     )
                     return (tuple(new_windows), new_untraced), ys
 
-                from pytensor_tpu.config import config as _cfg
-
-                unroll = max(1, int(_cfg.scan__unroll))
+                unroll = getattr(op, "unroll", 1)
                 if unroll > 1 and T % unroll:
                     unroll = 1  # keep exact trip counts; no padding surprises
                 (final_w, final_u), ys = jax.lax.scan(

@@ -50,7 +50,8 @@ def scan_remove_unused_outputs(fgraph, node):
     )
     new_fg = FunctionGraph(list(op.fgraph.inputs), list(inner_outputs), clone=True)
     new_op = Scan(new_fg, new_info, name=op.name,
-                  truncate_gradient=op.truncate_gradient)
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
     new_outs = new_op(*node.inputs)
     if not isinstance(new_outs, list):
         new_outs = [new_outs]
@@ -149,7 +150,8 @@ def scan_sit_sot_to_untraced(fgraph, node):
     )
     new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
     new_op = Scan(new_fg, new_info, name=op.name,
-                  truncate_gradient=op.truncate_gradient)
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
 
     outer_inits = op.outer_inits(node.inputs)
     outer_untraced = op.outer_untraced_inits(node.inputs)
@@ -257,7 +259,8 @@ class ScanMerge(GraphRewriter):
         )
         new_fg = FunctionGraph(inner_inputs, inner_outputs, clone=True)
         new_op = Scan(new_fg, new_info,
-                      name="+".join(op.name or "scan" for op in ops))
+                      name="+".join(op.name or "scan" for op in ops),
+                      unroll=max(getattr(op, "unroll", 1) or 1 for op in ops))
         outer = (
             [v for n in nodes for v in n.op.outer_seqs(n.inputs)]
             + [v for n in nodes for v in n.op.outer_inits(n.inputs)]
@@ -360,7 +363,8 @@ def scan_push_out_non_seqs(fgraph, node):
     )
     new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
     new_op = Scan(new_fg, new_info, name=op.name,
-                  truncate_gradient=op.truncate_gradient)
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
     new_outs = new_op(*node.inputs, *outer_values)
     if not isinstance(new_outs, list):
         new_outs = [new_outs]
