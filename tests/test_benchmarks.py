@@ -181,3 +181,40 @@ def test_rewrite_throughput():
     FAST_RUN.optimizer.rewrite(fg)
     dt = time.perf_counter() - t0
     assert dt < 30.0, f"rewrites took {dt:.1f}s"
+
+
+def test_pallas_leapfrog_matches_graph_oracle():
+    """Hand-fused Pallas radon leapfrog kernel (interpret mode on CPU)
+    matches the autodiff graph integrator."""
+    import jax
+
+    from pytensor_tpu.graph.replace import graph_replace
+    from pytensor_tpu.models.radon import make_radon_graphs
+    from pytensor_tpu.models.radon_pallas import make_radon_leapfrog_pallas
+
+    run, theta0, m0, n = make_radon_leapfrog_pallas(
+        n_steps=8, n_obs=120, n_counties=11, interpret=True)
+    tf, mf, lp = (np.asarray(jax.device_get(v)) for v in run(theta0, m0))
+
+    inputs, (logp, dlogp), _ = make_radon_graphs(
+        n_obs=120, n_counties=11, dtype="float64")
+    (theta_in,) = inputs
+    th0 = pt.tensor("t0", dtype="float64", shape=(n,))
+    mm0 = pt.tensor("m0", dtype="float64", shape=(n,))
+    EPS = 1e-3
+
+    def step(theta, m):
+        g = graph_replace(dlogp, {theta_in: theta})
+        mh = m + (EPS / 2) * g
+        tn = theta + EPS * mh
+        gn = graph_replace(dlogp, {theta_in: tn})
+        return tn, mh + (EPS / 2) * gn
+
+    (ths, ms_), _ = ptt.scan(step, outputs_info=[th0, mm0], n_steps=8)
+    lpf = graph_replace(logp, {theta_in: ths[-1]})
+    f = ptt.function([th0, mm0], [ths[-1], ms_[-1], lpf], mode="FAST_COMPILE")
+    rt, rm, rlp = (np.asarray(v)
+                   for v in f(theta0.astype("float64"), m0.astype("float64")))
+    np.testing.assert_allclose(tf, rt, rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(mf, rm, rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(float(lp), float(rlp), rtol=1e-4)
