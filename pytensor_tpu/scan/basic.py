@@ -37,8 +37,12 @@ def scan(
     allow_gc=None,
     strict: bool = False,
     return_list: bool = False,
+    unroll: int | None = None,
 ):
-    """Loop ``fn`` over sequences/recurrences; returns (outputs, updates)."""
+    """Loop ``fn`` over sequences/recurrences; returns (outputs, updates).
+
+    ``unroll`` (or ``config.scan__unroll``) replicates the compiled loop
+    body, amortizing TPU per-iteration overhead for small bodies."""
     from pytensor_tpu.tensor.subtensor import flip
 
     sequences = _listify(sequences)
@@ -275,7 +279,8 @@ def scan(
     nit_part = body_outputs[info.n_states:]
     inner_outputs = state_part + inner_untraced_out + nit_part + cond_tail
     fgraph = FunctionGraph(inner_inputs, inner_outputs, clone=True)
-    op = Scan(fgraph, info, name=name, truncate_gradient=truncate_gradient)
+    op = Scan(fgraph, info, name=name, truncate_gradient=truncate_gradient,
+              unroll=unroll)
     node_outs = op(n_steps_var, *seq_vars, *inits, *untraced_inits, *non_seq_vars)
     if not isinstance(node_outs, list):
         node_outs = [node_outs]
