@@ -64,6 +64,14 @@ from pytensor_tpu.ifelse import ifelse  # noqa: E402,F401
 
 
 def __getattr__(name):
+    if name == "wrap_py":
+        from pytensor_tpu.compile.ops import wrap_py
+
+        return wrap_py
+    if name == "misc":
+        import pytensor_tpu.misc as misc
+
+        return misc
     if name == "OpFromGraph":
         from pytensor_tpu.compile.builders import OpFromGraph
 
