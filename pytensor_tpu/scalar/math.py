@@ -606,3 +606,68 @@ ive.grad_fn = _ive_grad
 i0.grad_fn = lambda i, o, gz: [gz[0] * _tm().i1(i[0])]
 i1.grad_fn = lambda i, o, gz: [gz[0] * 0.5 * (_tm().i0(i[0])
                                               + _tm().iv(2.0, i[0]))]
+
+
+# --- long-tail specials (reference scalar/math.py Owens_t:307, NdtriExp,
+# chi2sf, Bessel K) -------------------------------------------------------
+
+def _owens_t_grad(i, o, gz):
+    # dT/dh = -exp(-h^2/2) erf(a h / sqrt(2)) / (2 sqrt(2 pi))
+    # dT/da =  exp(-(1+a^2) h^2 / 2) / (2 pi (1+a^2))
+    tm = _tm()
+    h, a = i
+    gh = (-gz[0] * tm.exp(-h * h / 2.0) * tm.erf(a * h / float(np.sqrt(2.0)))
+          / float(2.0 * np.sqrt(2.0 * np.pi)))
+    ga = (gz[0] * tm.exp(-0.5 * (a * a + 1.0) * h * h)
+          / (2.0 * float(np.pi) * (a * a + 1.0)))
+    return [gh, ga]
+
+
+owens_t = _op("owens_t", 2, lambda h, a: _sps().owens_t(h, a),
+              lambda h, a: _host("owens_t", h, a),
+              _owens_t_grad, dtype_rule="float")
+
+
+def _ndtri_exp_grad(i, o, gz):
+    # stable: exp(x)/pdf(z) with z = ndtri(exp(x)) fused as
+    # sqrt(2 pi) exp(x + z^2/2) so neither factor under/overflows alone
+    tm = _tm()
+    (x,) = i
+    (z,) = o
+    return [gz[0] * float(np.sqrt(2.0 * np.pi)) * tm.exp(x + z * z / 2.0)]
+
+
+ndtri_exp = _op("ndtri_exp", 1,
+                lambda x: _sps().ndtri(np.exp(x)),
+                lambda x: _jsp().ndtri(_jnp().exp(x)),
+                _ndtri_exp_grad, dtype_rule="float")
+
+def _chi2sf_grad(i, o, gz):
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    x, k = i
+    # d/dx sf = -pdf(x; k) = -x^(k/2-1) e^(-x/2) / (2^(k/2) Gamma(k/2))
+    gx = -gz[0] * tm.exp(-x / 2.0 + (k / 2.0 - 1.0) * tm.log(x / 2.0)
+                         - tm.gammaln(k / 2.0)) / 2.0
+    return [gx, grad_not_implemented(chi2sf, 1, k, "grad wrt df")]
+
+
+chi2sf = _op("chi2sf", 2,
+             lambda x, k: _sps().chdtrc(k, x),
+             lambda x, k: _jsp().gammaincc(k / 2.0, x / 2.0),
+             _chi2sf_grad, dtype_rule="float")
+
+
+def _kv_grad(i, o, gz):
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    v, x = i
+    gx = -gz[0] * 0.5 * (tm.kv(v - 1.0, x) + tm.kv(v + 1.0, x))
+    return [grad_not_implemented(kv, 0, v, "grad wrt bessel order"), gx]
+
+
+kv = _op("kv", 2, lambda v, x: _sps().kv(v, x),
+         lambda v, x: _host("kv", v, x), _kv_grad, dtype_rule="float")
+kn = kv  # integer-order alias (scipy kn(n, x) == kv(n, x) for int n)

@@ -44,6 +44,47 @@ from pytensor_tpu.tensor.basic import (  # noqa: F401
     zeros_like,
 )
 from pytensor_tpu.tensor.reshape import join_dims, split_dims  # noqa: F401
+from pytensor_tpu.tensor.functional import (  # noqa: F401
+    atleast_3d,
+    broadcast_shape,
+    ceil_intdiv,
+    fill_diagonal_offset,
+    get_vector_length,
+    inverse_permutation,
+    iround,
+    is_flat,
+    isfinite,
+    isneginf,
+    isposinf,
+    median,
+    nan_to_num,
+    roll,
+    round_half_away_from_zero,
+    slice_at_axis,
+    stacklists,
+    tril_indices,
+    tril_indices_from,
+    triu_indices,
+    triu_indices_from,
+    vectorize,
+)
+from pytensor_tpu.tensor.interpolate import interp, interpolate1d  # noqa: F401
+from pytensor_tpu.tensor.type_other import (  # noqa: F401
+    MakeSlice,
+    NoneConst,
+    make_slice,
+)
+
+# numeric constants (reference tensor namespace)
+import numpy as _np
+
+pi = _np.pi
+e = _np.e
+euler_gamma = _np.euler_gamma
+inf = _np.inf
+nan = _np.nan
+newaxis = None
+
 from pytensor_tpu.tensor.math import *  # noqa: F401,F403
 from pytensor_tpu.tensor import math  # noqa: F401
 from pytensor_tpu.tensor.math import (  # noqa: F401

@@ -136,6 +136,11 @@ iv = scalar_elemwise(psm.iv)
 ive = scalar_elemwise(psm.ive)
 jv = scalar_elemwise(psm.jv)
 kve = scalar_elemwise(psm.kve)
+kv = scalar_elemwise(psm.kv)
+kn = kv
+owens_t = scalar_elemwise(psm.owens_t)
+ndtri_exp = scalar_elemwise(psm.ndtri_exp)
+chi2sf = scalar_elemwise(psm.chi2sf)
 i0 = scalar_elemwise(psm.i0)
 i1 = scalar_elemwise(psm.i1)
 j0 = scalar_elemwise(psm.j0)

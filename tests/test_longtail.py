@@ -218,3 +218,151 @@ class TestMiscUtils:
         s.record(10, 0.25)
         s.record(10, 0.25)
         assert s.callcount == 2 and s.nbsteps == 20
+
+
+class TestLongtailSpecials:
+    """owens_t / ndtri_exp / chi2sf / kv (reference scalar/math.py
+    Owens_t:307, NdtriExp, chdtrc, Bessel K)."""
+
+    def _dir_check(self, cost_fn, np_cost, args, h=1e-6, rtol=1e-5):
+        import pytensor_tpu.tensor as pt2
+
+        rng2 = np.random.default_rng(1)
+        sym = [pt2.dvector(f"v{i}") for i in range(len(args))]
+        cost = cost_fn(*sym)
+        grads = ptt.grad(cost, sym)
+        f = ptt.function(sym, [cost] + list(grads), mode="FAST_COMPILE")
+        out = [np.asarray(v) for v in f(*args)]
+        gv = out[1:]
+        for k in range(len(args)):
+            E = rng2.standard_normal(args[k].shape)
+            pert_p = [a + (h * E if i == k else 0) for i, a in enumerate(args)]
+            pert_m = [a - (h * E if i == k else 0) for i, a in enumerate(args)]
+            num = (np_cost(*pert_p) - np_cost(*pert_m)) / (2 * h)
+            np.testing.assert_allclose((gv[k] * E).sum(), num, rtol=rtol)
+
+    def test_owens_t(self):
+        import scipy.special as sps
+
+        import pytensor_tpu.scalar.math as psm
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        rng2 = np.random.default_rng(0)
+        hv, av = rng2.random(5), rng2.random(5)
+        h, a = pt.dvector("h"), pt.dvector("a")
+        f = ptt.function([h, a], Elemwise(psm.owens_t)(h, a))
+        np.testing.assert_allclose(np.asarray(f(hv, av)),
+                                   sps.owens_t(hv, av), rtol=1e-10)
+        self._dir_check(
+            lambda x, y: Elemwise(psm.owens_t)(x, y).sum(),
+            lambda x, y: sps.owens_t(x, y).sum(), [hv, av])
+
+    def test_ndtri_exp(self):
+        import scipy.special as sps
+
+        import pytensor_tpu.scalar.math as psm
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        xv = -np.random.default_rng(0).random(5) * 2 - 0.2
+        x = pt.dvector("x")
+        f = ptt.function([x], Elemwise(psm.ndtri_exp)(x))
+        np.testing.assert_allclose(np.asarray(f(xv)),
+                                   sps.ndtri(np.exp(xv)), rtol=1e-10)
+        self._dir_check(
+            lambda z: Elemwise(psm.ndtri_exp)(z).sum(),
+            lambda z: sps.ndtri(np.exp(z)).sum(), [xv], rtol=1e-4)
+
+    def test_chi2sf_and_kv(self):
+        import scipy.special as sps
+
+        import pytensor_tpu.scalar.math as psm
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        xv = np.random.default_rng(0).random(5) * 5 + 0.5
+        dfv = np.full(5, 3.0)
+        x = pt.dvector("x")
+        c = Elemwise(psm.chi2sf)(x, pt.as_tensor_variable(dfv))
+        np.testing.assert_allclose(np.asarray(ptt.function([x], c)(xv)),
+                                   sps.chdtrc(3.0, xv), rtol=1e-10)
+        self._dir_check(
+            lambda z: Elemwise(psm.chi2sf)(
+                z, pt.as_tensor_variable(dfv)).sum(),
+            lambda z: sps.chdtrc(3.0, z).sum(), [xv])
+        kvv = Elemwise(psm.kv)(pt.as_tensor_variable(np.full(5, 1.5)), x)
+        np.testing.assert_allclose(np.asarray(ptt.function([x], kvv)(xv)),
+                                   sps.kv(1.5, xv), rtol=1e-8)
+        self._dir_check(
+            lambda z: Elemwise(psm.kv)(
+                pt.as_tensor_variable(np.full(5, 1.5)), z).sum(),
+            lambda z: sps.kv(1.5, z).sum(), [xv])
+
+
+class TestFunctionalBatch:
+    def test_nan_to_num_isfinite(self):
+        x = pt.dvector("x")
+        v = np.array([3.0, -np.inf, np.nan, 7.0, np.inf])
+        f = ptt.function([x], [pt.nan_to_num(x), pt.isfinite(x),
+                               pt.isposinf(x), pt.isneginf(x)])
+        a, fi, pi_, ni_ = (np.asarray(r) for r in f(v))
+        np.testing.assert_allclose(a, np.nan_to_num(v))
+        np.testing.assert_array_equal(fi, np.isfinite(v))
+        np.testing.assert_array_equal(pi_, np.isposinf(v))
+        np.testing.assert_array_equal(ni_, np.isneginf(v))
+
+    def test_median_roll(self):
+        m = pt.dmatrix("m")
+        mv = rng.random((4, 5))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m], pt.median(m, axis=1))(mv)),
+            np.median(mv, 1))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m], pt.median(m, axis=0))(mv)),
+            np.median(mv, 0))
+        np.testing.assert_allclose(
+            float(np.asarray(ptt.function([m], pt.median(m))(mv))),
+            np.median(mv))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m], pt.roll(m, 2, axis=1))(mv)),
+            np.roll(mv, 2, 1))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([m], pt.roll(m, -1, axis=0))(mv)),
+            np.roll(mv, -1, 0))
+
+    def test_vectorize(self):
+        mv = rng.random((3, 5))
+        vec = pt.vectorize(lambda a, b: a * b.sum(), signature="(),(k)->()")
+        r = vec(pt.as_tensor_variable(np.arange(3.0)),
+                pt.as_tensor_variable(mv))
+        np.testing.assert_allclose(np.asarray(r.eval()),
+                                   np.arange(3.0) * mv.sum(1))
+
+    def test_indices_and_misc(self):
+        r_, c_ = pt.tril_indices(4, -1)
+        np.testing.assert_array_equal(np.asarray(r_.eval()),
+                                      np.tril_indices(4, -1)[0])
+        assert pt.get_vector_length(pt.as_tensor_variable(np.arange(5.0))) == 5
+        np.testing.assert_allclose(
+            np.asarray(pt.inverse_permutation(
+                pt.as_tensor_variable(np.array([2, 0, 1]))).eval()),
+            [1, 2, 0])
+        x = pt.dvector("x")
+        st = pt.stacklists([[x[0], x[1]], [x[2], x[3]]])
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], st)(np.arange(5.0))),
+            [[0, 1], [2, 3]])
+        assert pt.atleast_3d(x).type.ndim == 3
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], pt.interp(
+                x, np.array([0.0, 1.0, 2.0]),
+                np.array([0.0, 10.0, 20.0])))(np.array([0.5, 1.5]))),
+            [5.0, 15.0])
+
+    def test_ctor_grid(self):
+        import pytensor_tpu.tensor.type as tt
+
+        assert tt.btensor5("x").type.dtype == "int8"
+        assert tt.btensor5("x").type.ndim == 5
+        assert tt.zcol("z").type.shape == (None, 1)
+        a, b = tt.dscalars("a", "b")
+        assert a.type.ndim == 0 and len(tt.ftensor7s("p", "q")) == 2
+        assert pt.pi == np.pi and pt.newaxis is None
