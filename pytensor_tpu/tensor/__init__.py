@@ -75,6 +75,107 @@ from pytensor_tpu.tensor.type_other import (  # noqa: F401
     make_slice,
 )
 
+# aliases + re-exports for remaining reference names
+from pytensor_tpu.tensor.extra_ops import (  # noqa: F401
+    compress,
+    ravel_multi_index,
+    unravel_index,
+)
+from pytensor_tpu.tensor.math import conj as conjugate  # noqa: F401
+from pytensor_tpu.tensor.math import sign as sgn  # noqa: F401
+from pytensor_tpu.tensor.basic import diagonal as extract_diag  # noqa: F401
+from pytensor_tpu.gradient import grad, hessian, jacobian  # noqa: F401
+from pytensor_tpu.compile.ops import view_op as tensor_copy  # noqa: F401
+
+identity = tensor_copy
+TensorLike = object  # typing alias (reference: Union[Variable, np types])
+
+
+def tensor_from_scalar(x):
+    """0-d scalars ARE tensors here; kept for API parity."""
+    return as_tensor_variable(x)
+
+
+def scalar_from_tensor(x):
+    x = as_tensor_variable(x)
+    if x.type.ndim != 0:
+        raise TypeError("scalar_from_tensor expects a 0-d tensor")
+    return x
+
+
+def complex_from_polar(abs_, angle):
+    from pytensor_tpu.tensor import math as _m
+
+    re = abs_ * _m.cos(angle)
+    im = abs_ * _m.sin(angle)
+    return cast(re, "complex128") + cast(as_tensor_variable(1j), "complex128") * cast(im, "complex128")
+
+
+def concat_with_broadcast(tensor_list, axis=0):
+    """Concatenate after broadcasting all non-axis dims to a common shape
+    (reference tensor/basic.py concat_with_broadcast)."""
+    from pytensor_tpu.tensor.extra_ops import broadcast_arrays
+
+    tensor_list = [as_tensor_variable(t) for t in tensor_list]
+    ndim = tensor_list[0].type.ndim
+    if axis < 0:
+        axis += ndim
+    # broadcast every non-axis dim: probe via zero-sums of slices
+    probes = []
+    for t in tensor_list:
+        idx = [slice(None)] * ndim
+        idx[axis] = slice(0, 1)
+        probes.append(t[tuple(idx)] * 0)
+    common = probes[0]
+    for p in probes[1:]:
+        common = common + p
+    bcast = []
+    for t in tensor_list:
+        bcast.append(t + cast(common, t.type.dtype))
+    return concatenate(bcast, axis=axis)
+
+
+def pack(*xs):
+    """Flatten + concatenate into one vector (reference pack)."""
+    return concatenate([as_tensor_variable(x).flatten() for x in xs])
+
+
+def unpack(vec, shapes):
+    """Inverse of pack for statically-known shapes."""
+    import numpy as _np2
+
+    out = []
+    pos = 0
+    for shp in shapes:
+        size = int(_np2.prod(shp)) if shp else 1
+        chunk = vec[pos: pos + size]
+        out.append(chunk.reshape(shp) if shp else chunk[0])
+        pos += size
+    return out
+
+
+def imatrices(*names):
+    return [imatrix(n) for n in names]
+
+
+def lmatrices(*names):
+    return [lmatrix(n) for n in names]
+
+
+def geomspace(start, stop, num=50, base=10.0, dtype=None):
+    import numpy as _np3
+
+    from pytensor_tpu.tensor import math as _m
+    from pytensor_tpu.tensor.extra_ops import linspace as _linspace
+
+    start = as_tensor_variable(start)
+    stop = as_tensor_variable(stop)
+    lin = _linspace(_m.log(start) / float(_np3.log(base)),
+                    _m.log(stop) / float(_np3.log(base)), num)
+    out = as_tensor_variable(float(base)) ** lin
+    return cast(out, dtype) if dtype is not None else out
+
+
 # numeric constants (reference tensor namespace)
 import numpy as _np
 
