@@ -1235,3 +1235,314 @@ def _register_xla_longtail():
 
 
 _register_xla_longtail()
+
+
+# --- second long-tail batch: block_diag, eigvalsh, LU-factor interface,
+# ordqz, lyapunov, tensorsolve/inv (reference tensor/linalg/ modules) ----
+
+
+def block_diag(*matrices):
+    """Block-diagonal assembly (reference BlockDiagonal op; here a graph
+    composition — XLA pads/concats for free)."""
+    from pytensor_tpu.tensor.basic import concatenate, zeros
+    from pytensor_tpu.tensor.shape import shape
+
+    mats = [as_tensor_variable(m) for m in matrices]
+    if any(m.type.ndim != 2 for m in mats):
+        raise TypeError("block_diag expects matrices")
+    dtype = upcast(*[m.type.dtype for m in mats])
+    mats = [m.astype(dtype) for m in mats]
+    rows = []
+    for i, m in enumerate(mats):
+        row = []
+        for j, other in enumerate(mats):
+            if i == j:
+                row.append(m)
+            else:
+                row.append(zeros((shape(m)[0], shape(other)[1]), dtype=dtype))
+        rows.append(concatenate(row, axis=1))
+    return concatenate(rows, axis=0)
+
+
+def eigvalsh(a, b=None, lower=True):
+    """Eigenvalues of a symmetric/hermitian (pencil) matrix."""
+    if b is None:
+        return eigh(a, UPLO="L" if lower else "U")[0]
+    return GeneralizedEigvalsh(lower=lower)(a, b)
+
+
+class GeneralizedEigvalsh(MatrixOp):
+    """scipy.linalg.eigh(a, b, eigvals_only=True): LAPACK-sequential,
+    host-callback like Schur/QZ."""
+
+    __props__ = ("lower",)
+    core_in_ndims = (2, 2)
+    gufunc_signature = "(n,n),(n,n)->(n)"
+
+    def __init__(self, lower=True):
+        self.lower = bool(lower)
+
+    def make_node(self, a, b):
+        a = self._check_matrix(a)
+        b = self._check_matrix(b)
+        dtype = upcast_float(upcast(a.type.dtype, b.type.dtype))
+        return Apply(self, [a, b],
+                     [TensorType(dtype, (a.type.shape[0],))()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [(input_shapes[0][0],)]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        w = sla.eigh(np.asarray(inputs[0]), np.asarray(inputs[1]),
+                     lower=self.lower, eigvals_only=True)
+        output_storage[0][0] = w.astype(node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, k, inputs[k],
+                                     "generalized eigvalsh gradient")
+                for k in range(2)]
+
+
+class LUFactor(MatrixOp):
+    """scipy.linalg.lu_factor: packed LU + pivots (host LAPACK)."""
+
+    __props__ = ()
+    gufunc_signature = "(n,n)->(n,n),(n)"
+
+    def make_node(self, a):
+        a = self._check_matrix(a)
+        dtype = upcast_float(a.type.dtype)
+        return Apply(self, [a], [TensorType(dtype, a.type.shape)(),
+                                 TensorType("int32", (a.type.shape[0],))()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0], (input_shapes[0][0],)]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        lu_, piv = sla.lu_factor(np.asarray(inputs[0]))
+        output_storage[0][0] = lu_.astype(node.outputs[0].type.numpy_dtype)
+        output_storage[1][0] = piv.astype("int32")
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, 0, inputs[0],
+                                     "packed-LU gradient (use lu/solve)")]
+
+
+def lu_factor(a):
+    return _core2(LUFactor(), a, out_ndims=(2, 1))
+
+
+def lu_solve(lu_and_piv, b, trans=0, b_ndim=None):
+    """Solve via a precomputed lu_factor pair."""
+    lu_, piv = lu_and_piv
+    lu_ = as_tensor_variable(lu_)
+    piv = as_tensor_variable(piv)
+    b = as_tensor_variable(b)
+    if b_ndim is None:
+        b_ndim = min(b.type.ndim, 2)
+    return LUSolve(trans=trans, b_ndim=b_ndim)(lu_, piv, b)
+
+
+class LUSolve(MatrixOp):
+    __props__ = ("trans", "b_ndim")
+
+    def __init__(self, trans=0, b_ndim=1):
+        self.trans = int(trans)
+        self.b_ndim = int(b_ndim)
+
+    def make_node(self, lu_, piv, b):
+        lu_ = self._check_matrix(lu_)
+        piv = as_tensor_variable(piv)
+        b = as_tensor_variable(b)
+        dtype = upcast_float(upcast(lu_.type.dtype, b.type.dtype))
+        return Apply(self, [lu_, piv, b], [TensorType(dtype, b.type.shape)()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[2]]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        x = sla.lu_solve((np.asarray(inputs[0]), np.asarray(inputs[1])),
+                         np.asarray(inputs[2]), trans=self.trans)
+        output_storage[0][0] = x.astype(node.outputs[0].type.numpy_dtype)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, k, inputs[k],
+                                     "packed-LU solve gradient")
+                for k in range(3)]
+
+
+def ordqz(A, B, sort="lhp", output="real"):
+    return OrdQZ(sort=sort, output=output)(A, B)
+
+
+class OrdQZ(QZ):
+    """Ordered QZ (reference solvers: scipy.linalg.ordqz wrapper)."""
+
+    __props__ = ("output", "sort")
+
+    def __init__(self, sort="lhp", output="real"):
+        super().__init__(output=output)
+        self.sort = sort
+
+    def make_node(self, a, b):
+        a = self._check_matrix(a)
+        b = self._check_matrix(b)
+        dtype = upcast_float(upcast(a.type.dtype, b.type.dtype))
+        if self.output == "complex":
+            dtype = "complex128" if dtype == "float64" else "complex64"
+        t = TensorType(dtype, a.type.shape)
+        n = a.type.shape[0]
+        return Apply(self, [a, b],
+                     [t(), t(),
+                      TensorType("complex128", (n,))(),
+                      TensorType(dtype, (n,))(),
+                      t(), t()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        s = input_shapes[0]
+        return [s, s, (s[0],), (s[0],), s, s]
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.linalg as sla
+
+        AA, BB, alpha, beta, Q, Z = sla.ordqz(
+            np.asarray(inputs[0]), np.asarray(inputs[1]), sort=self.sort,
+            output=self.output)
+        dt = node.outputs[0].type.numpy_dtype
+        for k, v in enumerate((AA.astype(dt), BB.astype(dt),
+                               alpha.astype("complex128"),
+                               beta.astype(dt), Q.astype(dt), Z.astype(dt))):
+            output_storage[k][0] = v
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, k, inputs[k], "ordqz gradient")
+                for k in range(2)]
+
+
+def pivot_to_permutation(piv):
+    """LAPACK pivot vector -> permutation vector (host computation)."""
+    piv = as_tensor_variable(piv)
+    return PivotToPermutation()(piv)
+
+
+class PivotToPermutation(Op):
+    __props__ = ()
+
+    def make_node(self, piv):
+        piv = as_tensor_variable(piv)
+        return Apply(self, [piv], [TensorType("int64", piv.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        piv = np.asarray(inputs[0])
+        perm = np.arange(len(piv))
+        for i, p in enumerate(piv):
+            perm[i], perm[p] = perm[p], perm[i]
+        output_storage[0][0] = perm.astype("int64")
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, 0, inputs[0], "integer op")]
+
+
+def solve_continuous_lyapunov(A, Q):
+    """A X + X A^T = Q via the Sylvester direct method."""
+    A = as_tensor_variable(A)
+    return solve_sylvester(A, _mT(A), Q)
+
+
+def tensorsolve(a, b, axes=None):
+    """np.linalg.tensorsolve semantics via reshape + solve."""
+    from pytensor_tpu.tensor.basic import moveaxis
+
+    a = as_tensor_variable(a)
+    b = as_tensor_variable(b)
+    if axes is not None:
+        a = moveaxis(a, list(axes), list(range(-len(axes), 0)))
+    rest_nd = a.type.ndim - b.type.ndim
+    if None in a.type.shape:
+        raise ValueError("tensorsolve needs static shapes on TPU")
+    prod_rest = int(np.prod(a.type.shape[b.type.ndim:]))
+    A2 = a.reshape((-1, prod_rest))
+    bv = b.flatten()
+    x = solve(A2, bv, b_ndim=1)
+    return x.reshape(a.type.shape[b.type.ndim:])
+
+
+def tensorinv(a, ind=2):
+    """np.linalg.tensorinv via reshape + inv."""
+    a = as_tensor_variable(a)
+    if None in a.type.shape:
+        raise ValueError("tensorinv needs static shapes on TPU")
+    lead = int(np.prod(a.type.shape[:ind]))
+    trail = int(np.prod(a.type.shape[ind:]))
+    if lead != trail:
+        raise ValueError("tensorinv: leading/trailing dims must multiply equal")
+    inv2 = inv(a.reshape((lead, trail)))
+    return inv2.reshape(a.type.shape[ind:] + a.type.shape[:ind])
+
+
+def _register_xla_longtail2():
+    import jax
+
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    from pytensor_tpu.tensor.linalg import _register_xla_longtail  # noqa: F401
+
+    # reuse the generic host-callback lowering
+    host_ops = (GeneralizedEigvalsh, LUFactor, LUSolve, OrdQZ,
+                PivotToPermutation)
+
+    def _host_cb(op, node):
+        out_types = [jax.ShapeDtypeStruct(
+            tuple(d if d is not None else -1 for d in o.type.shape),
+            o.type.numpy_dtype) for o in node.outputs]
+
+        def run(*args):
+            shapes = [a.shape for a in args]
+            outs = []
+            for t in out_types:
+                shp = list(t.shape)
+                for k, d in enumerate(shp):
+                    if d == -1:
+                        for s in shapes:
+                            if len(s) > k:
+                                shp[k] = s[k]
+                                break
+                outs.append(jax.ShapeDtypeStruct(tuple(shp), t.dtype))
+
+            def _h(*vals):
+                storage = [[None] for _ in node.outputs]
+                op.perform(node, [np.asarray(v) for v in vals], storage)
+                return tuple(np.asarray(s[0], dtype=t.dtype)
+                             for s, t in zip(storage, outs))
+
+            res = jax.pure_callback(_h, tuple(outs), *args)
+            return res if len(res) > 1 else res[0]
+
+        return run
+
+    for cls in host_ops:
+        @xla_funcify.register(cls)
+        def _lower(op, node=None, **kw):
+            return _host_cb(op, node)
+
+
+_register_xla_longtail2()

@@ -366,3 +366,70 @@ class TestFunctionalBatch:
         a, b = tt.dscalars("a", "b")
         assert a.type.ndim == 0 and len(tt.ftensor7s("p", "q")) == 2
         assert pt.pi == np.pi and pt.newaxis is None
+
+
+class TestLinalgBatch2:
+    """block_diag / eigvalsh / lu_factor+lu_solve / ordqz /
+    continuous-lyapunov / tensorsolve / tensorinv (reference
+    tensor/linalg/ remaining surface)."""
+
+    def test_block_diag_eigvalsh(self):
+        import scipy.linalg as sla
+
+        A, B = pt.dmatrix("A"), pt.dmatrix("B")
+        Av, Bv = rng.random((3, 3)), rng.random((2, 2))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([A, B], ptl.block_diag(A, B))(Av, Bv)),
+            sla.block_diag(Av, Bv))
+        S = Av @ Av.T + np.eye(3)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([A], ptl.eigvalsh(A))(S)),
+            np.linalg.eigvalsh(S), rtol=1e-10)
+        C = pt.dmatrix("C")
+        Cv = rng.random((3, 3))
+        M = Cv @ Cv.T + np.eye(3)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([A, C], ptl.eigvalsh(A, C))(S, M)),
+            sla.eigh(S, M, eigvals_only=True), rtol=1e-9)
+
+    def test_lu_factor_solve(self):
+        A, b = pt.dmatrix("A"), pt.dvector("b")
+        Av = rng.random((3, 3)) + 3 * np.eye(3)
+        bv = rng.random(3)
+        x = ptl.lu_solve(ptl.lu_factor(A), b)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([A, b], x)(Av, bv)),
+            np.linalg.solve(Av, bv), rtol=1e-9)
+
+    def test_continuous_lyapunov(self):
+        A, Q = pt.dmatrix("A"), pt.dmatrix("Q")
+        Av = rng.random((3, 3)) - 3 * np.eye(3)
+        Qv = -(rng.random((3, 3)) @ np.eye(3) + 4 * np.eye(3))
+        X = np.asarray(ptt.function(
+            [A, Q], ptl.solve_continuous_lyapunov(A, Q),
+            mode="FAST_COMPILE")(Av, Qv))
+        np.testing.assert_allclose(Av @ X + X @ Av.T, Qv, atol=1e-8)
+
+    def test_tensorsolve_tensorinv(self):
+        a4 = pt.tensor("a4", dtype="float64", shape=(2, 3, 6))
+        b2 = pt.tensor("b2", dtype="float64", shape=(2, 3))
+        av4, bv2 = rng.random((2, 3, 6)), rng.random((2, 3))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([a4, b2],
+                                    ptl.tensorsolve(a4, b2))(av4, bv2)),
+            np.linalg.tensorsolve(av4, bv2), rtol=1e-8)
+        a6 = pt.tensor("a6", dtype="float64", shape=(6, 2, 3))
+        av6 = rng.random((6, 2, 3)) + np.eye(6).reshape(6, 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([a6], ptl.tensorinv(a6, ind=1))(av6)),
+            np.linalg.tensorinv(av6, ind=1), rtol=1e-7)
+
+    def test_ordqz(self):
+        import scipy.linalg as sla
+
+        A, C = pt.dmatrix("A"), pt.dmatrix("C")
+        Av, Cv = rng.random((3, 3)), rng.random((3, 3)) + 3 * np.eye(3)
+        outs = [np.asarray(v) for v in
+                ptt.function([A, C], list(ptl.ordqz(A, C)))(Av, Cv)]
+        for o, r in zip(outs, sla.ordqz(Av, Cv, sort="lhp")):
+            np.testing.assert_allclose(o, r, atol=1e-9)
