@@ -284,3 +284,78 @@ class TestAssumptionsExtended:
         A = pt.dmatrix("A")
         assume(A, "positive_definite")
         assert holds(ptl.inv(A), "positive_definite") == FactState.TRUE
+
+
+class TestSparseCompat:
+    """Sparse functional surface (reference sparse/basic.py exports)."""
+
+    def _x(self):
+        import scipy.sparse as ssp
+
+        import pytensor_tpu.sparse as sp
+
+        Xv = ssp.random(6, 5, density=0.4, format="csr", random_state=3,
+                        dtype="float64")
+        return sp, sp.csr_matrix("x", dtype="float64"), Xv
+
+    def test_structured_unary_data_only(self):
+        sp, x, Xv = self._x()
+        f = ptt.function([x], sp.structured_exp(x), mode="FAST_COMPILE")
+        exp = Xv.copy()
+        exp.data = np.exp(exp.data)
+        np.testing.assert_allclose(f(Xv).toarray(), exp.toarray())
+
+    def test_row_col_scale(self):
+        sp, x, Xv = self._x()
+        rng2 = np.random.default_rng(0)
+        v, w = rng2.random(5), rng2.random(6)
+        rc = ptt.function([x], sp.col_scale(
+            x, pt.as_tensor_variable(v)), mode="FAST_COMPILE")(Xv)
+        np.testing.assert_allclose(rc.toarray(),
+                                   Xv.multiply(v[None, :]).toarray())
+        rr = ptt.function([x], sp.row_scale(
+            x, pt.as_tensor_variable(w)), mode="FAST_COMPILE")(Xv)
+        np.testing.assert_allclose(rr.toarray(),
+                                   Xv.multiply(w[:, None]).toarray())
+
+    def test_comparisons_densify(self):
+        sp, x, Xv = self._x()
+        r = np.asarray(ptt.function([x], sp.ge(x, 0.5),
+                                    mode="FAST_COMPILE")(Xv))
+        np.testing.assert_array_equal(r, Xv.toarray() >= 0.5)
+
+    def test_structured_add_s_v_and_cleanups(self):
+        sp, x, Xv = self._x()
+        v = np.random.default_rng(0).random(5)
+        sav = ptt.function([x], sp.structured_add_s_v(
+            x, pt.as_tensor_variable(v)), mode="FAST_COMPILE")(Xv)
+        exp = Xv.copy()
+        exp.data = exp.data + v[Xv.indices]
+        np.testing.assert_allclose(sav.toarray(), exp.toarray())
+        cl = ptt.function([x], sp.clean(x), mode="FAST_COMPILE")(Xv)
+        np.testing.assert_allclose(cl.toarray(), Xv.toarray())
+
+    def test_diag_square_diagonal_getitem(self):
+        import scipy.sparse as ssp
+
+        sp, x, Xv = self._x()
+        sq = ssp.random(5, 5, density=0.5, format="csr", random_state=1)
+        dg = np.asarray(ptt.function([x], sp.diag(x),
+                                     mode="FAST_COMPILE")(sq.tocsr()))
+        np.testing.assert_allclose(dg, sq.toarray().diagonal())
+        v = np.random.default_rng(0).random(5)
+        sd = ptt.function([], sp.square_diagonal(
+            pt.as_tensor_variable(v)), mode="FAST_COMPILE")()
+        np.testing.assert_allclose(sd.toarray(), np.diag(v))
+        gl = np.asarray(ptt.function([x], sp.get_item_list(
+            x, np.array([0, 2])), mode="FAST_COMPILE")(Xv))
+        np.testing.assert_allclose(gl, Xv.toarray()[[0, 2]])
+
+    def test_sub_casts_ones_like(self):
+        sp, x, Xv = self._x()
+        sb = ptt.function([x], sp.sub(x, x), mode="FAST_COMPILE")(Xv)
+        assert np.abs(sb.toarray()).max() == 0
+        ol = ptt.function([x], sp.sp_ones_like(x), mode="FAST_COMPILE")(Xv)
+        assert set(np.unique(ol.toarray())) <= {0.0, 1.0}
+        fc = ptt.function([x], sp.fcast(x), mode="FAST_COMPILE")(Xv)
+        assert fc.dtype == np.float32
