@@ -6,6 +6,7 @@ from pytensor_tpu.tensor.random.type import (  # noqa: F401
     random_generator_type,
 )
 from pytensor_tpu.tensor.random.utils import RandomStream  # noqa: F401
+from pytensor_tpu.tensor.random import basic, op, type, utils  # noqa: F401
 
 default_rng = None  # set in utils
 
