@@ -338,3 +338,68 @@ def test_ifelse_and_switch(ref):
         r2 = [np.asarray(a) for a in f_us(vv)]
         np.testing.assert_allclose(r2[0], r1[0], rtol=1e-12)
         np.testing.assert_allclose(r2[1], r1[1], rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_while_scan_values_vs_reference(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.scan.utils import until as our_until
+
+    x0v = 1.3
+
+    # reference while-scan
+    def ref_step(acc):
+        nxt = acc * 1.5
+        from pytensor.scan.utils import until as ref_until
+
+        return nxt, ref_until(nxt > 40.0)
+
+    rx0 = rt.dscalar("x0")
+    rout, _ = pytensor.scan(ref_step, outputs_info=[rx0], n_steps=16)
+    f_ref = pytensor.function([rx0], [rout, rout.shape[0]])
+    ref_trace, ref_len = f_ref(x0v)
+
+    ox0 = pt.dscalar("x0")
+    oout, _ = ptt.scan(lambda acc: (acc * 1.5, our_until(acc * 1.5 > 40.0)),
+                       outputs_info=[ox0], n_steps=16)
+    f_us = ptt.function([ox0], oout)
+    our_trace = np.asarray(f_us(x0v))
+    # reference truncates the trace at termination; we pad with the final
+    # value (static shapes) — the executed prefix must match exactly
+    n = int(ref_len)
+    np.testing.assert_allclose(our_trace[:n], np.asarray(ref_trace),
+                               rtol=1e-12)
+    assert np.all(our_trace[n:] == our_trace[n - 1])
+
+
+@pytest.mark.slow
+def test_scan_taps_vs_reference(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    y0 = np.array([0.1, 0.2])
+
+    c9, c4 = np.float64(0.9), np.float64(0.4)
+
+    def build(mod_scan, mod_t, mod_f, grad_fn):
+        init = mod_t.dvector("init")
+        out, _ = mod_scan(lambda m2, m1: c9 * m1 + c4 * m2,
+                          outputs_info=[dict(initial=init, taps=[-2, -1])],
+                          n_steps=9)
+        cost = (out ** 2).sum()
+        g = grad_fn(cost, init)
+        return mod_f([init], [out, cost, g])
+
+    f_ref = build(pytensor.scan, rt, pytensor.function, pytensor.grad)
+    f_us = build(ptt.scan, pt, ptt.function, ptt.grad)
+    r1 = [np.asarray(v) for v in f_ref(y0)]
+    r2 = [np.asarray(v) for v in f_us(y0)]
+    for a, b in zip(r2, r1):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
