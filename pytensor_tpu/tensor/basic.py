@@ -91,7 +91,11 @@ def as_tensor_variable(x, name=None, ndim=None, dtype=None) -> TensorVariable:
         return constant(np.asarray(x, dtype="int64"), name)
     if isinstance(x, np.integer) and dtype is None:
         return constant(np.asarray(x), name)
-    if isinstance(x, float) and dtype is None:
+    if isinstance(x, float) and not isinstance(x, np.floating) \
+            and dtype is None:
+        # python float literals autocast to floatX; numpy scalars keep
+        # their dtype (np.float64 subclasses float — exclude it, matching
+        # the reference NumpyAutocaster)
         return constant(np.asarray(x, dtype=_np_dtype(config.floatX)), name)
     if isinstance(x, complex) and dtype is None:
         return constant(np.asarray(x, dtype="complex128"), name)

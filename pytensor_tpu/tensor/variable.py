@@ -25,6 +25,12 @@ def _tb():
 
 
 class _tensor_py_operators:
+    # numpy must defer to our reflected dunders: without this,
+    # np.float64(0.9) * var routes through numpy's ufunc machinery and the
+    # scalar reaches the graph as a downcast python float
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
     # --- arithmetic ---
     def __add__(self, other):
         return _tm().add(self, other)
