@@ -222,3 +222,24 @@ def function(
 def predict_function_backend(mode=None) -> str:
     m = get_mode(mode)
     return m.linker if isinstance(m.linker, str) else type(m.linker).__name__
+
+
+class FunctionMaker:
+    """Thin reference-parity facade (reference compile/maker.py:264): the
+    build pipeline here lives in `function()`; this class records the spec
+    and can (re)create Functions from it — what unpickling uses."""
+
+    def __init__(self, inputs, outputs, mode=None, updates=None, givens=None,
+                 name=None, **kwargs):
+        self.inputs = inputs
+        self.outputs = outputs
+        self.mode = mode
+        self.updates = updates
+        self.givens = givens
+        self.name = name
+        self.kwargs = kwargs
+
+    def create(self):
+        return function(self.inputs, self.outputs, mode=self.mode,
+                        updates=self.updates, givens=self.givens,
+                        name=self.name, **self.kwargs)

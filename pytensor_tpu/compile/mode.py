@@ -221,3 +221,35 @@ def get_mode(mode):
 
 def get_default_mode():
     return get_mode(None)
+
+
+# --- registries + canned optimizer queries (reference mode.py surface) ----
+
+predefined_optimizers = {
+    "fast_run": RewriteDatabaseQuery(include=["fast_run"]),
+    "fast_compile": RewriteDatabaseQuery(include=["fast_compile"]),
+    "None": RewriteDatabaseQuery(include=[]),
+    "merge": RewriteDatabaseQuery(include=["merge"]),
+}
+OPT_NONE = predefined_optimizers["None"]
+OPT_MERGE = predefined_optimizers["merge"]
+OPT_FAST_COMPILE = predefined_optimizers["fast_compile"]
+OPT_FAST_RUN = predefined_optimizers["fast_run"]
+OPT_FAST_RUN_STABLE = OPT_FAST_RUN
+OPT_O2 = OPT_FAST_RUN
+OPT_O3 = OPT_FAST_RUN
+OPT_STABILIZE = RewriteDatabaseQuery(include=["fast_run", "stabilize"])
+OPT_UNSAFE = OPT_FAST_RUN
+JAX = FAST_RUN  # the XLA linker IS this framework's jax mode
+
+
+def register_linker(name, linker_cls):
+    predefined_linkers[name] = linker_cls
+
+
+def register_optimizer(name, query):
+    predefined_optimizers[name] = query
+
+
+def register_mode(name, mode):
+    predefined_modes[name] = mode

@@ -18,6 +18,14 @@ from pytensor_tpu.graph.basic import (
 from pytensor_tpu.graph.fg import FunctionGraph
 from pytensor_tpu.graph.op import Op
 from pytensor_tpu.graph.replace import clone_replace, graph_replace, vectorize_graph
+from pytensor_tpu.graph.rewriting.basic import (  # noqa: F401
+    graph_rewriter,
+    node_rewriter,
+)
+from pytensor_tpu.graph.rewriting.db import RewriteDatabaseQuery  # noqa: F401
+from pytensor_tpu.graph.rewriting.utils import rewrite_graph  # noqa: F401
+from pytensor_tpu.graph import destroyhandler  # noqa: F401
+import pytensor_tpu.utils as utils  # noqa: F401  (reference graph.utils analog)
 from pytensor_tpu.graph.traversal import (
     ancestors,
     applys_between,
