@@ -17,3 +17,16 @@ def __getattr__(name):
 
         return d
     raise AttributeError(name)
+
+
+def shared_rng(seed=None, name=None):
+    """Shared RNG-state constructor (reference random.shared_rng)."""
+    from pytensor_tpu.tensor.random.utils import default_rng
+
+    out = default_rng(seed)
+    if name:
+        out.name = name
+    return out
+
+
+rng = shared_rng
