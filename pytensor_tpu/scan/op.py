@@ -332,12 +332,46 @@ class Scan(Op, HasInnerGraph):
         from pytensor_tpu.graph.basic import clone_get_equiv
 
         info = self.info
+        untraced_traces = []
         if info.n_untraced:
-            return [
-                grad_not_implemented(self, i, inp,
-                                     "grad through a scan with untraced (RNG) state")
-                for i, inp in enumerate(inputs)
-            ]
+            if info.as_while:
+                return [
+                    grad_not_implemented(
+                        self, i, inp,
+                        "grad through a while-scan with RNG state")
+                    for i, inp in enumerate(inputs)
+                ]
+            # RNG keys are non-differentiable, but the reverse pass must
+            # REPLAY each step's key to regenerate the same draws inside
+            # the pullback.  Re-run the forward with extra nit-sot outputs
+            # tracing each step's *consumed* key (cheap: keys are uint32[2])
+            # and feed the reversed key trace to the reverse scan.
+            from pytensor_tpu.graph.fg import FunctionGraph as _FG
+            from pytensor_tpu.tensor.random.type import tensor_from_key
+
+            aug_info = ScanInfo(
+                n_seqs=info.n_seqs,
+                taps=info.taps,
+                n_nit_sot=info.n_nit_sot + info.n_untraced,
+                n_non_seqs=info.n_non_seqs,
+                as_while=False,
+                n_untraced=info.n_untraced,
+            )
+            aug_inner_outputs = (
+                list(self.inner_state_outs())
+                + list(self.inner_untraced_outs())
+                + list(self.inner_nit_sot_outs())
+                + [tensor_from_key(v) for v in self.inner_untraced_vars()]
+            )
+            aug_fg = _FG(list(self.fgraph.inputs), aug_inner_outputs,
+                         clone=True)
+            aug_op = Scan(aug_fg, aug_info, name=f"{self.name or 'scan'}_keys",
+                          unroll=getattr(self, "unroll", None))
+            aug_outs = aug_op(*inputs)
+            if not isinstance(aug_outs, list):
+                aug_outs = [aug_outs]
+            base = info.n_states + info.n_untraced + info.n_nit_sot
+            untraced_traces = aug_outs[base: base + info.n_untraced]
         if info.as_while and self.truncate_gradient != -1:
             return [
                 grad_not_implemented(self, i, inp,
@@ -360,11 +394,16 @@ class Scan(Op, HasInnerGraph):
         inits = list(self.outer_inits(inputs))
         non_seqs = list(self.outer_non_seqs(inputs))
         state_traces = outputs[: info.n_states]
-        nit_traces = outputs[info.n_states:]
+        nit_traces = outputs[info.n_states + info.n_untraced:]
 
-        # fill missing output grads with zeros
+        # fill missing output grads with zeros; skip the untraced (RNG)
+        # final-state outputs — they are not differentiable
+        data_outputs = (list(outputs[: info.n_states])
+                        + list(outputs[info.n_states + info.n_untraced:]))
+        data_grads = (list(output_grads[: info.n_states])
+                      + list(output_grads[info.n_states + info.n_untraced:]))
         filled_grads = []
-        for out, g in zip(outputs, output_grads):
+        for out, g in zip(data_outputs, data_grads):
             if isinstance(getattr(g, "type", None), (DisconnectedType, NullType)):
                 filled_grads.append(zeros_like(out))
             else:
@@ -393,6 +432,7 @@ class Scan(Op, HasInnerGraph):
                 sl = hists[k][m + tap: m + tap + n_steps_i]
                 rev_seqs.append(flip(sl, 0))
         rev_seqs += [flip(s, 0) for s in seqs]
+        rev_seqs += [flip(u, 0) for u in untraced_traces]
         if as_while:
             from pytensor_tpu.tensor.basic import arange as _arange
 
@@ -414,6 +454,8 @@ class Scan(Op, HasInnerGraph):
             g_nits = list(args[pos: pos + info.n_nit_sot]); pos += info.n_nit_sot
             tap_vals = list(args[pos: pos + n_taps_total]); pos += n_taps_total
             seq_vals = list(args[pos: pos + info.n_seqs]); pos += info.n_seqs
+            key_vals = list(args[pos: pos + info.n_untraced])
+            pos += info.n_untraced
             if as_while:
                 t_idx = args[pos]; pos += 1
             P = list(args[pos: pos + info.n_states]); pos += info.n_states
@@ -447,6 +489,10 @@ class Scan(Op, HasInnerGraph):
             flat_taps = [tv for group in op_self.inner_tap_vars() for tv in group]
             for iv, v in zip(flat_taps, tap_vals):
                 memo[iv] = v
+            from pytensor_tpu.tensor.random.type import key_from_tensor
+
+            for iv, v in zip(op_self.inner_untraced_vars(), key_vals):
+                memo[iv] = key_from_tensor(v)
             for iv, v in zip(op_self.inner_non_seq_vars(), ns_vals):
                 memo[iv] = v
             memo = clone_get_equiv(inner_inputs, inner_outputs,
@@ -454,6 +500,10 @@ class Scan(Op, HasInnerGraph):
             step_outs = [memo[o] for o in inner_outputs]
             if as_while:
                 step_outs = step_outs[:-1]  # drop the until-condition
+            if info.n_untraced:
+                # drop the untraced (key) outputs: zero cotangent
+                step_outs = (step_outs[: info.n_states]
+                             + step_outs[info.n_states + info.n_untraced:])
 
             # cotangents: state outs get trace grad + pending window head
             cots = []
@@ -579,6 +629,11 @@ class Scan(Op, HasInnerGraph):
                 grads.append(final_P[0])
             else:
                 grads.append(flip(final_P, 0))
+        for u in range(info.n_untraced):
+            grads.append(grad_undefined(
+                self, 1 + info.n_seqs + info.n_states + u,
+                inputs[1 + info.n_seqs + info.n_states + u],
+                "RNG state is not differentiable"))
         for j in range(info.n_non_seqs):
             grads.append(w_traces[j][-1])
         return grads

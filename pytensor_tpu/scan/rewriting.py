@@ -236,7 +236,17 @@ class ScanMerge(GraphRewriter):
     def _merge(self, fgraph, nodes):
         from pytensor_tpu.graph.fg import FunctionGraph
 
-        ops = [n.op for n in nodes]
+        # graph_replace/clone can reuse the SAME Scan op instance across
+        # nodes; listing its inner variables twice would collapse two
+        # logical input slots into one.  Clone the op for repeats.
+        seen = set()
+        ops = []
+        for n in nodes:
+            op = n.op
+            if id(op) in seen:
+                op = op.clone()
+            seen.add(id(op))
+            ops.append(op)
         infos = [op.info for op in ops]
         new_info = ScanInfo(
             n_seqs=sum(i.n_seqs for i in infos),

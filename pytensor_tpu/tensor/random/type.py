@@ -52,3 +52,66 @@ class RandomGeneratorType(Type):
 
 random_generator_type = RandomGeneratorType()
 RandomType = RandomGeneratorType
+
+
+class TensorFromKey(_OpBase := __import__(
+        "pytensor_tpu.graph.op", fromlist=["Op"]).Op):
+    """RNG key -> uint32[2] tensor (identity at lowering; lets Scan trace
+    per-step keys for gradient replay)."""
+
+    __props__ = ()
+
+    def make_node(self, rng):
+        from pytensor_tpu.graph.basic import Apply
+        from pytensor_tpu.tensor.type import TensorType
+
+        if not isinstance(rng.type, RandomGeneratorType):
+            raise TypeError("expected an RNG variable")
+        return Apply(self, [rng], [TensorType("uint32", (2,))()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(inputs[0], dtype=np.uint32)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, 0, inputs[0], "RNG key")]
+
+
+class KeyFromTensor(_OpBase):
+    """uint32[2] tensor -> RNG key (inverse of TensorFromKey)."""
+
+    __props__ = ()
+
+    def make_node(self, t):
+        from pytensor_tpu.graph.basic import Apply
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        t = as_tensor_variable(t)
+        return Apply(self, [t], [random_generator_type()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(inputs[0], dtype=np.uint32)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import grad_undefined
+
+        return [grad_undefined(self, 0, inputs[0], "RNG key")]
+
+
+tensor_from_key = TensorFromKey()
+key_from_tensor = KeyFromTensor()
+
+
+def _register_key_xla():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    @xla_funcify.register(TensorFromKey)
+    @xla_funcify.register(KeyFromTensor)
+    def _key_identity(op, node=None, **kw):
+        import jax.numpy as jnp
+
+        return lambda x: jnp.asarray(x, dtype=jnp.uint32)
+
+
+_register_key_xla()

@@ -349,3 +349,50 @@ def test_scan_push_out_non_seqs():
         np.testing.assert_allclose(
             np.asarray(ptt.function([x, w], out[-1], mode=mode)(xv, wv)),
             expect, rtol=1e-12)
+
+
+def test_scan_merge_shared_op_instance_not_aliased():
+    """Regression: merging two nodes that share one Scan op instance
+    (graph_replace reuses ops) must not collapse their input slots."""
+    from pytensor_tpu.graph.replace import graph_replace
+
+    x0, a = pt.dscalar("x0"), pt.dscalar("a")
+    out, _ = ptt.scan(lambda y, aa: y * aa, outputs_info=[x0],
+                      non_sequences=[a], n_steps=4)
+    loss = out.sum()
+    lp = graph_replace(loss, {a: a + 0.5})
+    f = ptt.function([x0, a], [loss, lp])
+    r0, r1 = (float(np.asarray(v)) for v in f(1.0, 1.0))
+    np.testing.assert_allclose(r0, 4.0)
+    np.testing.assert_allclose(r1, 1.5 + 1.5 ** 2 + 1.5 ** 3 + 1.5 ** 4)
+
+
+def test_gradient_through_rng_scan():
+    """BPTT through a scan with reparameterized noise: the reverse pass
+    replays each step's threefry key (traced as extra nit-sots) so the
+    same draws appear in the pullback.  Checked against same-key central
+    differences built in-graph (each call shares one key)."""
+    from pytensor_tpu.graph.replace import graph_replace
+    from pytensor_tpu.tensor.random import RandomStream
+
+    srng = RandomStream(seed=7)
+    a, sig = pt.dscalar("a"), pt.dscalar("sig")
+
+    def step(y, aa, ss):
+        eps = srng.normal(0.0, 1.0)
+        return y * aa + ss * pt.cast(eps, "float64")
+
+    out, _ = ptt.scan(step, outputs_info=[pt.constant(np.float64(1.0))],
+                      non_sequences=[a, sig], n_steps=6)
+    loss = (out ** 2).sum()
+    ga, gs = ptt.grad(loss, [a, sig])
+    h = 1e-5
+    fd_a = (graph_replace(loss, {a: a + h})
+            - graph_replace(loss, {a: a - h})) / (2 * h)
+    fd_s = (graph_replace(loss, {sig: sig + h})
+            - graph_replace(loss, {sig: sig - h})) / (2 * h)
+    for mode in (None, "FAST_COMPILE"):
+        f = ptt.function([a, sig], [ga, fd_a, gs, fd_s], mode=mode)
+        va, vfa, vs, vfs = (float(np.asarray(v)) for v in f(0.9, 0.3))
+        np.testing.assert_allclose(va, vfa, rtol=1e-5)
+        np.testing.assert_allclose(vs, vfs, rtol=1e-5)
