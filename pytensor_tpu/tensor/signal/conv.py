@@ -66,12 +66,11 @@ class Convolve1d(Op):
             g2 = Convolve1d("valid")(gz, flip(in1, 0))
             return [g1, g2]
         if self.mode == "valid":
-            # assumes len(in1) >= len(in2) (checked at runtime by shapes)
+            # y[t] = sum_j x[t+K-1-j] k[j]  (np.convolve valid, n >= k)
+            # => dk[j] = sum_t gz[t] x[t+K-1-j] = flip(valid(x, flip(gz)))
             g1 = Convolve1d("full")(gz, flip(in2, 0))
-            g2 = Convolve1d("valid")(flip(in1, 0), gz)
-            from pytensor_tpu.tensor.subtensor import flip as _f
-
-            return [g1, _f(g2, 0)]
+            g2 = flip(Convolve1d("valid")(in1, flip(gz, 0)), 0)
+            return [g1, g2]
         from pytensor_tpu.gradient import grad_not_implemented
 
         return [grad_not_implemented(self, 0, in1, "same-mode grad"),

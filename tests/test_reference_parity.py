@@ -403,3 +403,63 @@ def test_scan_taps_vs_reference(ref):
     r2 = [np.asarray(v) for v in f_us(y0)]
     for a, b in zip(r2, r1):
         np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_conv1d_and_grad(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.tensor.signal.conv import convolve1d
+
+    xv = rng.random(20)
+    kv = rng.random(5)
+
+    for mode_c in ("full", "valid"):
+        def build(mod_t, mod_f, grad_fn, conv):
+            x = mod_t.dvector("x")
+            k = mod_t.dvector("k")
+            y = conv(x, k, mode=mode_c)
+            cost = (y ** 2).sum()
+            gx, gk = grad_fn(cost, [x, k])
+            return mod_f([x, k], [y, gx, gk])
+
+        from pytensor.tensor.signal import convolve1d as ref_conv
+
+        f_ref = build(rt, pytensor.function, pytensor.grad, ref_conv)
+        f_us = build(pt, ptt.function, ptt.grad, convolve1d)
+        r1 = [np.asarray(v) for v in f_ref(xv, kv)]
+        r2 = [np.asarray(v) for v in f_us(xv, kv)]
+        for a, b in zip(r2, r1):
+            np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_cumsum_prod_grads(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.tensor.extra_ops import cumprod, cumsum
+
+    xv = rng.random((4, 6)) + 0.2
+
+    def build(mod_t, mod_f, grad_fn, cs, cp):
+        x = mod_t.dmatrix("x")
+        y = (cs(x, 1) ** 2).sum() + cp(x, 0).sum()
+        g = grad_fn(y, x)
+        return mod_f([x], [y, g])
+
+    f_ref = build(rt, pytensor.function, pytensor.grad,
+                  lambda x, ax: rt.cumsum(x, axis=ax),
+                  lambda x, ax: rt.cumprod(x, axis=ax))
+    f_us = build(pt, ptt.function, ptt.grad,
+                 lambda x, ax: cumsum(x, axis=ax),
+                 lambda x, ax: cumprod(x, axis=ax))
+    r1 = [np.asarray(v) for v in f_ref(xv)]
+    r2 = [np.asarray(v) for v in f_us(xv)]
+    np.testing.assert_allclose(r2[0], r1[0], rtol=1e-10)
+    np.testing.assert_allclose(r2[1], r1[1], rtol=1e-9)
