@@ -123,6 +123,26 @@ class Convolve2d(Op):
             dtype=node.outputs[0].type.numpy_dtype,
         )
 
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.tensor.subtensor import flip
+
+        def flip2(v):
+            return flip(flip(v, 0), 1)
+
+        in1, in2 = inputs
+        (gz,) = output_grads
+        if self.mode == "full":
+            return [Convolve2d("valid")(gz, flip2(in2)),
+                    Convolve2d("valid")(gz, flip2(in1))]
+        if self.mode == "valid":
+            # same derivation as Convolve1d.L_op, per axis
+            return [Convolve2d("full")(gz, flip2(in2)),
+                    flip2(Convolve2d("valid")(in1, flip2(gz)))]
+        from pytensor_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, 0, in1, "same-mode grad"),
+                grad_not_implemented(self, 1, in2, "same-mode grad")]
+
 
 def convolve2d(in1, in2, mode="full"):
     return Convolve2d(mode)(in1, in2)

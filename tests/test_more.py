@@ -331,3 +331,25 @@ def test_dump_function():
     f(np.arange(3.0))
     txt = dump_function(f, hlo=True)
     assert "backend" in txt and len(txt) > 200
+
+
+def test_convolve2d_grads_fd():
+    """Convolve2d pullback for full/valid modes (reference
+    tensor/signal/conv.py Convolve2d:253)."""
+    from pytensor_tpu.tensor.signal.conv import convolve2d
+
+    rng2 = np.random.default_rng(7)
+    xv, kv = rng2.random((8, 9)), rng2.random((3, 4))
+    x, k = pt.dmatrix("x"), pt.dmatrix("k")
+    for mode_c in ("full", "valid"):
+        cost = (convolve2d(x, k, mode=mode_c) ** 2).sum()
+        gx, gk = ptt.grad(cost, [x, k])
+        f = ptt.function([x, k], [cost, gx, gk], mode="FAST_COMPILE")
+        c0, gxa, gka = (np.asarray(v) for v in f(xv, kv))
+        eps = 1e-6
+        for (i, j) in [(0, 0), (1, 2), (2, 3)]:
+            e = np.zeros((3, 4))
+            e[i, j] = eps
+            fd = (float(np.asarray(f(xv, kv + e)[0]))
+                  - float(np.asarray(f(xv, kv - e)[0]))) / (2 * eps)
+            np.testing.assert_allclose(gka[i, j], fd, rtol=1e-5)
