@@ -353,3 +353,67 @@ def test_convolve2d_grads_fd():
             fd = (float(np.asarray(f(xv, kv + e)[0]))
                   - float(np.asarray(f(xv, kv - e)[0]))) / (2 * eps)
             np.testing.assert_allclose(gka[i, j], fd, rtol=1e-5)
+
+
+def test_fft_grads_fd():
+    """rfft/irfft pullbacks (reference fft.py:50,111 adapted to our
+    np-normalized irfft), even and odd lengths, both backends."""
+    from pytensor_tpu.tensor.fft import irfft, rfft
+
+    rng2 = np.random.default_rng(3)
+    for N in (16, 9):
+        xv = rng2.random(N)
+        x = pt.tensor("x", dtype="float64", shape=(N,))
+        w = rng2.random((N // 2 + 1, 2))
+        cost = (rfft(x) * w).sum()
+        g = ptt.grad(cost, x)
+        f = ptt.function([x], [cost, g], mode="FAST_COMPILE")
+        c0, gv = (np.asarray(v) for v in f(xv))
+        eps = 1e-6
+        E = rng2.standard_normal(N)
+        fd = (float(np.asarray(f(xv + eps * E)[0]))
+              - float(np.asarray(f(xv - eps * E)[0]))) / (2 * eps)
+        np.testing.assert_allclose((gv * E).sum(), fd, rtol=1e-6)
+    K = 9
+    zv = rng2.random((K, 2))
+    z = pt.tensor("z", dtype="float64", shape=(K, 2))
+    w2 = rng2.random(2 * (K - 1))
+    cost = (irfft(z) * w2).sum()
+    g = ptt.grad(cost, z)
+    f = ptt.function([z], [cost, g], mode="FAST_COMPILE")
+    c0, gv = (np.asarray(v) for v in f(zv))
+    E = rng2.standard_normal((K, 2))
+    eps = 1e-6
+    fd = (float(np.asarray(f(zv + eps * E)[0]))
+          - float(np.asarray(f(zv - eps * E)[0]))) / (2 * eps)
+    np.testing.assert_allclose((gv * E).sum(), fd, rtol=1e-6)
+
+
+def test_pad_sort_repeat_interp_grads_fd():
+    from pytensor_tpu.tensor.extra_ops import repeat
+    from pytensor_tpu.tensor.interpolate import interp
+    from pytensor_tpu.tensor.pad import pad
+    from pytensor_tpu.tensor.sort import sort
+
+    rng2 = np.random.default_rng(3)
+
+    def fd_check(cost_fn, xv, rtol=1e-4):
+        x = pt.tensor("x", dtype="float64", shape=xv.shape)
+        cost = cost_fn(x)
+        g = ptt.grad(cost, x)
+        f = ptt.function([x], [cost, g], mode="FAST_COMPILE")
+        c0, gv = (np.asarray(v) for v in f(xv))
+        eps = 1e-6
+        E = rng2.standard_normal(xv.shape)
+        fd = (float(np.asarray(f(xv + eps * E)[0]))
+              - float(np.asarray(f(xv - eps * E)[0]))) / (2 * eps)
+        np.testing.assert_allclose((gv * E).sum(), fd, rtol=rtol)
+
+    for mode in ("constant", "reflect", "edge"):
+        fd_check(lambda x, m=mode: (pad(x, 2, mode=m) ** 2).sum(),
+                 rng2.random(9))
+    fd_check(lambda x: (sort(x) * np.arange(1.0, 10.0)).sum(), rng2.random(9))
+    fd_check(lambda x: (repeat(x, 3, axis=0) * np.arange(27.0)).sum(),
+             rng2.random(9))
+    fd_check(lambda x: interp(pt.as_tensor_variable(np.array([0.5, 1.5, 2.5])),
+                              np.arange(4.0), x).sum(), rng2.random(4))
