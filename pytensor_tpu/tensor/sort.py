@@ -134,5 +134,30 @@ class TopKOp(Op):
             s[0] = r
 
 
+    def L_op(self, inputs, outputs, output_grads):
+        # d(topk values)/dx: route gz back to the selected positions
+        from pytensor_tpu.gradient import (DisconnectedType,
+                                           grad_not_implemented,
+                                           grad_undefined)
+        from pytensor_tpu.graph.null_type import NullType
+        from pytensor_tpu.tensor.basic import zeros_like
+
+        (x,) = inputs
+        if not (self.return_values and self.return_indices):
+            return [grad_not_implemented(
+                self, 0, x, "topk grad needs both values and indices")]
+        vals, idx = outputs
+        gv = output_grads[0]
+        if isinstance(getattr(gv, "type", None), (DisconnectedType, NullType)):
+            return [grad_undefined(self, 0, x, "only indices used")]
+        from pytensor_tpu.tensor.subtensor import inc_subtensor
+
+        if x.type.ndim != 1:
+            return [grad_not_implemented(
+                self, 0, x, "topk grad for ndim > 1")]
+        return [inc_subtensor(zeros_like(x)[idx], gv)]
+
+
+
 def topk(x, k, sorted=True):
     return TopKOp(k, sorted=sorted)(x)
