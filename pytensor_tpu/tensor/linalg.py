@@ -659,6 +659,31 @@ class Lu(MatrixOp):
         for s, r in zip(output_storage, res):
             s[0] = np.asarray(r, dtype=dt)
 
+    def L_op(self, inputs, outputs, output_grads):
+        # PLU pullback (standard result, e.g. jax's lu vjp):
+        #   F = tril(L^T Lbar, -1) + triu(U bar{U}^T ... ) — concretely
+        #   Abar = P L^{-T} (tril(L^T Lbar, -1) + triu(Ubar U^T)) U^{-T}
+        from pytensor_tpu.gradient import DisconnectedType, grad_not_implemented
+        from pytensor_tpu.graph.null_type import NullType
+        from pytensor_tpu.tensor.basic import zeros_like
+
+        (x,) = inputs
+        if self.permute_l:
+            return [grad_not_implemented(self, 0, x, "permute_l lu grad")]
+        P, L, U = outputs
+        Pbar, Lbar, Ubar = output_grads
+        if isinstance(getattr(Lbar, "type", None), (DisconnectedType, NullType)):
+            Lbar = zeros_like(L)
+        if isinstance(getattr(Ubar, "type", None), (DisconnectedType, NullType)):
+            Ubar = zeros_like(U)
+        F = tril(matmul(_mT(L), Lbar), -1) + triu(matmul(Ubar, _mT(U)))
+        # Y = L^{-T} F: solve L^T Y = F (L^T upper, unit diagonal)
+        Y = _core2(SolveTriangular(lower=False, unit_diagonal=True),
+                   _mT(L), F)
+        # Z = Y U^{-T} = (U^{-1} Y^T)^T: solve U W = Y^T (U upper)
+        Z = _mT(_core2(SolveTriangular(lower=False), U, _mT(Y)))
+        return [matmul(P, Z)]
+
 
 def lu(x, permute_l=False, **kwargs):
     return Lu(permute_l=permute_l)(x)
@@ -678,6 +703,23 @@ class Expm(MatrixOp):
         output_storage[0][0] = np.asarray(
             sla.expm(inputs[0]), dtype=node.outputs[0].type.numpy_dtype
         )
+
+    def L_op(self, inputs, outputs, output_grads):
+        # Frechet-adjoint via the augmented-matrix identity:
+        #   expm([[A^T, Gbar], [0, A^T]]) = [[expm(A^T), L], [0, expm(A^T)]]
+        # with L = the adjoint directional derivative -> Abar
+        from pytensor_tpu.tensor.basic import concatenate, zeros
+        from pytensor_tpu.tensor.shape import shape
+
+        (x,) = inputs
+        (gz,) = output_grads
+        n = shape(x)[0]
+        z = zeros((n, n), dtype=x.type.dtype)
+        top = concatenate([_mT(x), gz], axis=1)
+        bot = concatenate([z, _mT(x)], axis=1)
+        big = concatenate([top, bot], axis=0)
+        E = Expm()(big)
+        return [E[:n, n:]]
 
 
 def expm(x):

@@ -197,3 +197,29 @@ class TestQRGradModes:
         q, r = ptl.qr(x, mode="complete")
         with pytest.raises(NullTypeGradError):
             ptt.grad((q ** 2).sum(), x)
+
+
+def test_lu_and_expm_grads_fd():
+    """LU pullback (P L^{-T}(tril(L^T Lbar,-1)+triu(Ubar U^T))U^{-T}) and
+    expm pullback (augmented-matrix Frechet adjoint)."""
+    from pytensor_tpu.tensor import linalg as ptl
+
+    rng2 = np.random.default_rng(0)
+    Av = rng2.random((4, 4)) * 0.5 + np.eye(4)
+    A = pt.dmatrix("A")
+    W = rng2.random((4, 4))
+    for name, expr_fn in [
+        ("expm", lambda a: (ptl.expm(a) * W).sum()),
+        ("lu", lambda a: sum((o ** 2).sum() * c
+                             for o, c in zip(ptl.lu(a), [0.0, 1.0, 2.0]))),
+    ]:
+        cost = expr_fn(A)
+        g = ptt.grad(cost, A)
+        f = ptt.function([A], [cost, g], mode="FAST_COMPILE")
+        c0, gv = (np.asarray(v) for v in f(Av))
+        eps = 1e-6
+        E = rng2.standard_normal((4, 4))
+        fd = (float(np.asarray(f(Av + eps * E)[0]))
+              - float(np.asarray(f(Av - eps * E)[0]))) / (2 * eps)
+        np.testing.assert_allclose((gv * E).sum(), fd, rtol=1e-5,
+                                   err_msg=name)
