@@ -396,3 +396,23 @@ def test_gradient_through_rng_scan():
         va, vfa, vs, vfs = (float(np.asarray(v)) for v in f(0.9, 0.3))
         np.testing.assert_allclose(va, vfa, rtol=1e-5)
         np.testing.assert_allclose(vs, vfs, rtol=1e-5)
+
+
+def test_second_order_gradient_through_scan():
+    """grad-of-grad: the reverse BPTT scan is itself differentiable
+    (reference supports R_op/second-order through scan)."""
+    x, a = pt.dvector("x"), pt.dscalar("a")
+    tr, _ = ptt.scan(lambda xt, acc, aa: acc * aa + xt ** 2,
+                     sequences=[x],
+                     outputs_info=[pt.constant(np.float64(0.5))],
+                     non_sequences=[a])
+    loss = (tr ** 2).sum()
+    g_a = ptt.grad(loss, a)
+    gg_a = ptt.grad(g_a, a)
+    f = ptt.function([x, a], [g_a, gg_a], mode="FAST_COMPILE")
+    xv, av = np.array([0.3, 0.5, 0.2, 0.7]), 0.9
+    g1, g2 = (float(np.asarray(v)) for v in f(xv, av))
+    eps = 1e-5
+    fd2 = (float(np.asarray(f(xv, av + eps)[0]))
+           - float(np.asarray(f(xv, av - eps)[0]))) / (2 * eps)
+    np.testing.assert_allclose(g2, fd2, rtol=1e-5)
