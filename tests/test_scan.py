@@ -416,3 +416,21 @@ def test_second_order_gradient_through_scan():
     fd2 = (float(np.asarray(f(xv, av + eps)[0]))
            - float(np.asarray(f(xv, av - eps)[0]))) / (2 * eps)
     np.testing.assert_allclose(g2, fd2, rtol=1e-5)
+
+
+def test_rop_through_scan():
+    """pushforward (Jvp) through scan via the double-pullback trick."""
+    from pytensor_tpu.gradient import pushforward
+
+    x = pt.dvector("x")
+    tr, _ = ptt.scan(lambda xt, acc: acc * 0.9 + xt ** 2, sequences=[x],
+                     outputs_info=[pt.constant(np.float64(0.5))])
+    y = (tr ** 2).sum()
+    v = pt.dvector("v")
+    jvp = pushforward([y], [x], [v])[0]
+    f = ptt.function([x, v], jvp, mode="FAST_COMPILE")
+    xv, vv = np.array([0.3, 0.5, 0.2]), np.array([1.0, -0.5, 2.0])
+    g = ptt.grad(y, x)
+    gv = np.asarray(ptt.function([x], g, mode="FAST_COMPILE")(xv))
+    np.testing.assert_allclose(float(np.asarray(f(xv, vv))),
+                               float((gv * vv).sum()), rtol=1e-10)
