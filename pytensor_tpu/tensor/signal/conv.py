@@ -71,10 +71,26 @@ class Convolve1d(Op):
             g1 = Convolve1d("full")(gz, flip(in2, 0))
             g2 = flip(Convolve1d("valid")(in1, flip(gz, 0)), 0)
             return [g1, g2]
+        # mode == "same": y = full(x, k)[(K-1)//2 : (K-1)//2 + N].
+        # Embed gz into the full-length cotangent, then reuse the
+        # full-mode pullback.
         from pytensor_tpu.gradient import grad_not_implemented
+        from pytensor_tpu.tensor.basic import zeros
+        from pytensor_tpu.tensor.shape import shape
+        from pytensor_tpu.tensor.subtensor import set_subtensor
 
-        return [grad_not_implemented(self, 0, in1, "same-mode grad"),
-                grad_not_implemented(self, 1, in2, "same-mode grad")]
+        n_s, k_s = in1.type.shape[0], in2.type.shape[0]
+        if n_s is None or k_s is None:
+            return [grad_not_implemented(self, 0, in1,
+                                         "same-mode grad needs static dims"),
+                    grad_not_implemented(self, 1, in2,
+                                         "same-mode grad needs static dims")]
+        off = (k_s - 1) // 2
+        gzf = set_subtensor(
+            zeros((n_s + k_s - 1,), dtype=gz.type.dtype)[off: off + n_s], gz)
+        g1 = Convolve1d("valid")(gzf, flip(in2, 0))
+        g2 = Convolve1d("valid")(gzf, flip(in1, 0))
+        return [g1, g2]
 
 
 def convolve1d(in1, in2, mode="full"):
@@ -139,9 +155,22 @@ class Convolve2d(Op):
             return [Convolve2d("full")(gz, flip2(in2)),
                     flip2(Convolve2d("valid")(in1, flip2(gz)))]
         from pytensor_tpu.gradient import grad_not_implemented
+        from pytensor_tpu.tensor.basic import zeros
+        from pytensor_tpu.tensor.subtensor import set_subtensor
 
-        return [grad_not_implemented(self, 0, in1, "same-mode grad"),
-                grad_not_implemented(self, 1, in2, "same-mode grad")]
+        shp1, shp2 = in1.type.shape, in2.type.shape
+        if None in shp1 or None in shp2:
+            return [grad_not_implemented(self, 0, in1,
+                                         "same-mode grad needs static dims"),
+                    grad_not_implemented(self, 1, in2,
+                                         "same-mode grad needs static dims")]
+        offs = tuple((k - 1) // 2 for k in shp2)
+        full_shape = tuple(n + k - 1 for n, k in zip(shp1, shp2))
+        idx = tuple(slice(o, o + n) for o, n in zip(offs, shp1))
+        gzf = set_subtensor(
+            zeros(full_shape, dtype=gz.type.dtype)[idx], gz)
+        return [Convolve2d("valid")(gzf, flip2(in2)),
+                Convolve2d("valid")(gzf, flip2(in1))]
 
 
 def convolve2d(in1, in2, mode="full"):

@@ -417,3 +417,33 @@ def test_pad_sort_repeat_interp_grads_fd():
              rng2.random(9))
     fd_check(lambda x: interp(pt.as_tensor_variable(np.array([0.5, 1.5, 2.5])),
                               np.arange(4.0), x).sum(), rng2.random(4))
+
+
+def test_convolve_same_mode_grads_fd():
+    """same-mode conv pullbacks: gz embedded into the full-mode cotangent."""
+    from pytensor_tpu.tensor.signal.conv import convolve1d, convolve2d
+
+    rng2 = np.random.default_rng(7)
+    xv, kv = rng2.random(12), rng2.random(5)
+    x = pt.tensor("x", dtype="float64", shape=(12,))
+    k = pt.tensor("k", dtype="float64", shape=(5,))
+    cost = (convolve1d(x, k, mode="same") ** 2).sum()
+    gx, gk = ptt.grad(cost, [x, k])
+    f = ptt.function([x, k], [cost, gx, gk], mode="FAST_COMPILE")
+    c0, gxa, gka = (np.asarray(v) for v in f(xv, kv))
+    eps = 1e-6
+    Ek = rng2.standard_normal(5)
+    fdk = (float(np.asarray(f(xv, kv + eps * Ek)[0]))
+           - float(np.asarray(f(xv, kv - eps * Ek)[0]))) / (2 * eps)
+    np.testing.assert_allclose((gka * Ek).sum(), fdk, rtol=1e-6)
+    xv2, kv2 = rng2.random((7, 8)), rng2.random((3, 3))
+    x2 = pt.tensor("x2", dtype="float64", shape=(7, 8))
+    k2 = pt.tensor("k2", dtype="float64", shape=(3, 3))
+    cost = (convolve2d(x2, k2, mode="same") ** 2).sum()
+    gk2 = ptt.grad(cost, k2)
+    f2 = ptt.function([x2, k2], [cost, gk2], mode="FAST_COMPILE")
+    c0, gka2 = (np.asarray(v) for v in f2(xv2, kv2))
+    E2 = rng2.standard_normal((3, 3))
+    fd2 = (float(np.asarray(f2(xv2, kv2 + eps * E2)[0]))
+           - float(np.asarray(f2(xv2, kv2 - eps * E2)[0]))) / (2 * eps)
+    np.testing.assert_allclose((gka2 * E2).sum(), fd2, rtol=1e-6)
