@@ -58,6 +58,24 @@ class CSMProperties(Op):
         output_storage[3][0] = np.asarray(x.shape, dtype="int64")
 
 
+    def L_op(self, inputs, outputs, output_grads):
+        # only the data output is differentiable; rebuild a sparse matrix
+        # carrying g_data on x's sparsity pattern
+        from pytensor_tpu.gradient import DisconnectedType
+        from pytensor_tpu.graph.null_type import NullType
+
+        (x,) = inputs
+        g_data = output_grads[0]
+        if isinstance(getattr(g_data, "type", None),
+                      (DisconnectedType, NullType)):
+            from pytensor_tpu.gradient import grad_undefined
+
+            return [grad_undefined(self, 0, x, "only structure used")]
+        data, indices, indptr, shape = self(x)
+        fmt = x.type.format if x.type.format in ("csr", "csc") else "csr"
+        return [CSM(fmt)(g_data, indices, indptr, shape)]
+
+
 csm_properties = CSMProperties()
 
 
@@ -85,6 +103,20 @@ class CSM(Op):
 
     def connection_pattern(self, node):
         return [[True], [False], [False], [False]]
+
+    def L_op(self, inputs, outputs, output_grads):
+        from pytensor_tpu.gradient import DisconnectedType, grad_undefined
+        from pytensor_tpu.graph.null_type import NullType
+
+        data, indices, indptr, shape = inputs
+        (gz,) = output_grads
+        if isinstance(getattr(gz, "type", None), (DisconnectedType, NullType)):
+            return [grad_undefined(self, 0, data, "no gradient flows"),
+                    DisconnectedType()(), DisconnectedType()(),
+                    DisconnectedType()()]
+        g_data = CSMProperties()(gz)[0]
+        return [g_data, DisconnectedType()(), DisconnectedType()(),
+                DisconnectedType()()]
 
 
 CSR = CSM("csr")
@@ -270,10 +302,19 @@ class SpSum(Op):
         ).astype(node.outputs[0].type.numpy_dtype)
 
     def L_op(self, inputs, outputs, output_grads):
+        # d(sum)/dx has x's sparsity pattern: broadcast gz onto the data
         from pytensor_tpu.gradient import grad_not_implemented
 
         (x,) = inputs
-        return [grad_not_implemented(self, 0, x, "sparse sum grad")]
+        (gz,) = output_grads
+        if self.axis is not None:
+            return [grad_not_implemented(
+                self, 0, x, "sparse axis-sum grad (use dense)")]
+        data, indices, indptr, shape = CSMProperties()(x)
+        from pytensor_tpu.tensor.basic import ones_like
+
+        fmt = x.type.format if x.type.format in ("csr", "csc") else "csr"
+        return [CSM(fmt)(ones_like(data) * gz, indices, indptr, shape)]
 
 
 def sp_sum(x, axis=None, sparse_grad=False):
@@ -417,6 +458,42 @@ def _register_xla():
                              jnp.asarray(coo.col, dtype="int32")], axis=1)
             return jsp.BCOO((jnp.asarray(coo.data), idx), shape=coo.shape)
         return v
+
+    @xla_funcify.register(CSMProperties)
+    def _csm_props(op, node=None, **kw):
+        def props(x):
+            b = _to_bcoo(x)
+            b = jsp.bcoo_sort_indices(b) if hasattr(jsp, "bcoo_sort_indices") else b
+            rows = b.indices[:, 0]
+            cols = b.indices[:, 1].astype("int32")
+            nrows = b.shape[0]
+            counts = jnp.bincount(rows, length=nrows)
+            indptr = jnp.concatenate(
+                [jnp.zeros(1, "int32"),
+                 jnp.cumsum(counts).astype("int32")])
+            # BCOO.shape is static python ints: keep the shape output
+            # host-concrete (like Shape) so CSM can rebuild statically
+            shape = np.asarray(b.shape, dtype="int64")
+            return b.data, cols, indptr, shape
+
+        return props
+
+    @xla_funcify.register(CSM)
+    def _csm_build(op, node=None, **kw):
+        def build(data, indices, indptr, shape_v):
+            nse = data.shape[0]
+            rows = (jnp.searchsorted(indptr.astype("int32"),
+                                     jnp.arange(nse, dtype="int32"),
+                                     side="right") - 1).astype("int32")
+            idx = jnp.stack([rows, indices.astype("int32")], axis=1)
+            # shape must be host-concrete (CSMProperties keeps it so)
+            from pytensor_tpu.link.xla.dispatch import _concrete
+
+            out_shape = tuple(int(d) for d in
+                              _concrete(shape_v, "sparse CSM shape"))
+            return jsp.BCOO((data, idx), shape=out_shape)
+
+        return build
 
     @xla_funcify.register(StructuredDot)
     def _sdot(op, node=None, **kw):

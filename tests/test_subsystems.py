@@ -359,3 +359,23 @@ class TestSparseCompat:
         assert set(np.unique(ol.toarray())) <= {0.0, 1.0}
         fc = ptt.function([x], sp.fcast(x), mode="FAST_COMPILE")(Xv)
         assert fc.dtype == np.float32
+
+
+class TestSparseStructuredGrads:
+    def test_structured_exp_grad_both_backends(self):
+        import scipy.sparse as ssp
+
+        import pytensor_tpu.sparse as sp
+
+        Xv = ssp.random(6, 5, density=0.4, format="csr", random_state=3,
+                        dtype="float64")
+        x = sp.csr_matrix("x", dtype="float64")
+        cost = sp.sp_sum(sp.structured_exp(x))
+        g = ptt.grad(cost, x)
+        exp = Xv.copy()
+        exp.data = np.exp(exp.data)
+        for mode in ("FAST_COMPILE", None):
+            gv = ptt.function([x], g, mode=mode)(Xv)
+            arr = (np.asarray(gv.todense()) if hasattr(gv, "todense")
+                   else gv.toarray())
+            np.testing.assert_allclose(arr, exp.toarray())
