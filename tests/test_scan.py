@@ -434,3 +434,26 @@ def test_rop_through_scan():
     gv = np.asarray(ptt.function([x], g, mode="FAST_COMPILE")(xv))
     np.testing.assert_allclose(float(np.asarray(f(xv, vv))),
                                float((gv * vv).sum()), rtol=1e-10)
+
+
+def test_scan_checkpoints_grad_matches_plain_scan():
+    """Gradient checkpointing (reference scan/checkpoints.py:7) computes
+    the same values/grads as an unchunked scan."""
+    from pytensor_tpu.scan.checkpoints import scan_checkpoints
+
+    x = pt.dvector("x")
+    out, _ = scan_checkpoints(lambda xt, acc: acc * 0.9 + xt, sequences=[x],
+                              outputs_info=pt.constant(np.float64(0.0)),
+                              save_every_N=4)
+    loss = out[-1] ** 2
+    g = ptt.grad(loss, x)
+    out2, _ = ptt.scan(lambda xt, acc: acc * 0.9 + xt, sequences=[x],
+                       outputs_info=[pt.constant(np.float64(0.0))])
+    loss2 = out2[-1] ** 2
+    g2 = ptt.grad(loss2, x)
+    xv = np.arange(8.0) * 0.1
+    for mode in ("FAST_COMPILE", None):
+        f = ptt.function([x], [loss, g, loss2, g2], mode=mode)
+        l0, gv, l0b, gvb = (np.asarray(v) for v in f(xv))
+        np.testing.assert_allclose(float(l0), float(l0b), rtol=1e-10)
+        np.testing.assert_allclose(gv, gvb, rtol=1e-9)
