@@ -10,6 +10,24 @@ from pytensor_tpu.xtensor.indexing import (  # noqa: F401
     isel,
 )
 from pytensor_tpu.xtensor.ops import concat, expand_dims, squeeze, xdot  # noqa: F401
+
+dot = xdot
+
+
+def where(cond, x, y):
+    """Dim-aware ternary select."""
+    import pytensor_tpu.scalar.basic as _ps
+
+    from pytensor_tpu.xtensor.ops import XElemwise
+
+    return XElemwise(_ps.switch)(cond, x, y)
+
+
+def xtensor_constant(value, dims, name=None):
+    from pytensor_tpu.xtensor.type import as_xtensor
+
+    return as_xtensor(value, dims=dims, name=name)
+
 from pytensor_tpu.xtensor.shape import (  # noqa: F401
     broadcast,
     full_like,
