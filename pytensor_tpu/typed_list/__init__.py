@@ -10,3 +10,5 @@ from pytensor_tpu.typed_list.basic import (
     remove,
     reverse,
 )
+from pytensor_tpu.typed_list.basic import GetItem  # noqa: F401,E402
+from pytensor_tpu.typed_list.basic import index_ as index  # noqa: F401,E402

@@ -189,3 +189,27 @@ class Count(Op):
 
 
 count = Count()
+
+
+class Index(Op):
+    """Position of the first matching element (reference typed_list
+    Index op / list.index semantics)."""
+
+    __props__ = ()
+
+    def make_node(self, x, elem):
+        from pytensor_tpu.tensor.type import TensorType
+
+        elem = x.type.ttype.filter_variable(elem)
+        return Apply(self, [x, elem], [TensorType("int64", ())()])
+
+    def perform(self, node, inputs, output_storage):
+        x, e = inputs
+        for i, v in enumerate(x):
+            if np.array_equal(np.asarray(v), np.asarray(e)):
+                output_storage[0][0] = np.asarray(i, dtype="int64")
+                return
+        raise ValueError("element not in typed list")
+
+
+index_ = Index()
