@@ -879,26 +879,28 @@ class ExtractDiag(Op):
         return [(*base, dl)]
 
     def L_op(self, inputs, outputs, output_grads):
+        # scatter the diag cotangent back; general ndim/axes by moving
+        # (axis1, axis2) last (numpy's diagonal appends the diag axis last)
         (x,) = inputs
         (gz,) = output_grads
+        from pytensor_tpu.tensor.shape import shape
         from pytensor_tpu.tensor.subtensor import set_subtensor
 
-        if x.type.ndim != 2 or (self.axis1, self.axis2) != (0, 1):
-            from pytensor_tpu.gradient import grad_not_implemented
-
-            return [grad_not_implemented(self, 0, x)]
-        z = zeros_like(x)
-        from pytensor_tpu.tensor import math as tm
-        from pytensor_tpu.tensor.shape import shape
-
-        n = tm.minimum(shape(x)[0], shape(x)[1])
-        # scatter the diag gradient back
-        ar = arange(shape(gz)[0])
+        nd = x.type.ndim
+        a1, a2 = self.axis1 % nd, self.axis2 % nd
+        rest = [d for d in range(nd) if d not in (a1, a2)]
+        perm = rest + [a1, a2]
+        xt = transpose(x, perm)
+        z = zeros_like(xt)
+        ar = arange(shape(gz)[-1])
         if self.offset >= 0:
-            g = set_subtensor(z[ar, ar + self.offset], gz)
+            rows, cols = ar, ar + self.offset
         else:
-            g = set_subtensor(z[ar - self.offset, ar], gz)
-        return [g]
+            rows, cols = ar - self.offset, ar
+        idx = (slice(None),) * len(rest) + (rows, cols)
+        g = set_subtensor(z[idx], gz)
+        inv = [perm.index(d) for d in range(nd)]
+        return [transpose(g, inv)]
 
 
 def diagonal(x, offset=0, axis1=0, axis2=1):

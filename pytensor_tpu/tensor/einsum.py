@@ -98,13 +98,19 @@ class Einsum(Op):
             target = in_specs[k]
             known = set(out_spec) | set("".join(other_specs))
             missing = [ch for ch in target if ch not in known]
-            if missing:
-                from pytensor_tpu.gradient import grad_not_implemented
-
-                grads.append(grad_not_implemented(self, k, inp, "summed-only index"))
-                continue
-            sub = ",".join([out_spec] + other_specs) + "->" + target
+            # labels summed only in this operand: the grad is constant
+            # along them — compute over the known labels and broadcast
+            target_known = "".join(ch for ch in target if ch not in missing)
+            sub = ",".join([out_spec] + other_specs) + "->" + target_known
             g = Einsum(sub)(gz, *other_ops)
+            if missing:
+                from pytensor_tpu.tensor.elemwise import DimShuffle
+                from pytensor_tpu.tensor.math import second
+
+                order = [target_known.index(ch) if ch in target_known
+                         else "x" for ch in target]
+                g = DimShuffle(g.type.ndim, order)(g)
+                g = second(inp, g)
             from pytensor_tpu.tensor.basic import cast
 
             if g.type.dtype != inp.type.dtype:
@@ -114,7 +120,39 @@ class Einsum(Op):
 
 
 def einsum(subscripts, *operands, optimize=None):
-    return Einsum(subscripts)(*operands)
+    from pytensor_tpu.tensor.basic import as_tensor_variable, diagonal
+
+    # normalize: make the output explicit (numpy implicit rule) and
+    # extract in-operand repeated labels as diagonals so the Einsum op
+    # only ever sees unique labels per operand (its pullback then covers
+    # every case, including 'ii->' trace gradients)
+    subscripts = subscripts.replace(" ", "")
+    if "->" in subscripts:
+        ins, out = subscripts.split("->")
+    else:
+        ins = subscripts
+        counts = {}
+        for c in ins.replace(",", ""):
+            counts[c] = counts.get(c, 0) + 1
+        out = "".join(sorted(c for c, n in counts.items() if n == 1))
+    in_specs = ins.split(",")
+    new_ops = []
+    new_specs = []
+    for spec, opd in zip(in_specs, operands):
+        opd = as_tensor_variable(opd)
+        while len(set(spec)) != len(spec):
+            rep_i = rep_j = None
+            for i, c in enumerate(spec):
+                j = spec.find(c, i + 1)
+                if j != -1:
+                    rep_i, rep_j, rep_c = i, j, c
+                    break
+            opd = diagonal(opd, axis1=rep_i, axis2=rep_j)
+            spec = "".join(ch for k, ch in enumerate(spec)
+                           if k not in (rep_i, rep_j)) + rep_c
+        new_ops.append(opd)
+        new_specs.append(spec)
+    return Einsum(",".join(new_specs) + "->" + out)(*new_ops)
 
 
 def _register_xla():

@@ -115,6 +115,16 @@ class DimShuffle(Op):
             self.new_order.index(i) if i in self.new_order else "x"
             for i in range(self.input_ndim)
         ]
+        # dims this op inserted as length-1 may come back with an unknown
+        # static size in gz (e.g. through Join/Split grads); pin them so
+        # the reverse drop is type-valid — semantically they ARE 1
+        dropped = [d for d in self.augment if gz.type.shape[d] is None]
+        if dropped:
+            from pytensor_tpu.tensor.shape import specify_shape
+
+            pinned = [1 if d in dropped else gz.type.shape[d]
+                      for d in range(gz.type.ndim)]
+            gz = specify_shape(gz, pinned)
         return [DimShuffle(gz.type.ndim, grad_order)(gz)]
 
     def R_op(self, inputs, eval_points):

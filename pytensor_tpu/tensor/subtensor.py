@@ -421,7 +421,36 @@ class AdvancedSubtensor(Op):
             out = dummy[tuple(idx)]
             return tuple(None if d in marker_set else d for d in out.shape)
         except Exception:
-            return None
+            # marker sizes can collide in broadcasts; recompute with all
+            # unknown dims = 1 to at least get the RANK right (returning a
+            # rank-0 type here would silently produce a scalar)
+            try:
+                dummy = np.empty(
+                    tuple(1 if s is None else s for s in x.type.shape),
+                    dtype=bool)
+                idx = []
+                it = iter(indices)
+                for e in self.idx_list:
+                    if e == DYN:
+                        iv = next(it)
+                        idx.append(np.zeros(
+                            tuple(1 if s is None else s
+                                  for s in iv.type.shape), dtype="int64"))
+                    elif isinstance(e, (int, np.integer)):
+                        idx.append(0)
+                    elif e == "none":
+                        idx.append(None)
+                    else:
+                        _, a, b, c = e
+                        idx.append(slice(
+                            None if a == DYN else a,
+                            None if b == DYN else b,
+                            None if c == DYN else c,
+                        ))
+                out = dummy[tuple(idx)]
+                return (None,) * out.ndim
+            except Exception:
+                return None
 
     def make_node_shape_fallback(self):
         pass
@@ -731,7 +760,10 @@ def take_along_axis(arr, indices, axis=-1):
         if d == axis:
             idxs.append(indices)
         else:
-            r = arange(shape(arr)[d])
+            # prefer the static dim: a symbolic Shape_i would erase the
+            # arange's static length and poison downstream shape inference
+            static = arr.type.shape[d]
+            r = arange(static if static is not None else shape(arr)[d])
             pat = ["x"] * arr.type.ndim
             pat[d] = 0
             from pytensor_tpu.tensor.elemwise import DimShuffle

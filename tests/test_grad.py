@@ -128,3 +128,71 @@ def test_second_order_through_grad():
     g1 = ptt.grad(y, x)
     g2 = ptt.grad(g1, x)
     np.testing.assert_allclose(float(g2.eval({x: 0.5})), 4 * np.exp(1.0))
+
+
+class TestGradLongTail:
+    """FD sweep: blockwise-cholesky, strided slices, permute/choose,
+    einsum repeated/summed-only labels, general diagonal scatter."""
+
+    def _fd(self, cost_fn, xv, rtol=1e-4):
+        rng2 = np.random.default_rng(5)
+        x = pt.tensor("x", dtype="float64", shape=xv.shape)
+        cost = cost_fn(x)
+        g = ptt.grad(cost, x)
+        f = ptt.function([x], [cost, g], mode="FAST_COMPILE")
+        c0, gv = (np.asarray(v) for v in f(xv))
+        eps = 1e-6
+        E = rng2.standard_normal(xv.shape)
+        fd = (float(np.asarray(f(xv + eps * E)[0]))
+              - float(np.asarray(f(xv - eps * E)[0]))) / (2 * eps)
+        np.testing.assert_allclose((gv * E).sum(), fd, rtol=rtol)
+
+    def test_blockwise_cholesky(self):
+        from pytensor_tpu.tensor import linalg as ptl
+
+        rng2 = np.random.default_rng(5)
+        A0 = rng2.random((3, 4, 4))
+        A0 = A0 @ np.swapaxes(A0, -1, -2) + 4 * np.eye(4)
+        self._fd(lambda a: (ptl.cholesky(a) ** 2).sum(), A0, rtol=1e-5)
+
+    def test_strided_and_negative_slices(self):
+        rng2 = np.random.default_rng(5)
+        self._fd(lambda a: (a[::2, 1::3] ** 2).sum(), rng2.random((7, 9)))
+        self._fd(lambda a: (a[::-1] * np.arange(1.0, 8.0)).sum(),
+                 rng2.random(7))
+
+    def test_permute_and_choose(self):
+        from pytensor_tpu.tensor.math import choose, permute_row_elements
+
+        rng2 = np.random.default_rng(5)
+        perm = rng2.permutation(6).astype("int64")
+        self._fd(lambda a: (permute_row_elements(
+            a, pt.as_tensor_variable(perm)) * np.arange(6.0)).sum(),
+            rng2.random(6))
+        ch = rng2.integers(0, 3, size=8)
+        self._fd(lambda a: choose(pt.as_tensor_variable(ch),
+                                  [a, a * 2, a ** 2]).sum(), rng2.random(8))
+
+    def test_einsum_repeated_and_summed_only(self):
+        rng2 = np.random.default_rng(5)
+        self._fd(lambda a: pt.einsum("ii->", a), rng2.random((5, 5)))
+        self._fd(lambda a: (pt.einsum("iij->j", a) ** 2).sum(),
+                 rng2.random((4, 4, 3)))
+        self._fd(lambda a: (pt.einsum("ij->j", a) ** 2).sum(),
+                 rng2.random((4, 3)))
+
+    def test_diagonal_general_axes(self):
+        rng2 = np.random.default_rng(5)
+        self._fd(lambda a: (pt.diagonal(a, offset=1) ** 2).sum(),
+                 rng2.random((5, 5)))
+        self._fd(lambda a: (pt.diagonal(a, axis1=0, axis2=2) ** 2).sum(),
+                 rng2.random((4, 3, 4)))
+
+    def test_einsum_values_repeated_labels(self):
+        rng2 = np.random.default_rng(5)
+        mv = rng2.random((5, 5))
+        m = pt.dmatrix("m")
+        for subs in ("ii->", "ii->i", "ii"):
+            r = np.asarray(ptt.function([m], pt.einsum(subs, m),
+                                        mode="FAST_COMPILE")(mv))
+            np.testing.assert_allclose(r, np.einsum(subs, mv), rtol=1e-12)
