@@ -196,3 +196,47 @@ class TestGradLongTail:
             r = np.asarray(ptt.function([m], pt.einsum(subs, m),
                                         mode="FAST_COMPILE")(mv))
             np.testing.assert_allclose(r, np.einsum(subs, mv), rtol=1e-12)
+
+
+class TestGradSweepBatch3:
+    def _fd(self, cost_fn, *xvs, rtol=1e-4):
+        rng2 = np.random.default_rng(11)
+        xs = [pt.tensor(f"x{i}", dtype="float64", shape=v.shape)
+              for i, v in enumerate(xvs)]
+        cost = cost_fn(*xs)
+        gs = ptt.grad(cost, xs)
+        f = ptt.function(xs, [cost] + list(gs), mode="FAST_COMPILE")
+        out = [np.asarray(v) for v in f(*xvs)]
+        eps = 1e-6
+        for k in range(len(xvs)):
+            E = rng2.standard_normal(xvs[k].shape)
+            p = [v + (eps * E if i == k else 0) for i, v in enumerate(xvs)]
+            m = [v - (eps * E if i == k else 0) for i, v in enumerate(xvs)]
+            num = (float(np.asarray(f(*p)[0]))
+                   - float(np.asarray(f(*m)[0]))) / (2 * eps)
+            np.testing.assert_allclose((out[1 + k] * E).sum(), num, rtol=rtol)
+
+    def test_tensordot_outer_batched_dot(self):
+        from pytensor_tpu.tensor.blas import batched_dot
+
+        rng2 = np.random.default_rng(11)
+        self._fd(lambda a, b: (pt.math.tensordot(a, b, axes=2) ** 2).sum(),
+                 rng2.random((3, 4, 5)), rng2.random((4, 5, 2)))
+        self._fd(lambda a, b: (pt.math.tensordot(
+            a, b, axes=[[0, 2], [1, 0]]) ** 2).sum(),
+            rng2.random((3, 4, 5)), rng2.random((5, 3, 2)))
+        self._fd(lambda a, b: (batched_dot(a, b) ** 2).sum(),
+                 rng2.random((3, 4, 5)), rng2.random((3, 5, 2)))
+
+    def test_kron_power_norm_solve(self):
+        from pytensor_tpu.tensor import linalg as ptl
+
+        rng2 = np.random.default_rng(11)
+        self._fd(lambda a, b: (ptl.kron(a, b) ** 2).sum(),
+                 rng2.random((2, 3)), rng2.random((3, 2)))
+        self._fd(lambda a: (ptl.matrix_power(a, 3) ** 2).sum(),
+                 rng2.random((3, 3)) * 0.5)
+        self._fd(lambda a: ptl.norm(a), rng2.random((4, 5)))
+        self._fd(lambda a, b: (ptl.solve(a + 3 * np.eye(4), b,
+                                         b_ndim=2) ** 2).sum(),
+                 rng2.random((4, 4)), rng2.random((4, 2)))
