@@ -124,6 +124,12 @@ class XlaLinker(Linker):
         if self.out_shardings is not None:
             kwargs["out_shardings"] = self.out_shardings
         prec = config.xla__matmul_precision
+        if prec == "default":
+            # the general flag (also consulted by the einsum lowering)
+            legacy = config.matmul_precision
+            prec = {"high": "tensorfloat32", "highest": "highest",
+                    "bfloat16": "bfloat16", "float32": "float32",
+                    "default": "default"}.get(legacy, "default")
         if prec != "default":
             inner = fn
 
