@@ -303,8 +303,6 @@ def scan(
             traces[i] = node_outs[nit_base + ni]
             ni += 1
     results = [traces[i] for i in range(len(states))]
-    if go_backwards:
-        results = [flip(r, 0) for r in results]
     if len(results) == 1 and not return_list:
         results = results[0]
     return results, updates

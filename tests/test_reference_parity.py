@@ -463,3 +463,45 @@ def test_cumsum_prod_grads(ref):
     r2 = [np.asarray(v) for v in f_us(xv)]
     np.testing.assert_allclose(r2[0], r1[0], rtol=1e-10)
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_scan_go_backwards_order(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = np.arange(6.0)
+    rx = rt.dvector("x")
+    rout, _ = pytensor.scan(lambda xt, acc: acc + xt, sequences=[rx],
+                            outputs_info=[rt.constant(np.float64(0.0))],
+                            go_backwards=True)
+    ref_r = np.asarray(pytensor.function([rx], rout)(v))
+    ox = pt.dvector("x")
+    oout, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[ox],
+                       outputs_info=[pt.constant(np.float64(0.0))],
+                       go_backwards=True)
+    our_r = np.asarray(ptt.function([ox], oout)(v))
+    np.testing.assert_allclose(our_r, ref_r)
+
+
+@pytest.mark.slow
+def test_scan_sequence_taps_vs_reference(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    v = np.arange(6.0)
+    rx = rt.dvector("x")
+    rout, _ = pytensor.scan(lambda xm2, x0: x0 - xm2,
+                            sequences=[dict(input=rx, taps=[-2, 0])])
+    ref_r = np.asarray(pytensor.function([rx], rout)(v))
+    ox = pt.dvector("x")
+    oout, _ = ptt.scan(lambda xm2, x0: x0 - xm2,
+                       sequences=[dict(input=ox, taps=[-2, 0])])
+    our_r = np.asarray(ptt.function([ox], oout)(v))
+    np.testing.assert_allclose(our_r, ref_r)

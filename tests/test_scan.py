@@ -71,8 +71,10 @@ def test_scan_go_backwards():
                       outputs_info=[pt.constant(0.0, dtype="float64")],
                       go_backwards=True)
     res = compare_xla_and_py([x], out, [np.arange(4.0)])
+    # reference semantics: trace in COMPUTED order (first entry uses the
+    # last sequence element)
     np.testing.assert_allclose(np.asarray(res[0]),
-                               np.cumsum(np.arange(4.0)[::-1])[::-1])
+                               np.cumsum(np.arange(4.0)[::-1]))
 
 
 def test_scan_grad_sitsot():
