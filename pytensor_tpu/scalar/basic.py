@@ -239,8 +239,17 @@ def _true_div_grad(i, o, gz):
     return [gz[0] / y, -gz[0] * x / (y * y)]
 
 
+def _true_div_dtype(a, b):
+    # reference semantics (scalar/basic.py TrueDiv): integer / integer
+    # divides at floatX, not numpy's float64
+    up = upcast(a, b)
+    if np.dtype(up if up != "bfloat16" else "float32").kind in ("i", "u", "b"):
+        return config.floatX
+    return upcast_float(a, b)
+
+
 true_div = _op("true_div", 2, np.true_divide, lambda a, b: _jnp().true_divide(a, b),
-               _true_div_grad, dtype_rule="float")
+               _true_div_grad, dtype_rule=_true_div_dtype)
 
 int_div = _op(
     "int_div", 2, np.floor_divide, lambda a, b: _jnp().floor_divide(a, b),

@@ -45,7 +45,10 @@ def test_int_float_promotion():
     y = pt.dvector("y")
     assert (x + y).type.dtype == "float64"
     assert (x + x).type.dtype == "int64"
-    assert (x / x).type.dtype == "float64"
+    from pytensor_tpu.config import config
+
+    # reference semantics: integer division divides at floatX
+    assert (x / x).type.dtype == config.floatX
 
 
 def test_dimshuffle_transpose():
