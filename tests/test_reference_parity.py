@@ -505,3 +505,27 @@ def test_scan_sequence_taps_vs_reference(ref):
                        sequences=[dict(input=ox, taps=[-2, 0])])
     our_r = np.asarray(ptt.function([ox], oout)(v))
     np.testing.assert_allclose(our_r, ref_r)
+
+
+@pytest.mark.slow
+def test_dtype_promotion_table(ref):
+    """Exhaustive +,*,/ output-dtype parity over the common dtypes (this
+    check caught int/int true_div diverging to float64 instead of floatX)."""
+    import pytensor.tensor as rt
+
+    import pytensor_tpu.tensor  # noqa: F401
+    from pytensor_tpu.tensor.type import TensorType
+
+    dtypes = ["int8", "int16", "int32", "int64", "uint8",
+              "float32", "float64"]
+    for a in dtypes:
+        for b in dtypes:
+            ra, rb = rt.vector("a", dtype=a), rt.vector("b", dtype=b)
+            va, vb = TensorType(a, (None,))("a"), TensorType(b, (None,))("b")
+            for opname, rexpr, vexpr in (
+                ("+", ra + rb, va + vb),
+                ("*", ra * rb, va * vb),
+                ("/", ra / rb, va / vb),
+            ):
+                assert vexpr.type.dtype == rexpr.type.dtype, \
+                    (a, opname, b, vexpr.type.dtype, rexpr.type.dtype)
