@@ -511,13 +511,17 @@ def test_scan_sequence_taps_vs_reference(ref):
 def test_dtype_promotion_table(ref):
     """Exhaustive +,*,/ output-dtype parity over the common dtypes (this
     check caught int/int true_div diverging to float64 instead of floatX)."""
+    import pytensor
     import pytensor.tensor as rt
 
     import pytensor_tpu.tensor  # noqa: F401
+    from pytensor_tpu.config import config as our_config
     from pytensor_tpu.tensor.type import TensorType
 
     dtypes = ["int8", "int16", "int32", "int64", "uint8",
               "float32", "float64"]
+    ctx = our_config.change_flags(floatX=str(pytensor.config.floatX))
+    ctx.__enter__()
     for a in dtypes:
         for b in dtypes:
             ra, rb = rt.vector("a", dtype=a), rt.vector("b", dtype=b)
@@ -529,3 +533,4 @@ def test_dtype_promotion_table(ref):
             ):
                 assert vexpr.type.dtype == rexpr.type.dtype, \
                     (a, opname, b, vexpr.type.dtype, rexpr.type.dtype)
+    ctx.__exit__(None, None, None)
