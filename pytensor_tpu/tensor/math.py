@@ -286,7 +286,9 @@ def mean(x, axis=None, dtype=None, keepdims=False, acc_dtype=None):
             n = n * shp[a % x.type.ndim]
     res_dtype = s.type.dtype
     if res_dtype in discrete_dtypes:
-        res_dtype = config.floatX
+        # reference semantics: mean of discrete inputs is float64
+        # (gradient.py/math.py mean), independent of floatX
+        res_dtype = "float64"
         s = cast(s, res_dtype)
     return s / cast(n, res_dtype)
 

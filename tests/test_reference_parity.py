@@ -534,3 +534,27 @@ def test_dtype_promotion_table(ref):
                 assert vexpr.type.dtype == rexpr.type.dtype, \
                     (a, opname, b, vexpr.type.dtype, rexpr.type.dtype)
     ctx.__exit__(None, None, None)
+
+
+@pytest.mark.slow
+def test_reduction_dtype_table(ref):
+    """sum/prod/mean/max/sqr output-dtype parity (caught mean-of-int
+    diverging to floatX instead of float64)."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    from pytensor_tpu.config import config as our_config
+    from pytensor_tpu.tensor.type import TensorType
+
+    with our_config.change_flags(floatX=str(pytensor.config.floatX)):
+        for a in ("bool", "int8", "int32", "int64", "uint8",
+                  "float32", "float64"):
+            rv = rt.vector("v", dtype=a)
+            v = TensorType(a, (None,))("v")
+            pairs = [("sum", rv.sum(), v.sum()),
+                     ("prod", rv.prod(), v.prod()),
+                     ("mean", rv.mean(), v.mean()),
+                     ("max", rv.max(), v.max())]
+            for k, re_, ve in pairs:
+                assert ve.type.dtype == re_.type.dtype, \
+                    (k, a, ve.type.dtype, re_.type.dtype)
