@@ -239,6 +239,16 @@ def _true_div_grad(i, o, gz):
     return [gz[0] / y, -gz[0] * x / (y * y)]
 
 
+def _upgrade_to_float(*dtypes):
+    # reference upgrade_to_float: discrete inputs promote to the SMALLEST
+    # float that can hold them (int8/uint8/bool -> float32, int32+ -> float64)
+    up = upcast(*dtypes)
+    base = np.dtype(up if up != "bfloat16" else "float32")
+    if base.kind in ("i", "u", "b"):
+        return str(np.promote_types(base, np.float32))
+    return up
+
+
 def _true_div_dtype(a, b):
     # reference semantics (scalar/basic.py TrueDiv): integer / integer
     # divides at floatX, not numpy's float64
@@ -287,11 +297,11 @@ abs = _op("abs", 1, np.abs, lambda a: _jnp().abs(a), _abs_grad)
 sign = _op("sign", 1, np.sign, lambda a: _jnp().sign(a),
            lambda i, o, gz: [_zero_like(i[0])])
 ceil = _op("ceil", 1, np.ceil, lambda a: _jnp().ceil(a),
-           lambda i, o, gz: [_zero_like(i[0])])
+           lambda i, o, gz: [_zero_like(i[0])], dtype_rule=_upgrade_to_float)
 floor = _op("floor", 1, np.floor, lambda a: _jnp().floor(a),
-            lambda i, o, gz: [_zero_like(i[0])])
+            lambda i, o, gz: [_zero_like(i[0])], dtype_rule=_upgrade_to_float)
 trunc = _op("trunc", 1, np.trunc, lambda a: _jnp().trunc(a),
-            lambda i, o, gz: [_zero_like(i[0])])
+            lambda i, o, gz: [_zero_like(i[0])], dtype_rule=_upgrade_to_float)
 round_half_to_even = _op("round_half_to_even", 1, np.round, lambda a: _jnp().round(a),
                          lambda i, o, gz: [_zero_like(i[0])])
 sqr = _op("sqr", 1, np.square, lambda a: _jnp().square(a),

@@ -558,3 +558,30 @@ def test_reduction_dtype_table(ref):
             for k, re_, ve in pairs:
                 assert ve.type.dtype == re_.type.dtype, \
                     (k, a, ve.type.dtype, re_.type.dtype)
+
+
+@pytest.mark.slow
+def test_unary_dtype_table(ref):
+    """Unary elemwise output-dtype parity (caught floor/ceil on ints not
+    upgrading to float like the reference's upgrade_to_float rule)."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    from pytensor_tpu.config import config as our_config
+    from pytensor_tpu.tensor.type import TensorType
+    import pytensor_tpu.tensor as pt2
+
+    name_map = {"sgn": "sign"}
+    with our_config.change_flags(floatX=str(pytensor.config.floatX)):
+        for a in ("bool", "int8", "int32", "int64", "uint8",
+                  "float32", "float64"):
+            rv = rt.vector("v", dtype=a)
+            v = TensorType(a, (None,))("v")
+            for fn in ("exp", "log", "sqrt", "sigmoid", "tanh", "erf",
+                       "floor", "ceil", "round", "abs", "sgn"):
+                try:
+                    want = getattr(rt, fn)(rv).type.dtype
+                except Exception:
+                    continue
+                got = getattr(pt2.math, name_map.get(fn, fn))(v).type.dtype
+                assert got == want, (fn, a, got, want)
