@@ -47,11 +47,10 @@ def upcast_float(*dtypes: str) -> str:
     if out == "bfloat16":
         return out
     if np.dtype(out).kind in discrete_kinds:
-        # numpy semantics: float ufuncs on integer inputs produce float64
-        # (the oracle parity contract); stay in floatX for narrow ints
-        if np.dtype(out).itemsize >= 4:
-            return "float64"
-        return config.floatX
+        # reference upgrade_to_float semantics: discrete inputs promote to
+        # the smallest float that holds them (bool/int8/int16 -> float32,
+        # int32/int64 -> float64), independent of floatX
+        return str(np.promote_types(np.dtype(out), np.float32))
     return out
 
 
