@@ -585,3 +585,29 @@ def test_unary_dtype_table(ref):
                     continue
                 got = getattr(pt2.math, name_map.get(fn, fn))(v).type.dtype
                 assert got == want, (fn, a, got, want)
+
+
+@pytest.mark.slow
+def test_binary_dtype_table(ref):
+    """pow/mod/floordiv/maximum/arctan2 output-dtype parity."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu.tensor as pt2
+    from pytensor_tpu.config import config as our_config
+    from pytensor_tpu.tensor.type import TensorType
+
+    with our_config.change_flags(floatX=str(pytensor.config.floatX)):
+        for a in ("int8", "int32", "int64", "uint8", "float32", "float64"):
+            for b in ("int8", "int32", "float32", "float64"):
+                ra, rb = rt.vector("a", dtype=a), rt.vector("b", dtype=b)
+                va = TensorType(a, (None,))("a")
+                vb = TensorType(b, (None,))("b")
+                for k, re_, ve in (
+                    ("pow", ra ** rb, va ** vb),
+                    ("mod", ra % rb, va % vb),
+                    ("fdiv", ra // rb, va // vb),
+                    ("max2", rt.maximum(ra, rb), pt2.math.maximum(va, vb)),
+                ):
+                    assert ve.type.dtype == re_.type.dtype, \
+                        (k, a, b, ve.type.dtype, re_.type.dtype)
