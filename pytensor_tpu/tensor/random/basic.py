@@ -77,11 +77,21 @@ beta = RandomVariable(
     lambda key, shape, a, b: _jr().beta(key, a, b, _full_shape(shape, a, b)),
 )
 
-gamma = RandomVariable(
+_gamma = RandomVariable(
     "gamma", [0, 0], 0, "floatX",
     lambda key, shape, shape_p, scale: _jr().gamma(
         key, shape_p, _full_shape(shape, shape_p, scale)) * scale,
 )
+
+
+def gamma(shape, rate=None, scale=None, **kwargs):
+    """Gamma draws; positional second argument is the RATE (reference
+    tensor/random/basic.py:469 convention), scale available by keyword."""
+    if rate is not None and scale is not None:
+        raise ValueError("gamma: pass rate or scale, not both")
+    if scale is None:
+        scale = 1.0 / rate if rate is not None else 1.0
+    return _gamma(shape, scale, **kwargs)
 
 chisquare = RandomVariable(
     "chisquare", [0], 0, "floatX",
