@@ -65,7 +65,8 @@ def test_gamma_beta(srng):
     be = srng.beta(2.0, 5.0, size=(20000,))
     f = ptt.function([], [g.mean(), be.mean()])
     mg, mb = (float(np.asarray(v)) for v in f())
-    assert abs(mg - 6.0) < 0.2
+    # reference convention: positional second arg is the RATE -> mean 2/3
+    assert abs(mg - 2.0 / 3.0) < 0.05
     assert abs(mb - 2 / 7) < 0.02
 
 
