@@ -611,3 +611,37 @@ def test_binary_dtype_table(ref):
                 ):
                     assert ve.type.dtype == re_.type.dtype, \
                         (k, a, b, ve.type.dtype, re_.type.dtype)
+
+
+@pytest.mark.slow
+def test_distribution_parameterizations(ref):
+    """Distribution mean parity (caught gamma using scale where the
+    reference's positional arg is the rate)."""
+    import pytensor
+    import pytensor.tensor.random as rrand
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor.random as prand
+    from pytensor_tpu.tensor.random.utils import RandomStream
+
+    N = 50000
+    rng_ref = pytensor.shared(np.random.default_rng(0))
+    srng = RandomStream(seed=0)
+    cases = [
+        ("gamma", (3.0, 2.0)),
+        ("lognormal", (0.5, 0.4)),
+        ("wald", (2.0, 3.0)),
+        ("negative_binomial", (5, 0.4)),
+        ("beta", (2.0, 5.0)),
+        ("gumbel", (1.0, 2.0)),
+        ("laplace", (1.0, 2.0)),
+        ("triangular", (0.0, 1.0, 3.0)),
+    ]
+    for name, params in cases:
+        a = np.asarray(pytensor.function(
+            [], getattr(rrand, name)(*params, size=(N,), rng=rng_ref))())
+        b = np.asarray(ptt.function(
+            [], srng.gen(getattr(prand, name), *params, size=(N,)))())
+        tol = 6 * a.std() / np.sqrt(N) + 0.02 * abs(a.mean())
+        assert abs(a.mean() - b.mean()) < tol, \
+            (name, a.mean(), b.mean())
