@@ -38,6 +38,7 @@ def scan(
     strict: bool = False,
     return_list: bool = False,
     unroll: int | None = None,
+    return_updates: bool = True,
 ):
     """Loop ``fn`` over sequences/recurrences; returns (outputs, updates).
 
@@ -305,6 +306,10 @@ def scan(
     results = [traces[i] for i in range(len(states))]
     if len(results) == 1 and not return_list:
         results = results[0]
+    if not return_updates:
+        # forward-compat with the reference's new scan signature; callers
+        # pick updates off `outputs.update` / the RNG default-update chain
+        return results
     return results, updates
 
 
