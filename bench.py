@@ -125,6 +125,18 @@ def bench_reference():
     """Reference C-VM on CPU, python-driven leapfrog (the PyMC pattern)."""
     sys.path.insert(0, "/root/reference")
     os.environ.setdefault("PYTENSOR_FLAGS", "mode=FAST_RUN,linker=cvm,floatX=float64")
+    # clear stale compiledir locks (a killed previous run leaves one and
+    # the reference's lock wait would hang the whole benchmark)
+    import glob
+    import shutil
+
+    for lock in glob.glob(os.path.expanduser("~/.pytensor/compiledir_*/.lock")):
+        try:
+            shutil.rmtree(lock, ignore_errors=True)
+            if os.path.exists(lock):
+                os.remove(lock)
+        except OSError:
+            pass
     import pytensor
     import pytensor.tensor as rt
 
