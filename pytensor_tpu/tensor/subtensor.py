@@ -602,7 +602,46 @@ def _parse_args(x, args):
     return args, has_advanced
 
 
+def _resolve_static_bool_masks(x, args):
+    """Boolean masks known at graph-construction time (numpy arrays or
+    boolean Constants) convert to integer index arrays; data-dependent
+    masks stay rejected — their output shape is dynamic, which a TPU
+    executable cannot have (guidance in the raised error)."""
+    from pytensor_tpu.graph.basic import Constant
+
+    if not isinstance(args, tuple):
+        args = (args,)
+
+    def conv(a):
+        m = None
+        if isinstance(a, np.ndarray) and a.dtype == np.bool_:
+            m = a
+        elif isinstance(a, Constant) and getattr(a.type, "dtype", "") == "bool":
+            m = np.asarray(a.data)
+        elif isinstance(a, Variable) and getattr(a.type, "dtype", "") == "bool" \
+                and getattr(a.type, "ndim", 0) >= 1:
+            raise TypeError(
+                "boolean-mask indexing with a symbolic mask has a "
+                "data-dependent output shape, which TPU executables cannot "
+                "express. Use a graph-time-constant mask, or express the "
+                "computation with where/switch (size-preserving), or "
+                "nonzero() on the host."
+            )
+        if m is None:
+            return (a,)
+        if m.ndim == 1:
+            return (np.nonzero(m)[0],)
+        # multi-dim masks expand to their nonzero coordinate arrays
+        return tuple(np.nonzero(m))
+
+    out = []
+    for a in args:
+        out.extend(conv(a))
+    return tuple(out)
+
+
 def _getitem(x, args):
+    args = _resolve_static_bool_masks(x, args)
     args, has_advanced = _parse_args(x, args)
     if len([a for a in args if a is not None]) > x.type.ndim:
         raise IndexError(f"too many indices for {x.type}")

@@ -123,3 +123,36 @@ def test_flip():
     x = pt.dmatrix("x")
     res = compare_xla_and_py([x], pt.flip(x, 0), [X])
     np.testing.assert_allclose(np.asarray(res[0]), X[::-1])
+
+
+class TestStaticBoolMask:
+    """Boolean masks known at graph time lower to integer indexing
+    (data-dependent masks are rejected with guidance — dynamic output
+    shapes cannot exist in a TPU executable)."""
+
+    def test_1d_mask_value_and_grad(self):
+        x = pt.dvector("x")
+        mask = np.array([True, False, True, True, False])
+        y = x[mask]
+        v = np.arange(5.0)
+        for mode in ("FAST_COMPILE", None):
+            np.testing.assert_allclose(
+                np.asarray(ptt.function([x], y, mode=mode)(v)), v[mask])
+        g = ptt.grad((y ** 2).sum(), x)
+        gv = np.asarray(ptt.function([x], g, mode="FAST_COMPILE")(v))
+        exp = np.zeros(5)
+        exp[mask] = 2 * v[mask]
+        np.testing.assert_allclose(gv, exp)
+
+    def test_2d_mask(self):
+        m2 = pt.dmatrix("m")
+        mask2 = np.array([[True, False], [False, True]])
+        r = np.asarray(ptt.function([m2], m2[mask2], mode="FAST_COMPILE")(
+            np.arange(4.0).reshape(2, 2)))
+        np.testing.assert_allclose(r, np.arange(4.0).reshape(2, 2)[mask2])
+
+    def test_symbolic_mask_rejected(self):
+        x = pt.dvector("x")
+        bm = pt.tensor("bm", dtype="bool", shape=(5,))
+        with pytest.raises(TypeError):
+            x[bm]
