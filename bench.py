@@ -126,14 +126,27 @@ def bench_reference():
     sys.path.insert(0, "/root/reference")
     os.environ.setdefault("PYTENSOR_FLAGS", "mode=FAST_RUN,linker=cvm,floatX=float64")
     # clear stale compiledir locks (a killed previous run leaves one and
-    # the reference's lock wait would hang the whole benchmark)
+    # the reference's lock wait would hang the whole benchmark). Only
+    # remove a lock no live process holds: a zero-timeout acquire
+    # succeeds iff the flock is free, so concurrent runs are untouched.
     import glob
     import shutil
 
     for lock in glob.glob(os.path.expanduser("~/.pytensor/compiledir_*/.lock")):
         try:
-            shutil.rmtree(lock, ignore_errors=True)
-            if os.path.exists(lock):
+            import filelock
+
+            flock = filelock.FileLock(lock, timeout=0)
+            with flock:
+                pass
+        except ImportError:
+            continue
+        except (OSError, filelock.Timeout):
+            continue  # held by a live process — leave it alone
+        try:
+            if os.path.isdir(lock):
+                shutil.rmtree(lock, ignore_errors=True)
+            elif os.path.exists(lock):
                 os.remove(lock)
         except OSError:
             pass

@@ -307,8 +307,17 @@ def scan(
     if len(results) == 1 and not return_list:
         results = results[0]
     if not return_updates:
-        # forward-compat with the reference's new scan signature; callers
-        # pick updates off `outputs.update` / the RNG default-update chain
+        # forward-compat with the reference's new scan signature
+        # (reference scan/basic.py _manage_output_api_change): silently
+        # dropping non-empty updates would leave shared RNG state never
+        # advanced by the loop, so this is an error, not a convenience.
+        if len(updates):
+            raise ValueError(
+                "scan(..., return_updates=False) but the inner function "
+                "produced non-empty updates (e.g. RNG state). Either use "
+                "return_updates=True and pass the updates to `function`, "
+                "or handle the recurrent state explicitly via outputs_info."
+            )
         return results
     return results, updates
 

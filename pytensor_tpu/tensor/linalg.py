@@ -69,12 +69,16 @@ class MatrixOp(Op):
 class Cholesky(MatrixOp):
     """Lower/upper Cholesky factor (reference decomposition/cholesky.py:18)."""
 
-    __props__ = ("lower", "on_error")
+    __props__ = ("lower", "on_error", "check_finite")
     gufunc_signature = "(n,n)->(n,n)"
 
     def __init__(self, lower=True, on_error="raise", check_finite=False):
         self.lower = bool(lower)
         self.on_error = on_error
+        # honored by the oracle path; the jitted XLA path skips it (same
+        # convention as jax.scipy.linalg, where the flag is a no-op on
+        # device — a data-dependent raise cannot live in an executable)
+        self.check_finite = bool(check_finite)
 
     def make_node(self, x):
         x = self._check_matrix(x)
@@ -82,6 +86,8 @@ class Cholesky(MatrixOp):
 
     def perform(self, node, inputs, output_storage):
         (x,) = inputs
+        if self.check_finite and not np.all(np.isfinite(x)):
+            raise ValueError("array must not contain infs or NaNs")
         try:
             L = np.linalg.cholesky(np.asarray(x, dtype=node.outputs[0].type.numpy_dtype))
             if not self.lower:
@@ -124,7 +130,9 @@ def _sym_tril_grad(G):
 
 
 def cholesky(x, lower=True, on_error="raise", check_finite=False):
-    return _core2(Cholesky(lower=lower, on_error=on_error), x)
+    return _core2(
+        Cholesky(lower=lower, on_error=on_error, check_finite=check_finite), x
+    )
 
 
 class SolveBase(MatrixOp):

@@ -89,8 +89,10 @@ def gamma(shape, rate=None, scale=None, **kwargs):
     tensor/random/basic.py:469 convention), scale available by keyword."""
     if rate is not None and scale is not None:
         raise ValueError("gamma: pass rate or scale, not both")
+    if rate is None and scale is None:
+        raise ValueError("gamma: must specify rate or scale")
     if scale is None:
-        scale = 1.0 / rate if rate is not None else 1.0
+        scale = 1.0 / rate
     return _gamma(shape, scale, **kwargs)
 
 chisquare = RandomVariable(

@@ -603,22 +603,43 @@ def _parse_args(x, args):
 
 
 def _resolve_static_bool_masks(x, args):
-    """Boolean masks known at graph-construction time (numpy arrays or
-    boolean Constants) convert to integer index arrays; data-dependent
-    masks stay rejected — their output shape is dynamic, which a TPU
-    executable cannot have (guidance in the raised error)."""
+    """Boolean masks known at graph-construction time (numpy arrays, bool
+    lists, or boolean Constants) convert to integer index arrays;
+    data-dependent masks stay rejected — their output shape is dynamic,
+    which a TPU executable cannot have (guidance in the raised error).
+
+    Mask shapes are validated against the indexed axes (numpy semantics:
+    a wrong-length mask is an IndexError, not a silent subset)."""
     from pytensor_tpu.graph.basic import Constant
 
     if not isinstance(args, tuple):
         args = (args,)
 
-    def conv(a):
-        m = None
+    def as_mask(a):
+        """Return the graph-time-constant bool mask for this index, or None."""
+        if isinstance(a, (bool, np.bool_)):
+            raise NotImplementedError(
+                "scalar boolean indexing (x[True]/x[False]) adds a new axis "
+                "whose length is data-independent but numpy-special; use "
+                "x[None] or x[0:0] explicitly."
+            )
+        if isinstance(a, list):
+            try:
+                arr = np.asarray(a)
+            except (ValueError, TypeError):
+                return None
+            if arr.dtype == np.bool_:
+                return arr
+            return None
         if isinstance(a, np.ndarray) and a.dtype == np.bool_:
-            m = a
-        elif isinstance(a, Constant) and getattr(a.type, "dtype", "") == "bool":
-            m = np.asarray(a.data)
-        elif isinstance(a, Variable) and getattr(a.type, "dtype", "") == "bool" \
+            if a.ndim == 0:
+                raise NotImplementedError(
+                    "scalar boolean indexing is not supported; use x[None]."
+                )
+            return a
+        if isinstance(a, Constant) and getattr(a.type, "dtype", "") == "bool":
+            return np.asarray(a.data)
+        if isinstance(a, Variable) and getattr(a.type, "dtype", "") == "bool" \
                 and getattr(a.type, "ndim", 0) >= 1:
             raise TypeError(
                 "boolean-mask indexing with a symbolic mask has a "
@@ -627,16 +648,52 @@ def _resolve_static_bool_masks(x, args):
                 "computation with where/switch (size-preserving), or "
                 "nonzero() on the host."
             )
-        if m is None:
-            return (a,)
-        if m.ndim == 1:
-            return (np.nonzero(m)[0],)
-        # multi-dim masks expand to their nonzero coordinate arrays
-        return tuple(np.nonzero(m))
+        return None
+
+    masks = [as_mask(a) for a in args]
+    if not any(m is not None for m in masks):
+        return args
+
+    # axes consumed per arg: newaxis 0, a k-d mask k, everything else 1
+    def n_axes(i, a):
+        if a is None or a is Ellipsis:
+            return 0
+        if masks[i] is not None:
+            return masks[i].ndim
+        return 1
+
+    consumed = sum(n_axes(i, a) for i, a in enumerate(args))
+    x_shape = getattr(x.type, "shape", (None,) * getattr(x.type, "ndim", 0))
 
     out = []
-    for a in args:
-        out.extend(conv(a))
+    axis = 0
+    for i, a in enumerate(args):
+        if a is Ellipsis:
+            axis += x.type.ndim - consumed
+            out.append(a)
+            continue
+        if a is None:
+            out.append(a)
+            continue
+        m = masks[i]
+        if m is None:
+            out.append(a)
+            axis += 1
+            continue
+        for d in range(m.ndim):
+            dim = x_shape[axis + d] if axis + d < len(x_shape) else None
+            if dim is not None and m.shape[d] != dim:
+                raise IndexError(
+                    f"boolean index did not match indexed tensor along "
+                    f"axis {axis + d}; dimension is {dim} but mask "
+                    f"dimension is {m.shape[d]}"
+                )
+        axis += m.ndim
+        if m.ndim == 1:
+            out.append(np.nonzero(m)[0])
+        else:
+            # multi-dim masks expand to their nonzero coordinate arrays
+            out.extend(np.nonzero(m))
     return tuple(out)
 
 

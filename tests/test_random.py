@@ -153,3 +153,10 @@ def test_longtail_distributions_statistics():
     d = draws(srng.gen(ptr.hypergeometric, 7, 13, 5, size=(N,)))
     assert d.min() >= 0 and d.max() <= 5
     assert abs(d.mean() - 5 * 7 / 20) < 0.1
+
+
+def test_gamma_requires_rate_or_scale(srng):
+    with pytest.raises(ValueError, match="rate or scale"):
+        srng.gamma(2.0)
+    with pytest.raises(ValueError, match="not both"):
+        srng.gamma(2.0, 1.0, scale=3.0)

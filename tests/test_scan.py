@@ -459,3 +459,21 @@ def test_scan_checkpoints_grad_matches_plain_scan():
         l0, gv, l0b, gvb = (np.asarray(v) for v in f(xv))
         np.testing.assert_allclose(float(l0), float(l0b), rtol=1e-10)
         np.testing.assert_allclose(gv, gvb, rtol=1e-9)
+
+
+def test_scan_return_updates_false_with_rng_raises():
+    # reference _manage_output_api_change semantics: silently dropping
+    # RNG updates would freeze the key; must be a loud error
+    from pytensor_tpu.tensor.random import RandomStream
+
+    srng = RandomStream(seed=7)
+    with pytest.raises(ValueError, match="return_updates"):
+        ptt.scan(lambda: srng.normal(0.0, 1.0), n_steps=3,
+                 return_updates=False)
+
+
+def test_scan_return_updates_false_without_updates_ok():
+    x = pt.dvector("x")
+    out = ptt.scan(lambda xt: xt * 2, sequences=[x], return_updates=False)
+    res = compare_xla_and_py([x], out, [np.arange(4.0)])
+    np.testing.assert_allclose(np.asarray(res[0]), np.arange(4.0) * 2)

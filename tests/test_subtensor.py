@@ -156,3 +156,35 @@ class TestStaticBoolMask:
         bm = pt.tensor("bm", dtype="bool", shape=(5,))
         with pytest.raises(TypeError):
             x[bm]
+
+
+def test_bool_list_mask_lowers():
+    # a Python list of bools must lower like a bool ndarray (graph-time
+    # constant -> integer indices), not hit the advanced-index rejection
+    x = pt.dmatrix("x")
+    out = x[[True, False, True, False]]
+    res = compare_xla_and_py([x], out, [X])
+    np.testing.assert_allclose(np.asarray(res[0]), X[[True, False, True, False]])
+
+
+def test_bool_mask_wrong_length_raises():
+    x = pt.tensor("x", dtype="float64", shape=(4, 6))
+    with pytest.raises(IndexError, match="boolean index did not match"):
+        x[np.array([True, False, True])]
+    with pytest.raises(IndexError, match="axis 1"):
+        x[:, np.array([True] * 5)]
+
+
+def test_scalar_bool_index_rejected():
+    x = pt.dmatrix("x")
+    with pytest.raises(NotImplementedError):
+        x[True]
+    with pytest.raises(NotImplementedError):
+        x[np.bool_(False)]
+
+
+def test_bool_mask_after_ellipsis():
+    x = pt.tensor("x", dtype="float64", shape=(4, 6))
+    out = x[..., np.array([True, False] * 3)]
+    res = compare_xla_and_py([x], out, [X])
+    np.testing.assert_allclose(np.asarray(res[0]), X[..., np.array([True, False] * 3)])
