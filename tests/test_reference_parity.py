@@ -33,7 +33,6 @@ def ref():
 rng = np.random.default_rng(7)
 
 
-@pytest.mark.slow
 def test_elemwise_chain_and_grad(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -57,7 +56,6 @@ def test_elemwise_chain_and_grad(ref):
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-10)
 
 
-@pytest.mark.slow
 def test_scan_ewma_grad(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -90,7 +88,6 @@ def test_scan_ewma_grad(ref):
     np.testing.assert_allclose(r2, r1, rtol=1e-10)
 
 
-@pytest.mark.slow
 def test_cholesky_solve_grads(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -125,7 +122,6 @@ def test_cholesky_solve_grads(ref):
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-10)
 
 
-@pytest.mark.slow
 def test_radon_logp_dlogp_vs_reference(ref):
     """The north-star workload at 1e-6: identical logp+dlogp graphs."""
     import pytensor
@@ -171,7 +167,6 @@ def test_radon_logp_dlogp_vs_reference(ref):
     np.testing.assert_allclose(r_us[1], r_ref[1], rtol=1e-6, atol=1e-8)
 
 
-@pytest.mark.slow
 def test_subtensor_inc_grads(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -203,7 +198,6 @@ def test_subtensor_inc_grads(ref):
         np.testing.assert_allclose(a, b, rtol=1e-10)
 
 
-@pytest.mark.slow
 def test_softmax_logsumexp_grads(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -233,7 +227,6 @@ def test_softmax_logsumexp_grads(ref):
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-9, atol=1e-12)
 
 
-@pytest.mark.slow
 def test_betainc_gammainc_grads(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -261,7 +254,6 @@ def test_betainc_gammainc_grads(ref):
         np.testing.assert_allclose(a, b, rtol=5e-6, atol=1e-10)
 
 
-@pytest.mark.slow
 def test_extra_ops_values(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -283,7 +275,6 @@ def test_extra_ops_values(ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-14)
 
 
-@pytest.mark.slow
 def test_einsum_and_batched_dot(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -310,7 +301,6 @@ def test_einsum_and_batched_dot(ref):
         np.testing.assert_allclose(a, b, rtol=1e-9)
 
 
-@pytest.mark.slow
 def test_ifelse_and_switch(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -340,7 +330,6 @@ def test_ifelse_and_switch(ref):
         np.testing.assert_allclose(r2[1], r1[1], rtol=1e-12)
 
 
-@pytest.mark.slow
 def test_while_scan_values_vs_reference(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -376,7 +365,6 @@ def test_while_scan_values_vs_reference(ref):
     assert np.all(our_trace[n:] == our_trace[n - 1])
 
 
-@pytest.mark.slow
 def test_scan_taps_vs_reference(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -405,7 +393,6 @@ def test_scan_taps_vs_reference(ref):
         np.testing.assert_allclose(a, b, rtol=1e-10)
 
 
-@pytest.mark.slow
 def test_conv1d_and_grad(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -436,7 +423,6 @@ def test_conv1d_and_grad(ref):
             np.testing.assert_allclose(a, b, rtol=1e-9)
 
 
-@pytest.mark.slow
 def test_cumsum_prod_grads(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -465,7 +451,6 @@ def test_cumsum_prod_grads(ref):
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-9)
 
 
-@pytest.mark.slow
 def test_scan_go_backwards_order(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -487,7 +472,6 @@ def test_scan_go_backwards_order(ref):
     np.testing.assert_allclose(our_r, ref_r)
 
 
-@pytest.mark.slow
 def test_scan_sequence_taps_vs_reference(ref):
     import pytensor
     import pytensor.tensor as rt
@@ -507,7 +491,6 @@ def test_scan_sequence_taps_vs_reference(ref):
     np.testing.assert_allclose(our_r, ref_r)
 
 
-@pytest.mark.slow
 def test_dtype_promotion_table(ref):
     """Exhaustive +,*,/ output-dtype parity over the common dtypes (this
     check caught int/int true_div diverging to float64 instead of floatX)."""
@@ -536,7 +519,6 @@ def test_dtype_promotion_table(ref):
     ctx.__exit__(None, None, None)
 
 
-@pytest.mark.slow
 def test_reduction_dtype_table(ref):
     """sum/prod/mean/max/sqr output-dtype parity (caught mean-of-int
     diverging to floatX instead of float64)."""
@@ -560,7 +542,6 @@ def test_reduction_dtype_table(ref):
                     (k, a, ve.type.dtype, re_.type.dtype)
 
 
-@pytest.mark.slow
 def test_unary_dtype_table(ref):
     """Unary elemwise output-dtype parity (caught floor/ceil on ints not
     upgrading to float like the reference's upgrade_to_float rule)."""
@@ -587,7 +568,6 @@ def test_unary_dtype_table(ref):
                 assert got == want, (fn, a, got, want)
 
 
-@pytest.mark.slow
 def test_binary_dtype_table(ref):
     """pow/mod/floordiv/maximum/arctan2 output-dtype parity."""
     import pytensor
@@ -613,7 +593,6 @@ def test_binary_dtype_table(ref):
                         (k, a, b, ve.type.dtype, re_.type.dtype)
 
 
-@pytest.mark.slow
 def test_distribution_parameterizations(ref):
     """Distribution mean parity (caught gamma using scale where the
     reference's positional arg is the rate)."""
