@@ -105,6 +105,25 @@ def _constant_fact(var, fact):
     return FactState.UNKNOWN
 
 
+def gram_factor(node):
+    """If node computes A @ A^T, return A; else None."""
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    x, y = node.inputs[:2]
+    def base_of_transpose(v):
+        if v.owner is not None and isinstance(v.owner.op, DimShuffle):
+            op = v.owner.op
+            if op.is_transpose and op.shuffle == tuple(
+                    reversed(range(len(op.shuffle)))):
+                return v.owner.inputs[0]
+        return None
+    if base_of_transpose(y) is x:
+        return x
+    if base_of_transpose(x) is y:
+        return y
+    return None
+
+
 def _register_default_rules():
     from pytensor_tpu.tensor.linalg import Cholesky, MatrixInverse
     from pytensor_tpu.tensor.basic import Eye
@@ -130,20 +149,104 @@ def _register_default_rules():
 
     register_assumption(Eye, eye_rule)
 
+    from pytensor_tpu.tensor.basic import Alloc
+
+    def alloc_rule(node, fact, holds_fn):
+        v = node.inputs[0]
+        if fact in ("zero", "non_negative", "positive"):
+            return holds_fn(v, fact)
+        if fact in ("diagonal", "symmetric", "lower_triangular",
+                    "upper_triangular"):
+            if holds_fn(v, "zero") == FactState.TRUE and \
+                    node.outputs[0].type.ndim == 2:
+                return FactState.TRUE
+        return FactState.UNKNOWN
+
+    register_assumption(Alloc, alloc_rule)
+
     def dot_rule(node, fact, holds_fn):
-        # A A^T patterns etc. are detected elsewhere; diag*diag stays diag
+        """Reference assumptions/dot.py: Gram products, triangular and
+        diagonal closure under matmul."""
         x, y = node.inputs
         if fact == "diagonal":
             if holds_fn(x, "diagonal") == FactState.TRUE and \
                     holds_fn(y, "diagonal") == FactState.TRUE:
                 return FactState.TRUE
+        if fact in ("lower_triangular", "upper_triangular"):
+            if holds_fn(x, fact) == FactState.TRUE and \
+                    holds_fn(y, fact) == FactState.TRUE:
+                return FactState.TRUE
+        if fact == "orthogonal":
+            if holds_fn(x, "orthogonal") == FactState.TRUE and \
+                    holds_fn(y, "orthogonal") == FactState.TRUE:
+                return FactState.TRUE
+        if fact in ("symmetric", "positive_definite"):
+            base = gram_factor(node)
+            if base is not None:
+                if fact == "symmetric":
+                    return FactState.TRUE
+                # A A^T is PD when A is an (invertible) Cholesky factor or
+                # itself assumed PD/orthogonal
+                from pytensor_tpu.tensor.linalg import Cholesky
+
+                if base.owner is not None and isinstance(
+                        base.owner.op, Cholesky):
+                    return FactState.TRUE
+                if holds_fn(base, "positive_definite") == FactState.TRUE or \
+                        holds_fn(base, "orthogonal") == FactState.TRUE:
+                    return FactState.TRUE
         return FactState.UNKNOWN
 
     register_assumption(Dot, dot_rule)
 
+    try:
+        from pytensor_tpu.tensor.blas import Dot22
+
+        register_assumption(Dot22, dot_rule)
+    except ImportError:
+        pass
+
     def elemwise_rule(node, fact, holds_fn):
         name = node.op.scalar_op.name
+        if fact == "lower_triangular" or fact == "upper_triangular":
+            # elementwise product with a triangular matrix keeps the zeros
+            if name == "mul":
+                for i in node.inputs:
+                    if i.type.ndim == node.outputs[0].type.ndim and \
+                            holds_fn(i, fact) == FactState.TRUE:
+                        return FactState.TRUE
+            if name in ("add", "sub", "neg"):
+                subs = [holds_fn(i, fact) for i in node.inputs
+                        if i.type.ndim == node.outputs[0].type.ndim]
+                if subs and all(s == FactState.TRUE for s in subs) and \
+                        len(subs) == len(node.inputs):
+                    return FactState.TRUE
+        if fact == "diagonal":
+            if name == "mul":
+                for i in node.inputs:
+                    if i.type.ndim == node.outputs[0].type.ndim and \
+                            holds_fn(i, fact) == FactState.TRUE:
+                        return FactState.TRUE
+            if name in ("add", "sub", "neg"):
+                subs = [holds_fn(i, fact) for i in node.inputs]
+                if all(s == FactState.TRUE for s in subs):
+                    return FactState.TRUE
+        if fact == "symmetric":
+            # any elementwise op of symmetric (or scalar) inputs is symmetric
+            subs = []
+            for i in node.inputs:
+                if i.type.ndim == 0:
+                    continue
+                subs.append(holds_fn(i, "symmetric"))
+            if subs and all(s == FactState.TRUE for s in subs):
+                return FactState.TRUE
         if fact == "positive":
+            if name == "sqrt" or name == "reciprocal":
+                return holds_fn(node.inputs[0], "positive")
+            if name == "true_div":
+                subs = [holds_fn(i, "positive") for i in node.inputs]
+                if all(s == FactState.TRUE for s in subs):
+                    return FactState.TRUE
             if name in ("exp", "sigmoid", "softplus", "cosh"):
                 return FactState.TRUE
             if name == "sqr":
@@ -193,6 +296,64 @@ def _register_default_rules():
         return FactState.UNKNOWN
 
     register_assumption(MatrixInverse, inverse_rule)
+
+    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor1
+
+    def perm_rows_rule(node, fact, holds_fn):
+        """eye(n)[perm] is a permutation matrix: orthogonal (reference
+        assumptions/permutation.py)."""
+        x, idx = node.inputs
+        if fact != "orthogonal":
+            return FactState.UNKNOWN
+        if holds_fn(x, "orthogonal") != FactState.TRUE:
+            return FactState.UNKNOWN
+        if not isinstance(idx, Constant):
+            return FactState.UNKNOWN
+        import numpy as np
+
+        iv = np.asarray(idx.data)
+        n = x.type.shape[0]
+        if n is None or iv.ndim != 1 or iv.size != n:
+            return FactState.UNKNOWN
+        if np.array_equal(np.sort(iv % n), np.arange(n)):
+            return FactState.TRUE
+        return FactState.UNKNOWN
+
+    register_assumption(AdvancedSubtensor1, perm_rows_rule)
+
+    from pytensor_tpu.tensor.subtensor import AdvancedIncSubtensor
+
+    def set_diag_rule(node, fact, holds_fn):
+        """set_subtensor(zeros[ar, ar+k], v): how diag(v) is built.
+        k == 0 gives a diagonal (hence symmetric/triangular) matrix."""
+        if fact not in ("diagonal", "symmetric", "lower_triangular",
+                        "upper_triangular"):
+            return FactState.UNKNOWN
+        op = node.op
+        if not getattr(op, "set_instead_of_inc", False):
+            return FactState.UNKNOWN
+        x, y, *indices = node.inputs
+        if holds_fn(x, "zero") != FactState.TRUE:
+            return FactState.UNKNOWN
+        if len(indices) != 2:
+            return FactState.UNKNOWN
+        r, c = indices
+        if r is c:  # literally the same arange: the main diagonal
+            return FactState.TRUE
+        return FactState.UNKNOWN
+
+    register_assumption(AdvancedIncSubtensor, set_diag_rule)
+
+    from pytensor_tpu.tensor.elemwise import CAReduce
+
+    def careduce_rule(node, fact, holds_fn):
+        name = node.op.scalar_op.name
+        if fact in ("non_negative", "positive") and name in ("add", "mul",
+                                                             "maximum"):
+            return holds_fn(node.inputs[0], fact)
+        return FactState.UNKNOWN
+
+    register_assumption(CAReduce, careduce_rule)
 
 
 _register_default_rules()

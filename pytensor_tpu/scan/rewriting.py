@@ -30,13 +30,15 @@ def scan_remove_unused_outputs(fgraph, node):
     if info.n_nit_sot == 0 or info.as_while:
         return False
     used = [bool(fgraph.clients.get(o)) for o in node.outputs]
-    nit_start = info.n_states
+    # output order: states, untraced finals, nit-sot traces
+    nit_start = info.n_states + info.n_untraced
     drop = [k for k in range(info.n_nit_sot) if not used[nit_start + k]]
     if not drop:
         return False
     keep_nit = [k for k in range(info.n_nit_sot) if k not in drop]
     inner_outputs = (
         op.inner_state_outs()
+        + list(op.inner_untraced_outs())
         + [op.inner_nit_sot_outs()[k] for k in keep_nit]
     )
     from pytensor_tpu.graph.fg import FunctionGraph
@@ -47,6 +49,7 @@ def scan_remove_unused_outputs(fgraph, node):
         n_nit_sot=len(keep_nit),
         n_non_seqs=info.n_non_seqs,
         as_while=False,
+        n_untraced=info.n_untraced,
     )
     new_fg = FunctionGraph(list(op.fgraph.inputs), list(inner_outputs), clone=True)
     new_op = Scan(new_fg, new_info, name=op.name,
@@ -60,7 +63,10 @@ def scan_remove_unused_outputs(fgraph, node):
     repl = []
     for k in range(info.n_states):
         repl.append((node.outputs[k], new_outs[k]))
-    j = info.n_states
+    for u in range(info.n_untraced):
+        repl.append((node.outputs[info.n_states + u],
+                     new_outs[info.n_states + u]))
+    j = info.n_states + info.n_untraced
     for k in keep_nit:
         repl.append((node.outputs[nit_start + k], new_outs[j]))
         j += 1

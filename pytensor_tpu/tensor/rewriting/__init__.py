@@ -10,3 +10,4 @@ import pytensor_tpu.tensor.rewriting.elemwise  # noqa: F401
 import pytensor_tpu.tensor.rewriting.shape  # noqa: F401
 import pytensor_tpu.tensor.rewriting.subtensor  # noqa: F401
 import pytensor_tpu.tensor.rewriting.linalg  # noqa: F401
+import pytensor_tpu.tensor.rewriting.blockwise  # noqa: F401

@@ -104,3 +104,228 @@ def local_log_det_to_slogdet(fgraph, node):
 
 
 register_stabilize(local_log_det_to_slogdet, name="local_log_det_to_slogdet")
+
+
+# ---------------------------------------------------------------------------
+# assumption-driven specializations (reference tensor/rewriting/linalg/
+# solvers.py:703, decomposition.py:494, summary.py:258)
+# ---------------------------------------------------------------------------
+
+def _holds(v, fact):
+    from pytensor_tpu.assumptions import FactState, holds
+
+    return holds(v, fact) == FactState.TRUE
+
+
+@node_rewriter([Solve])
+def local_solve_of_gram_to_cho_solve(fgraph, node):
+    """solve(L @ L.T, b) with L a Cholesky factor (or assumed lower
+    triangular) -> cho_solve((L, True), b): skips the refactorization,
+    two triangular solves instead of an LU (reference solvers.py psd
+    path). The flagship GP-marginal-likelihood pattern."""
+    from pytensor_tpu.assumptions import gram_factor
+    from pytensor_tpu.tensor.linalg import CholeskySolve
+
+    if node.op.assume_a not in ("gen", "pos", "sym"):
+        return False
+    A, b = node.inputs
+    if A.owner is None:
+        return False
+    from pytensor_tpu.tensor.blas import Dot22
+    from pytensor_tpu.tensor.math import Dot
+
+    if not isinstance(A.owner.op, (Dot, Dot22)):
+        return False
+    L = gram_factor(A.owner)
+    if L is None:
+        return False
+    # L must be the *left* factor (A = L L^T) and triangular
+    if A.owner.inputs[0] is not L:
+        return False
+    if _holds(L, "lower_triangular"):
+        res = CholeskySolve(b_ndim=node.op.b_ndim, lower=True)(L, b)
+    elif _holds(L, "upper_triangular"):
+        # A = U U^T with U upper: cho_solve expects the factor of A = c c^T
+        res = CholeskySolve(b_ndim=node.op.b_ndim, lower=False)(
+            _mT_var(L), b)
+    else:
+        return False
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+def _mT_var(v):
+    from pytensor_tpu.tensor.basic import matrix_transpose
+
+    return matrix_transpose(v)
+
+
+register_specialize(local_solve_of_gram_to_cho_solve,
+                    name="local_solve_of_gram_to_cho_solve")
+
+
+@node_rewriter([Solve])
+def local_solve_of_diagonal(fgraph, node):
+    """solve(D, b) with D known diagonal -> b / diag(D) (broadcast)."""
+    from pytensor_tpu.tensor.basic import diagonal
+
+    A, b = node.inputs
+    if node.op.assume_a != "gen" or not _holds(A, "diagonal"):
+        return False
+    d = diagonal(A)
+    res = b / (d if node.op.b_ndim == 1 else d[:, None])
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_solve_of_diagonal, name="local_solve_of_diagonal")
+
+
+@node_rewriter([Det])
+def local_det_of_triangular(fgraph, node):
+    """det(T) for triangular/diagonal T -> prod(diag(T)): O(n) instead of
+    O(n^3) (reference summary.py det rules)."""
+    from pytensor_tpu.tensor.basic import diagonal
+    from pytensor_tpu.tensor.math import prod
+
+    (A,) = node.inputs
+    if not (_holds(A, "lower_triangular") or _holds(A, "upper_triangular")
+            or _holds(A, "diagonal")):
+        return False
+    res = prod(diagonal(A), axis=-1)
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_det_of_triangular, name="local_det_of_triangular")
+
+
+@node_rewriter([MatrixInverse])
+def local_inv_of_orthogonal(fgraph, node):
+    """inv(Q) for orthogonal Q -> Q^T: free."""
+    (A,) = node.inputs
+    if not _holds(A, "orthogonal"):
+        return False
+    res = _mT_var(A)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_inv_of_orthogonal, name="local_inv_of_orthogonal")
+
+
+@node_rewriter(None)
+def local_cholesky_of_diagonal(fgraph, node):
+    """cholesky(D) for diagonal D -> diag(sqrt(diag(D))): O(n)."""
+    from pytensor_tpu.tensor.basic import alloc_diag, diagonal
+    from pytensor_tpu.tensor.linalg import Cholesky
+    from pytensor_tpu.tensor.math import sqrt
+
+    if not isinstance(node.op, Cholesky):
+        return False
+    (A,) = node.inputs
+    if not _holds(A, "diagonal"):
+        return False
+    res = alloc_diag(sqrt(diagonal(A)))
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_cholesky_of_diagonal, name="local_cholesky_of_diagonal")
+
+
+@node_rewriter(None)
+def local_slogdet_of_gram(fgraph, node):
+    """slogdet(L @ L.T) with L a Cholesky factor -> (1, 2*sum(log(diag(L)))):
+    no determinant at all (the GP logdet path)."""
+    from pytensor_tpu.assumptions import gram_factor
+    from pytensor_tpu.tensor.basic import diagonal, ones_like
+    from pytensor_tpu.tensor.blas import Dot22
+    from pytensor_tpu.tensor.linalg import SLogDet
+    from pytensor_tpu.tensor.math import Dot, log, sum as t_sum
+
+    if not isinstance(node.op, SLogDet):
+        return False
+    (A,) = node.inputs
+    if A.owner is None or not isinstance(A.owner.op, (Dot, Dot22)):
+        return False
+    L = gram_factor(A.owner)
+    if L is None:
+        return False
+    if not (_holds(L, "lower_triangular") or _holds(L, "upper_triangular")):
+        return False
+    logdet = 2.0 * t_sum(log(diagonal(L)), axis=-1)
+    sign_out, logdet_out = node.outputs
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    sign = ones_like(logdet)
+    if sign.type.dtype != sign_out.type.dtype:
+        sign = t_cast(sign, sign_out.type.dtype)
+    if logdet.type.dtype != logdet_out.type.dtype:
+        logdet = t_cast(logdet, logdet_out.type.dtype)
+    if not (sign_out.type.is_super(sign.type)
+            and logdet_out.type.is_super(logdet.type)):
+        return False
+    copy_stack_trace(logdet_out, logdet)
+    return [sign, logdet]
+
+
+register_specialize(local_slogdet_of_gram, name="local_slogdet_of_gram")
+
+
+@node_rewriter(None)
+def local_diagonal_of_diag(fgraph, node):
+    """diagonal(diag(v)) -> v (diag is built as set_subtensor(zeros[ar,ar], v))."""
+    from pytensor_tpu.tensor.basic import ExtractDiag
+    from pytensor_tpu.tensor.subtensor import AdvancedIncSubtensor
+
+    if not isinstance(node.op, ExtractDiag) or node.op.offset != 0:
+        return False
+    (A,) = node.inputs
+    if A.owner is None or not isinstance(A.owner.op, AdvancedIncSubtensor):
+        return False
+    if not A.owner.op.set_instead_of_inc:
+        return False
+    from pytensor_tpu.assumptions import FactState, holds
+
+    x, y, *indices = A.owner.inputs
+    if holds(x, "zero") != FactState.TRUE or len(indices) != 2:
+        return False
+    r, c = indices
+    if r is not c:
+        return False
+    out = node.outputs[0]
+    if y.type.dtype != out.type.dtype or not out.type.is_super(y.type):
+        return False
+    copy_stack_trace(out, y)
+    return [y]
+
+
+register_canonicalize(local_diagonal_of_diag, name="local_diagonal_of_diag")

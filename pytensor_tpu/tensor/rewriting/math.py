@@ -226,7 +226,16 @@ def local_log1p(fgraph, node):
     if not _is_ew(node, "log"):
         return False
     inner = node.inputs[0].owner
-    if inner is None or not _is_ew(inner, "add"):
+    if inner is None:
+        return False
+    if _is_ew(inner, "sub"):
+        # log(1 - y) -> log1p(-y)
+        a, b = inner.inputs
+        if _unique_value(a) == 1:
+            res = _same_type_out(node, tm.log1p(-b))
+            return [res] if res is not None else False
+        return False
+    if not _is_ew(inner, "add"):
         return False
     terms = inner.inputs
     ones_idx = [k for k, t in enumerate(terms) if _unique_value(t) == 1]
@@ -613,3 +622,848 @@ def local_0_dot_x(fgraph, node):
 
 
 register_canonicalize(local_0_dot_x, name="local_0_dot_x")
+
+
+# ---------------------------------------------------------------------------
+# Algebraic canonicalization (reference tensor/rewriting/math.py
+# AlgebraicCanonizer:1119, redesigned: instead of a generic two-op
+# canonizer class we walk single-client mul/div/neg/reciprocal (resp.
+# add/sub/neg) chains once, fold constants, and cancel identical factors.
+# Fires only when it provably simplified, so the equilibrium pass is
+# stable without an uncanonicalize undo step.
+# ---------------------------------------------------------------------------
+
+_MUL_CHAIN = ("mul", "true_div", "neg", "reciprocal")
+
+
+def _single_client(fgraph, v):
+    return len(fgraph.clients.get(v, ())) == 1
+
+
+def _collect_mul(fgraph, v, num, den, state, invert=False, root=False,
+                 at_top=False):
+    """Collect multiplicative factors of v into num/den lists.
+
+    state tracks: coeff (python float), n_const (constants folded),
+    n_inner_div (div/reciprocal found outside the canonical position).
+    The canonical form is [neg] true_div(mul(c?, f...), mul(g...)), so
+    one div at the top spine (root, possibly under pure negs) is NOT
+    structural change — anything else is.
+    """
+    node = v.owner
+    name = node.op.scalar_op.name if (
+        node is not None and isinstance(node.op, Elemwise)) else None
+    absorb = root or (name in _MUL_CHAIN and _single_client(fgraph, v))
+    if name == "mul" and absorb:
+        for i in node.inputs:
+            _collect_mul(fgraph, i, num, den, state, invert)
+        return
+    if name == "true_div" and absorb:
+        if (root or at_top) and not state["seen_top_div"]:
+            state["seen_top_div"] = True
+        else:
+            state["n_inner_div"] += 1
+        _collect_mul(fgraph, node.inputs[0], num, den, state, invert)
+        _collect_mul(fgraph, node.inputs[1], num, den, state, not invert)
+        return
+    if name == "reciprocal" and absorb:
+        if not (root or at_top):
+            state["n_inner_div"] += 1
+        _collect_mul(fgraph, node.inputs[0], num, den, state, not invert)
+        return
+    if name == "neg" and absorb:
+        state["coeff"] = -state["coeff"]
+        state["n_neg"] += 1
+        _collect_mul(fgraph, node.inputs[0], num, den, state, invert,
+                     at_top=root or at_top)
+        return
+    u = _unique_value(v)
+    if u is not None and v.type.ndim == 0 and np.isfinite(u):
+        state["n_const"] += 1
+        if invert:
+            if float(u) == 0.0:
+                # 1/0: keep symbolic (inf/nan semantics)
+                den.append(v)
+                state["n_const"] -= 1
+            else:
+                state["coeff"] /= float(u)
+        else:
+            state["coeff"] *= float(u)
+        return
+    (den if invert else num).append(v)
+
+
+@node_rewriter([Elemwise])
+def local_mul_div_canonizer(fgraph, node):
+    """Canonicalize mul/div/neg/reciprocal trees: fold constants into one
+    coefficient, flatten nested divisions, cancel identical factors.
+    x/x -> 1, (2*x)/(4*y) -> 0.5*x/y, 1/(1/x) -> x, (-x)*(-y) -> x*y."""
+    name = node.op.scalar_op.name
+    if name not in ("mul", "true_div", "reciprocal", "neg"):
+        return False
+    out = node.outputs[0]
+    if out.type.dtype.startswith(("int", "uint", "bool")):
+        return False  # integer semantics (floor, overflow) differ
+    num, den = [], []
+    state = {"coeff": 1.0, "n_const": 0, "n_inner_div": 0, "n_neg": 0,
+             "seen_top_div": False}
+    _collect_mul(fgraph, out, num, den, state, root=True)
+
+    # cancel identical factors (same Variable object; CSE makes these
+    # common), only when types match exactly so broadcasting is preserved
+    n_cancel = 0
+    new_den = []
+    for d in den:
+        hit = next((k for k, n in enumerate(num)
+                    if n is d and n.type == d.type), None)
+        if hit is not None:
+            del num[hit]
+            n_cancel += 1
+        else:
+            new_den.append(d)
+    den = new_den
+
+    coeff = state["coeff"]
+    fired = (
+        n_cancel > 0
+        or state["n_const"] >= 2
+        or state["n_inner_div"] > 0
+        or (coeff == 0.0 and not den)
+        or state["n_neg"] >= 2  # (-x)*(-y) -> x*y
+        # a sign folding into a real constant (not +-1, which would just
+        # re-emit the same neg node and loop the equilibrium pass):
+        or (state["n_neg"] >= 1 and state["n_const"] >= 1
+            and coeff not in (1.0, -1.0))
+        or (state["n_const"] == 1 and coeff == 1.0 and num)
+    )
+    if not fired:
+        return False
+
+    if coeff == 0.0 and not den:
+        res = _same_type_out(node, as_tensor_variable(0.0))
+        return [res] if res is not None else False
+
+    dtype = out.type.dtype
+    factors = list(num)
+    negate = False
+    if coeff == -1.0:
+        negate = True
+    elif coeff != 1.0:
+        factors.insert(0, constant_like(coeff, dtype))
+    if not factors:
+        num_expr = constant_like(1.0, dtype)
+    elif len(factors) == 1:
+        num_expr = factors[0]
+    else:
+        num_expr = tm.mul(*factors)
+    if den:
+        den_expr = den[0] if len(den) == 1 else tm.mul(*den)
+        res = tm.true_div(num_expr, den_expr)
+    else:
+        res = num_expr
+    if negate:
+        res = -res
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+def constant_like(value, dtype):
+    from pytensor_tpu.tensor.basic import constant
+
+    return constant(np.array(value, dtype=dtype))
+
+
+register_canonicalize(local_mul_div_canonizer, name="local_mul_div_canonizer")
+
+
+def _collect_add(fgraph, v, terms, state, sign=1, root=False):
+    node = v.owner
+    name = node.op.scalar_op.name if (
+        node is not None and isinstance(node.op, Elemwise)) else None
+    absorb = root or (name in ("add", "sub", "neg")
+                      and _single_client(fgraph, v))
+    if name == "add" and absorb:
+        for i in node.inputs:
+            _collect_add(fgraph, i, terms, state, sign)
+        return
+    if name == "sub" and absorb:
+        _collect_add(fgraph, node.inputs[0], terms, state, sign)
+        _collect_add(fgraph, node.inputs[1], terms, state, -sign)
+        return
+    if name == "neg" and absorb:
+        _collect_add(fgraph, node.inputs[0], terms, state, -sign)
+        return
+    u = _unique_value(v)
+    if u is not None and v.type.ndim == 0 and np.isfinite(u):
+        state["n_const"] += 1
+        state["coeff"] += sign * float(u)
+        return
+    terms.append((v, sign))
+
+
+@node_rewriter([Elemwise])
+def local_add_sub_canonizer(fgraph, node):
+    """Canonicalize add/sub/neg trees: fold constants, cancel x + (-x).
+    (x + 2) - (x + 1) -> 1;  (a - b) + b -> a."""
+    name = node.op.scalar_op.name
+    if name not in ("add", "sub"):
+        return False
+    out = node.outputs[0]
+    if out.type.dtype.startswith(("uint", "bool")):
+        return False
+    terms = []
+    state = {"coeff": 0.0, "n_const": 0}
+    _collect_add(fgraph, out, terms, state, root=True)
+
+    n_cancel = 0
+    kept = []
+    for v, s in terms:
+        hit = next((k for k, (w, t) in enumerate(kept)
+                    if w is v and t == -s and w.type == v.type), None)
+        if hit is not None:
+            del kept[hit]
+            n_cancel += 1
+        else:
+            kept.append((v, s))
+
+    if not (n_cancel > 0 or state["n_const"] >= 2):
+        return False
+
+    dtype = out.type.dtype
+    coeff = state["coeff"]
+    pos = [v for v, s in kept if s > 0]
+    neg = [v for v, s in kept if s < 0]
+    if coeff != 0.0:
+        pos.append(constant_like(coeff, dtype))
+    if not pos and not neg:
+        res = _same_type_out(node, as_tensor_variable(0.0))
+        return [res] if res is not None else False
+    pos_expr = (pos[0] if len(pos) == 1 else tm.add(*pos)) if pos else None
+    neg_expr = (neg[0] if len(neg) == 1 else tm.add(*neg)) if neg else None
+    if pos_expr is None:
+        res = -neg_expr
+    elif neg_expr is None:
+        res = pos_expr
+    else:
+        res = tm.sub(pos_expr, neg_expr)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_add_sub_canonizer, name="local_add_sub_canonizer")
+
+
+# ---------------------------------------------------------------------------
+# exp / log family (reference rewriting/math.py stabilize rules)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_expm1(fgraph, node):
+    """exp(x) - 1 -> expm1(x) (and add(exp(x), -1))."""
+    name = node.op.scalar_op.name
+    if name == "sub":
+        a, b = node.inputs
+        if _unique_value(b) == 1 and a.owner is not None \
+                and _is_ew(a.owner, "exp"):
+            res = _same_type_out(node, tm.expm1(a.owner.inputs[0]))
+            return [res] if res is not None else False
+    elif name == "add":
+        exps = [i for i in node.inputs
+                if i.owner is not None and _is_ew(i.owner, "exp")]
+        m1 = [i for i in node.inputs if _unique_value(i) == -1]
+        if len(exps) == 1 and len(m1) == 1 and len(node.inputs) == 2:
+            res = _same_type_out(node, tm.expm1(exps[0].owner.inputs[0]))
+            return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_expm1, name="local_expm1")
+
+
+@node_rewriter([Elemwise])
+def local_log1mexp(fgraph, node):
+    """log1p(-exp(x)) -> log1mexp(x) (stable for x <= 0)."""
+    if not _is_ew(node, "log1p"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "neg"):
+        return False
+    e = inner.inputs[0].owner
+    if e is None or not _is_ew(e, "exp"):
+        return False
+    res = _same_type_out(node, tm.log1mexp(e.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log1mexp, name="local_log1mexp")
+
+
+@node_rewriter([Elemwise])
+def local_log1msigm(fgraph, node):
+    """log1p(-sigmoid(x)) -> -softplus(x) (the log(1-p) of a logistic)."""
+    if not _is_ew(node, "log1p"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "neg"):
+        return False
+    s = inner.inputs[0].owner
+    if s is None or not _is_ew(s, "sigmoid"):
+        return False
+    res = _same_type_out(node, -tm.softplus(s.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log1msigm, name="local_log1msigm")
+
+
+@node_rewriter([Elemwise])
+def local_log_sqrt(fgraph, node):
+    """log(sqrt(x)) -> 0.5 * log(x)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "sqrt"):
+        return False
+    if not _single_client(fgraph, node.inputs[0]):
+        return False
+    x = inner.inputs[0]
+    res = _same_type_out(node, 0.5 * tm.log(x))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log_sqrt, name="local_log_sqrt")
+
+
+@node_rewriter([Elemwise])
+def local_mul_exp_to_exp_add(fgraph, node):
+    """exp(a) * exp(b) -> exp(a + b); exp(a) / exp(b) -> exp(a - b).
+    One transcendental instead of two or three (reference
+    local_mulexp2expadd / local_divexp2expsub)."""
+    name = node.op.scalar_op.name
+    if name == "mul":
+        exps = [i for i in node.inputs
+                if i.owner is not None and _is_ew(i.owner, "exp")
+                and _single_client(fgraph, i)]
+        if len(exps) < 2:
+            return False
+        rest = [i for i in node.inputs if i not in exps]
+        combined = tm.exp(tm.add(*[e.owner.inputs[0] for e in exps]))
+        res = combined if not rest else tm.mul(combined, *rest)
+        res = _same_type_out(node, res)
+        return [res] if res is not None else False
+    if name == "true_div":
+        a, b = node.inputs
+        if (a.owner is not None and _is_ew(a.owner, "exp")
+                and b.owner is not None and _is_ew(b.owner, "exp")
+                and _single_client(fgraph, a) and _single_client(fgraph, b)):
+            res = _same_type_out(
+                node, tm.exp(a.owner.inputs[0] - b.owner.inputs[0]))
+            return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_mul_exp_to_exp_add, name="local_mul_exp_to_exp_add")
+
+
+@node_rewriter([Elemwise])
+def local_exp_log_nan_switch(fgraph, node):
+    """exp(log(x)) -> x is domain-unsafe; exp(log1p(x)) -> 1+x likewise.
+    The safe pair: sqrt(x)*sqrt(x) handled by mul_to_sqr; here do
+    exp(2*log(x)) style: exp(log(x)*c) -> x**c only for c positive even?
+    Not safe either — keep only exp(log(abs-like)) out.  Instead:
+    exp(x)**c with constant c -> exp(c*x)."""
+    if not _is_ew(node, "pow"):
+        return False
+    base, expo = node.inputs
+    if base.owner is None or not _is_ew(base.owner, "exp"):
+        return False
+    if _unique_value(expo) is None:
+        return False
+    if not _single_client(fgraph, base):
+        return False
+    res = _same_type_out(node, tm.exp(expo * base.owner.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_specialize(local_exp_log_nan_switch, name="local_pow_of_exp")
+
+
+# ---------------------------------------------------------------------------
+# abs / sqr / pow simplifications
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_abs_simplify(fgraph, node):
+    """abs(abs(x)) -> abs(x); abs(-x) -> abs(x); abs(sqr(x)) -> sqr(x);
+    abs(exp(x)) -> exp(x) (all real-dtype)."""
+    if not _is_ew(node, "abs"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Elemwise):
+        return False
+    if node.inputs[0].type.dtype.startswith("complex"):
+        return False
+    name = inner.op.scalar_op.name
+    if name == "abs":
+        res = _same_type_out(node, node.inputs[0])
+    elif name == "neg":
+        res = _same_type_out(node, tm.abs(inner.inputs[0]))
+    elif name in ("sqr", "exp", "sqrt", "softplus", "exp2", "expm1"):
+        # nonnegative-range ops (expm1 >= -1 is NOT nonneg; exclude)
+        if name == "expm1":
+            return False
+        res = _same_type_out(node, node.inputs[0])
+    else:
+        return False
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_abs_simplify, name="local_abs_simplify")
+
+
+@node_rewriter([Elemwise])
+def local_mul_to_sqr(fgraph, node):
+    """x * x -> sqr(x) (one read instead of two on the VPU)."""
+    if not _is_ew(node, "mul") or len(node.inputs) != 2:
+        return False
+    a, b = node.inputs
+    if a is not b:
+        return False
+    res = _same_type_out(node, tm.sqr(a))
+    return [res] if res is not None else False
+
+
+register_specialize(local_mul_to_sqr, name="local_mul_to_sqr")
+
+
+@node_rewriter([Elemwise])
+def local_pow_pow(fgraph, node):
+    """(x**a)**b -> x**(a*b) for constant positive-integer a, b (the only
+    composition that is domain-safe for all real x)."""
+    if not _is_ew(node, "pow"):
+        return False
+    base, expo = node.inputs
+    if base.owner is None or not _is_ew(base.owner, "pow"):
+        return False
+    if not _single_client(fgraph, base):
+        return False
+    a = _unique_value(base.owner.inputs[1])
+    b = _unique_value(expo)
+    if a is None or b is None:
+        return False
+    af, bf = float(a), float(b)
+    if af <= 0 or bf <= 0 or af != int(af) or bf != int(bf):
+        return False
+    res = _same_type_out(
+        node, tm.pow(base.owner.inputs[0],
+                     constant_like(af * bf, node.outputs[0].type.dtype)))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_pow_pow, name="local_pow_pow")
+
+
+@node_rewriter([Elemwise])
+def local_sqr_of_sqrt_even_pow(fgraph, node):
+    """sqr(abs(x)) -> sqr(x) (even powers ignore sign)."""
+    if not _is_ew(node, "sqr"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "abs"):
+        res = _same_type_out(node, tm.sqr(inner.inputs[0]))
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_sqr_of_sqrt_even_pow, name="local_sqr_of_abs")
+
+
+# ---------------------------------------------------------------------------
+# comparison / extremum / logical simplifications
+# (reference rewriting/math.py local_useless_elemwise family)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_comparison_self(fgraph, node):
+    """lt(x,x)->0, gt(x,x)->0, le(x,x)->1, ge(x,x)->1."""
+    name = node.op.scalar_op.name
+    if name not in ("lt", "gt", "le", "ge") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    from pytensor_tpu.tensor.basic import ones_like, zeros_like
+
+    val = ones_like if name in ("le", "ge") else zeros_like
+    res = _same_type_out(node, val(x, dtype="bool"))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_comparison_self, name="local_comparison_self")
+
+
+@node_rewriter([Elemwise])
+def local_extremum_self(fgraph, node):
+    """maximum(x,x) -> x; minimum(x,x) -> x."""
+    name = node.op.scalar_op.name
+    if name not in ("maximum", "minimum") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    res = _same_type_out(node, x)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_extremum_self, name="local_extremum_self")
+
+
+@node_rewriter([Elemwise])
+def local_extremum_inf(fgraph, node):
+    """maximum(x, -inf) -> x; minimum(x, +inf) -> x; also the saturated
+    duals maximum(x, +inf) -> +inf etc. for float dtypes."""
+    name = node.op.scalar_op.name
+    if name not in ("maximum", "minimum") or len(node.inputs) != 2:
+        return False
+    out = node.outputs[0]
+    if not out.type.dtype.startswith("float"):
+        return False
+    for pos in (0, 1):
+        u = _unique_value(node.inputs[pos])
+        if u is None or np.isfinite(u):
+            continue
+        other = node.inputs[1 - pos]
+        if (name == "maximum") == (float(u) < 0):
+            res = _same_type_out(node, other)  # neutral element
+        else:
+            res = _same_type_out(node, as_tensor_variable(float(u)))
+        if res is not None:
+            return [res]
+    return False
+
+
+register_canonicalize(local_extremum_inf, name="local_extremum_inf")
+
+
+@node_rewriter([Elemwise])
+def local_logical_self(fgraph, node):
+    """and_(x,x)->x, or_(x,x)->x, xor(x,x)->0."""
+    name = node.op.scalar_op.name
+    if name not in ("and_", "or_", "xor") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    from pytensor_tpu.tensor.basic import zeros_like
+
+    res = zeros_like(x) if name == "xor" else x
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_logical_self, name="local_logical_self")
+
+
+@node_rewriter([Elemwise])
+def local_useless_clip(fgraph, node):
+    """clip(x, -inf, +inf) -> x; one-sided infinities -> maximum/minimum."""
+    if node.op.scalar_op.name != "clip":
+        return False
+    x, lo, hi = node.inputs
+    lo_u, hi_u = _unique_value(lo), _unique_value(hi)
+    lo_free = lo_u is not None and np.isneginf(float(lo_u))
+    hi_free = hi_u is not None and np.isposinf(float(hi_u))
+    if lo_free and hi_free:
+        res = _same_type_out(node, x)
+    elif lo_free:
+        res = _same_type_out(node, tm.minimum(x, hi))
+    elif hi_free:
+        res = _same_type_out(node, tm.maximum(x, lo))
+    else:
+        return False
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_useless_clip, name="local_useless_clip")
+
+
+# ---------------------------------------------------------------------------
+# reduction rewrites (reference local_reduce_chain / local_sum_prod_*)
+# ---------------------------------------------------------------------------
+
+_CHAINABLE_REDUCE = ("mul", "maximum", "minimum", "and_", "or_")
+
+
+@node_rewriter([CAReduce])
+def local_reduce_chain(fgraph, node):
+    """reduce(reduce(x, a), b) -> one reduce over combined axes, for
+    prod/max/min/all/any (sum handled by local_sum_sum)."""
+    name = node.op.scalar_op.name
+    if name not in _CHAINABLE_REDUCE:
+        return False
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, CAReduce):
+        return False
+    if inner.op.scalar_op.name != name:
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    x = inner.inputs[0]
+    inner_axes = inner.op.axis
+    outer_axes = node.op.axis
+    if inner_axes is None or outer_axes is None:
+        combined = None
+    else:
+        kept = [d for d in range(x.type.ndim) if d not in inner_axes]
+        combined = tuple(sorted(set(inner_axes) | {kept[a] for a in outer_axes}))
+    res = CAReduce(node.op.scalar_op, combined, node.op.dtype,
+                   node.op.acc_dtype, node.op.upcast_discrete_output)(x)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_reduce_chain, name="local_reduce_chain")
+
+
+@node_rewriter([CAReduce])
+def local_extremum_of_neg(fgraph, node):
+    """max(-x) -> -min(x); min(-x) -> -max(x)."""
+    name = node.op.scalar_op.name
+    if name not in ("maximum", "minimum"):
+        return False
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not _is_ew(inner, "neg") \
+            or len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    from pytensor_tpu.scalar import basic as ps
+
+    dual = ps.minimum if name == "maximum" else ps.maximum
+    s = CAReduce(dual, node.op.axis, node.op.dtype, node.op.acc_dtype,
+                 node.op.upcast_discrete_output)(inner.inputs[0])
+    res = _same_type_out(node, -s)
+    return [res] if res is not None else False
+
+
+register_specialize(local_extremum_of_neg, name="local_extremum_of_neg")
+
+
+@node_rewriter([CAReduce])
+def local_sum_of_alloc(fgraph, node):
+    """sum(alloc(c, s0, s1, ...), axis) -> alloc(c * prod(reduced sizes),
+    kept sizes) for scalar fill c: removes the materialization entirely."""
+    from pytensor_tpu.tensor.basic import Alloc, alloc
+
+    if node.op.scalar_op.name != "add":
+        return False
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    c, *shape_vars = inner.inputs
+    if c.type.ndim != 0:
+        return False
+    ndim = len(shape_vars)
+    axes = node.op.axis if node.op.axis is not None else tuple(range(ndim))
+    out = node.outputs[0]
+    count = None
+    for a in axes:
+        count = shape_vars[a] if count is None else count * shape_vars[a]
+    scaled = c * cast(count, out.type.dtype) if count is not None else c
+    if scaled.type.dtype != out.type.dtype:
+        scaled = cast(scaled, out.type.dtype)
+    kept = [shape_vars[d] for d in range(ndim) if d not in axes]
+    res = alloc(scaled, *kept) if kept else scaled
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_sum_of_alloc, name="local_sum_of_alloc")
+
+
+@node_rewriter([CAReduce])
+def local_sum_div_by_scalar(fgraph, node):
+    """sum(x / c) -> sum(x) / c for 0-d c (one division instead of n)."""
+    if node.op.scalar_op.name != "add":
+        return False
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not _is_ew(inner, "true_div"):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    num, den = inner.inputs
+    if den.type.ndim != 0:
+        return False
+    s = CAReduce(node.op.scalar_op, node.op.axis, node.op.dtype,
+                 node.op.acc_dtype, node.op.upcast_discrete_output)(num)
+    res = s / den
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_sum_div_by_scalar, name="local_sum_div_by_scalar")
+
+
+@node_rewriter([Elemwise])
+def local_mod_self(fgraph, node):
+    """mod(x, x) -> 0 (numpy convention, incl. mod(0,0)=0)."""
+    if node.op.scalar_op.name != "mod" or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    from pytensor_tpu.tensor.basic import zeros_like
+
+    res = _same_type_out(node, zeros_like(x))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_mod_self, name="local_mod_self")
+
+
+# ---------------------------------------------------------------------------
+# parity (even/odd) function rules + inverse-composition identities
+# ---------------------------------------------------------------------------
+
+_EVEN_FNS = ("cos", "cosh", "sqr", "abs")
+_ODD_FNS = ("sin", "tan", "sinh", "tanh", "arcsin", "arctan", "arcsinh",
+            "arctanh", "erf", "sign", "cbrt")
+
+
+@node_rewriter([Elemwise])
+def local_even_fn_of_neg(fgraph, node):
+    """f(-x) -> f(x) for even f (cos, cosh, sqr, abs)."""
+    name = node.op.scalar_op.name
+    if name not in _EVEN_FNS:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "neg"):
+        return False
+    res = _same_type_out(node, Elemwise(node.op.scalar_op)(inner.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_even_fn_of_neg, name="local_even_fn_of_neg")
+
+
+@node_rewriter([Elemwise])
+def local_odd_fn_of_neg(fgraph, node):
+    """f(-x) -> -f(x) for odd f: pulls the neg up where canonizers can
+    cancel it."""
+    name = node.op.scalar_op.name
+    if name not in _ODD_FNS:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "neg"):
+        return False
+    res = _same_type_out(node, -Elemwise(node.op.scalar_op)(inner.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_odd_fn_of_neg, name="local_odd_fn_of_neg")
+
+
+@node_rewriter([Elemwise])
+def local_inverse_composition(fgraph, node):
+    """tan(arctan(x)) -> x, sinh(arcsinh(x)) -> x (total-domain inverse
+    pairs only, so NaN semantics are preserved)."""
+    name = node.op.scalar_op.name
+    pairs = {"tan": "arctan", "sinh": "arcsinh"}
+    if name not in pairs:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, pairs[name]):
+        return False
+    res = _same_type_out(node, inner.inputs[0])
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_inverse_composition, name="local_inverse_composition")
+
+
+@node_rewriter([Elemwise])
+def local_useless_floor_ceil_int(fgraph, node):
+    """floor/ceil/trunc/round of an integer-dtype tensor -> identity."""
+    name = node.op.scalar_op.name
+    if name not in ("floor", "ceil", "trunc", "round_half_to_even"):
+        return False
+    x = node.inputs[0]
+    if not x.type.dtype.startswith(("int", "uint", "bool")):
+        return False
+    res = _same_type_out(node, x)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_useless_floor_ceil_int,
+                      name="local_useless_floor_ceil_int")
+
+
+@node_rewriter([Elemwise])
+def local_sign_of_sign(fgraph, node):
+    """sign(sign(x)) -> sign(x)."""
+    if not _is_ew(node, "sign"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "sign"):
+        res = _same_type_out(node, node.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_sign_of_sign, name="local_sign_of_sign")
+
+
+@node_rewriter([CAReduce])
+def local_reduce_empty_axis(fgraph, node):
+    """reduce(x, axis=()) -> x (dtype-adjusted): reduces nothing."""
+    if node.op.axis != ():
+        return False
+    x = node.inputs[0]
+    res = _same_type_out(node, x)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_reduce_empty_axis, name="local_reduce_empty_axis")
+
+
+@node_rewriter([CAReduce])
+def local_sum_of_makevector(fgraph, node):
+    """sum(make_vector(a, b, c)) -> a + b + c: no buffer, pure scalar
+    adds."""
+    from pytensor_tpu.tensor.basic import MakeVector
+
+    if node.op.scalar_op.name != "add" or node.op.axis not in (None, (0,)):
+        return False
+    v = node.inputs[0]
+    if v.owner is None or not isinstance(v.owner.op, MakeVector):
+        return False
+    if len(fgraph.clients.get(v, ())) != 1:
+        return False
+    elems = v.owner.inputs
+    if not elems:
+        return False
+    res = elems[0] if len(elems) == 1 else tm.add(*elems)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_sum_of_makevector, name="local_sum_of_makevector")

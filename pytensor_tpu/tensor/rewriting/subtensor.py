@@ -191,3 +191,272 @@ def local_scatter_add_to_onehot_dot(fgraph, node):
 
 register_specialize(local_scatter_add_to_onehot_dot,
                     name="local_scatter_add_to_onehot_dot")
+
+
+# ---------------------------------------------------------------------------
+# subtensor lift pack (reference tensor/rewriting/subtensor_lift.py):
+# push indexing toward the leaves so downstream ops compute less.
+# ---------------------------------------------------------------------------
+
+def _entry_ndyn(e):
+    """Dynamic inputs consumed by a single idx_list entry."""
+    if e == DYN:
+        return 1
+    if isinstance(e, tuple) and e and e[0] == "slice":
+        return sum(1 for b in e[1:] if b == DYN)
+    return 0
+
+
+def _split_dyn(idx_list, dyn):
+    """Pair each entry with its dynamic inputs."""
+    out = []
+    it = iter(dyn)
+    for e in idx_list:
+        out.append((e, [next(it) for _ in range(_entry_ndyn(e))]))
+    return out
+
+
+FULL = ("slice", None, None, None)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_elemwise(fgraph, node):
+    """elemwise(a, b, ...)[idx] -> elemwise(a[idx'], b[idx'], ...): index
+    first, compute on the smaller block (reference local_subtensor_lift).
+    Broadcast inputs get the entry replaced by 0 / full-slice on their
+    size-1 axes."""
+    from pytensor_tpu.tensor.elemwise import Elemwise
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, Elemwise):
+        return False
+    if len(fgraph.clients.get(x, ())) != 1:
+        return False
+    if x.owner.op.scalar_op.name == "second":
+        return False  # fill: carrier semantics, handled elsewhere
+    idx_list = node.op.idx_list
+    pairs = _split_dyn(idx_list, node.inputs[1:])
+    new_inputs = []
+    for i in x.owner.inputs:
+        if i.type.ndim == 0:
+            new_inputs.append(i)
+            continue
+        offset = x.type.ndim - i.type.ndim
+        entries = []
+        dyns = []
+        ok = True
+        for k, (e, ed) in enumerate(pairs):
+            if k < offset:
+                continue  # the input broadcasts over this leading dim
+            d = k - offset
+            if i.type.shape[d] == 1 and x.type.shape[k] != 1:
+                # broadcast axis: neutral entry
+                if isinstance(e, tuple) and e[0] == "slice":
+                    entries.append(FULL)
+                else:
+                    entries.append(0)
+                continue
+            if i.type.shape[d] is not None and x.type.shape[k] is not None \
+                    and i.type.shape[d] == x.type.shape[k]:
+                entries.append(e)
+                dyns.extend(ed)
+                continue
+            if e == FULL:
+                entries.append(e)
+                continue
+            ok = False  # can't prove the axis isn't broadcast at runtime
+            break
+        if not ok:
+            return False
+        # strip trailing full slices
+        while entries and entries[-1] == FULL:
+            entries.pop()
+        new_inputs.append(Subtensor(entries)(i, *dyns) if entries else i)
+    res = Elemwise(x.owner.op.scalar_op)(*new_inputs)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_elemwise, name="local_subtensor_of_elemwise")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_dimshuffle(fgraph, node):
+    """x.dimshuffle(perm/'x')[idx] -> x[permuted idx].dimshuffle(...) for
+    non-dropping DimShuffles (transpose and expand_dims)."""
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    v = node.inputs[0]
+    if v.owner is None or not isinstance(v.owner.op, DimShuffle):
+        return False
+    if len(fgraph.clients.get(v, ())) != 1:
+        return False
+    ds = v.owner.op
+    x = v.owner.inputs[0]
+    if sorted(o for o in ds.new_order if o != "x") != list(range(x.type.ndim)):
+        return False  # drops dims: leave alone
+    pairs = _split_dyn(node.op.idx_list, node.inputs[1:])
+    # pad to the dimshuffled ndim
+    while len(pairs) < len(ds.new_order):
+        pairs.append((FULL, []))
+    x_entries = {}
+    kept = []  # (order_pos, 'x' or input axis) for output dims
+    for k, o in enumerate(ds.new_order):
+        e, ed = pairs[k]
+        if o == "x":
+            if e == FULL:
+                kept.append((k, "x"))
+                continue
+            if isinstance(e, (int, np.integer)) and e in (0, -1):
+                continue  # drops the inserted axis
+            return False  # dynamic/sliced index into a synthetic axis
+        x_entries[o] = (e, ed)
+        if not isinstance(e, (int, np.integer)) and e != DYN:
+            kept.append((k, o))
+    # build the inner subtensor in input-axis order
+    entries = []
+    dyns = []
+    for a in range(x.type.ndim):
+        e, ed = x_entries.get(a, (FULL, []))
+        entries.append(e)
+        dyns.extend(ed)
+    while entries and entries[-1] == FULL:
+        entries.pop()
+    inner = Subtensor(entries)(x, *dyns) if entries else x
+    # remaining input axes in ascending order = inner's dim order
+    kept_in_axes = sorted(o for _, o in kept if o != "x")
+    new_order = []
+    for _, o in sorted(kept):
+        new_order.append("x" if o == "x" else kept_in_axes.index(o))
+    res = inner
+    if new_order != list(range(inner.type.ndim)):
+        res = DimShuffle(inner.type.ndim, tuple(new_order))(inner)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_dimshuffle,
+                    name="local_subtensor_of_dimshuffle")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_alloc(fgraph, node):
+    """Alloc(v, s...)[idx] -> Alloc(v, sliced lengths...) for a scalar
+    fill value: never materialize the big buffer."""
+    from pytensor_tpu.tensor.basic import Alloc, alloc
+    from pytensor_tpu.tensor.subtensor import _sym_slice_len
+
+    v0 = node.inputs[0]
+    if v0.owner is None or not isinstance(v0.owner.op, Alloc):
+        return False
+    fill, *shape_vars = v0.owner.inputs
+    if fill.type.ndim != 0:
+        return False
+    idx_list = node.op.idx_list
+    if any(_entry_ndyn(e) for e in idx_list) or DYN in idx_list:
+        return False  # dynamic bounds: net win unclear, skip
+    new_shape = []
+    d = 0
+    for e in idx_list:
+        if isinstance(e, (int, np.integer)):
+            d += 1
+            continue
+        _, a, b, c = e
+        new_shape.append(_sym_slice_len(a, b, c, shape_vars[d]))
+        d += 1
+    new_shape.extend(shape_vars[d:])
+    out = node.outputs[0]
+    res = alloc(fill, *new_shape) if new_shape else fill
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_alloc, name="local_subtensor_of_alloc")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_makevector(fgraph, node):
+    """MakeVector(a, b, c)[static idx] -> the element / a smaller
+    MakeVector."""
+    from pytensor_tpu.tensor.basic import MakeVector, make_vector
+
+    v = node.inputs[0]
+    if v.owner is None or not isinstance(v.owner.op, MakeVector):
+        return False
+    idx_list = node.op.idx_list
+    if len(idx_list) != 1:
+        return False
+    (e,) = idx_list
+    elems = v.owner.inputs
+    out = node.outputs[0]
+    if isinstance(e, (int, np.integer)):
+        res = elems[int(e)]
+    elif isinstance(e, tuple) and e[0] == "slice" \
+            and not any(b == DYN for b in e[1:]):
+        picked = elems[slice(e[1], e[2], e[3])]
+        if len(picked) == len(elems):
+            return False
+        res = MakeVector(v.owner.op.dtype)(*picked)
+    else:
+        return False
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_subtensor_of_makevector,
+                      name="local_subtensor_of_makevector")
+
+
+@node_rewriter([IncSubtensor])
+def local_useless_inc_subtensor(fgraph, node):
+    """set_subtensor(x[full slices], y) -> y when the types line up."""
+    if not node.op.set_instead_of_inc:
+        return False
+    if not all(_full_slice(e) for e in node.op.idx_list):
+        return False
+    y = node.inputs[1]
+    out = node.outputs[0]
+    if y.type.dtype == out.type.dtype and y.type == out.type:
+        copy_stack_trace(out, y)
+        return [y]
+    return False
+
+
+register_useless(local_useless_inc_subtensor, name="local_useless_inc_subtensor")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_unbroadcast_cast(fgraph, node):
+    """x.astype(d)[idx] -> x[idx].astype(d): index before the copy."""
+    from pytensor_tpu.tensor.basic import cast as t_cast
+    from pytensor_tpu.tensor.elemwise import Elemwise
+
+    v = node.inputs[0]
+    if v.owner is None or not isinstance(v.owner.op, Elemwise):
+        return False
+    if not v.owner.op.scalar_op.name.startswith("cast{"):
+        return False
+    if len(fgraph.clients.get(v, ())) != 1:
+        return False
+    inner = v.owner.inputs[0]
+    res = t_cast(Subtensor(node.op.idx_list)(inner, *node.inputs[1:]),
+                 v.type.dtype)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_unbroadcast_cast,
+                    name="local_subtensor_of_cast")
