@@ -181,7 +181,7 @@ def function(
     # --- rewrite
     mode = get_mode(mode)
     rewriter = mode.optimizer
-    rewriter.rewrite(fgraph)
+    rewrite_profile = rewriter.rewrite(fgraph)
     t_rewrite = time.perf_counter()
 
     # --- link
@@ -212,6 +212,7 @@ def function(
     )
     fn.compile_time = time.perf_counter() - t0
     fn.rewrite_time = t_rewrite - t_graph
+    fn.rewrite_profile = rewrite_profile
     if profile:
         from pytensor_tpu.compile.debug.profiling import profile_function
 

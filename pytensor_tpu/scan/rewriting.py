@@ -17,9 +17,12 @@ stacking ys at all.  What remains profitable at graph level:
 
 from __future__ import annotations
 
+import numpy as np
+
 from pytensor_tpu.compile.mode import optdb
 from pytensor_tpu.graph.rewriting.basic import (GraphRewriter, WalkingGraphRewriter, node_rewriter)
 from pytensor_tpu.scan.op import Scan, ScanInfo
+from pytensor_tpu.tensor.basic import (NotScalarConstantError, get_scalar_constant_value)
 
 
 @node_rewriter([Scan])
@@ -392,4 +395,256 @@ optdb.register(
     WalkingGraphRewriter(scan_push_out_non_seqs),
     "fast_run", "scan",
     position=1.601,  # reference scan_eqopt2 push-out region
+)
+
+
+@node_rewriter([Scan])
+def scan_push_out_seqs(fgraph, node):
+    """Hoist inner computation that depends only on sequence slices and
+    non-sequences out of the loop (reference scan/rewriting/push_out.py
+    ``pushout_seqs``): it is computed once, vectorized over the time axis
+    via ``vectorize_graph``, and fed back in as a fresh sequence.  The MXU
+    sees one batched op instead of T small per-step ops.
+    """
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.replace import clone_replace, vectorize_graph
+    from pytensor_tpu.graph.traversal import ancestors
+
+    op = node.op
+    info = op.info
+    if info.as_while or info.n_seqs == 0:
+        return False
+    inner_seqs = list(op.inner_seq_vars())
+    inner_non_seqs = list(op.inner_non_seq_vars())
+    allowed = set(inner_seqs) | set(inner_non_seqs)
+    seq_set = set(inner_seqs)
+
+    cache: dict[int, tuple[bool, bool]] = {}
+
+    def classify(v):
+        """-> (eligible, touches_seq)"""
+        r = cache.get(id(v))
+        if r is not None:
+            return r
+        if v in allowed:
+            r = (True, v in seq_set)
+        elif isinstance(v, Constant):
+            r = (True, False)
+        elif v.owner is None:
+            r = (False, False)
+        else:
+            subs = [classify(i) for i in v.owner.inputs]
+            r = (all(e for e, _ in subs), any(s for _, s in subs))
+        cache[id(v)] = r
+        return r
+
+    candidates = []
+    for inner_node in op.fgraph.toposort():
+        for out in inner_node.outputs:
+            elig, has_seq = classify(out)
+            if not elig or not has_seq:
+                continue
+            clients = op.fgraph.clients.get(out, ())
+            # maximal: hoist only if some consumer stays in the loop (or
+            # the value is an inner output) — otherwise hoist the parent
+            if any(c == "output" or not all(classify(o)[0] for o in c.outputs)
+                   for c, _ in clients):
+                candidates.append(out)
+    candidates = list(dict.fromkeys(candidates))
+    # a candidate that is literally a single op on seq slices only is
+    # already one fused elemwise per step; hoisting everything is still
+    # a win (one batched op, smaller loop body), so keep all.
+    if not candidates:
+        return False
+
+    outer_seqs = list(op.outer_seqs(node.inputs))
+    outer_non_seqs = list(op.outer_non_seqs(node.inputs))
+    mapping = dict(zip(inner_seqs, outer_seqs))
+    mapping.update(zip(inner_non_seqs, outer_non_seqs))
+    try:
+        outer_vals = vectorize_graph(candidates, replace=mapping)
+    except Exception:
+        return False
+    if not isinstance(outer_vals, list):
+        outer_vals = [outer_vals]
+
+    fresh = [c.type() for c in candidates]
+    new_inner_outputs = clone_replace(
+        list(op.fgraph.outputs), replace=dict(zip(candidates, fresh)))
+    used = set(map(id, ancestors(new_inner_outputs)))
+    keep = [i for i, f in enumerate(fresh) if id(f) in used]
+    if not keep:
+        return False
+    fresh = [fresh[i] for i in keep]
+    outer_vals = [outer_vals[i] for i in keep]
+
+    new_inner_inputs = (
+        inner_seqs + fresh
+        + [v for g in op.inner_tap_vars() for v in g]
+        + list(op.inner_untraced_vars())
+        + inner_non_seqs
+    )
+    new_info = ScanInfo(
+        n_seqs=info.n_seqs + len(fresh),
+        taps=info.taps,
+        n_nit_sot=info.n_nit_sot,
+        n_non_seqs=info.n_non_seqs,
+        as_while=False,
+        n_untraced=info.n_untraced,
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_op = Scan(new_fg, new_info, name=op.name,
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
+    new_outer = (
+        outer_seqs + outer_vals
+        + list(op.outer_inits(node.inputs))
+        + list(op.outer_untraced_inits(node.inputs))
+        + outer_non_seqs
+    )
+    new_outs = new_op(node.inputs[0], *new_outer)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+    return dict(zip(node.outputs, new_outs))
+
+
+optdb.register(
+    "scan_push_out_seqs",
+    WalkingGraphRewriter(scan_push_out_seqs),
+    "fast_run", "scan",
+    position=1.602,  # reference pushout_seqs region
+)
+
+
+@node_rewriter([Scan])
+def scan_push_out_non_recurrent_outputs(fgraph, node):
+    """Replace nit-sot traces whose inner output is directly an inner
+    input (a sequence slice / non-sequence) or a constant with the
+    equivalent outer expression, removing the output from the loop
+    (reference scan/rewriting/push_out.py ``pushout_non_recurrent_outputs``).
+    ``scan_push_out_seqs`` reduces seq-only outputs to exactly this shape;
+    the leftover unused nit-sot is then dropped by
+    ``scan_remove_unused_outputs``.
+    """
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.extra_ops import broadcast_to
+    from pytensor_tpu.tensor.shape import specify_shape
+
+    op = node.op
+    info = op.info
+    if info.as_while or info.n_nit_sot == 0:
+        return False
+    inner_seqs = list(op.inner_seq_vars())
+    inner_non_seqs = list(op.inner_non_seq_vars())
+    outer_seqs = list(op.outer_seqs(node.inputs))
+    outer_non_seqs = list(op.outer_non_seqs(node.inputs))
+    n_steps = node.inputs[0]
+
+    nit_start = info.n_states + info.n_untraced
+    repl = {}
+    for m, inner_out in enumerate(op.inner_nit_sot_outs()):
+        outer_out = node.outputs[nit_start + m]
+        if not fgraph.clients.get(outer_out):
+            continue
+        if inner_out in inner_seqs:
+            full = outer_seqs[inner_seqs.index(inner_out)]
+            val = full[:n_steps]
+        elif inner_out in inner_non_seqs:
+            v = outer_non_seqs[inner_non_seqs.index(inner_out)]
+            val = broadcast_to(v, (n_steps, *tuple(v.shape)))
+        elif isinstance(inner_out, Constant):
+            val = broadcast_to(inner_out, (n_steps, *inner_out.data.shape))
+        else:
+            continue
+        if any(s is not None for s in outer_out.type.shape):
+            val = specify_shape(val, outer_out.type.shape)
+        repl[outer_out] = val
+    return repl or False
+
+
+optdb.register(
+    "scan_push_out_non_recurrent_outputs",
+    WalkingGraphRewriter(scan_push_out_non_recurrent_outputs),
+    "fast_run", "scan",
+    position=1.603,  # reference pushout_non_recurrent_outputs region
+)
+
+
+@node_rewriter([Scan])
+def scan_reduce_nsteps(fgraph, node):
+    """Shorten ``n_steps`` when every read of every Scan output touches
+    only a constant prefix of the trace (reference
+    scan/rewriting/trace.py:140 ``scan_reduce_nsteps``): ``scan(...,
+    n_steps=T)[0][:k]`` or ``...[i]`` with ``i >= 0`` only needs
+    ``max(k, i+1)`` iterations.
+    """
+    from pytensor_tpu.tensor.basic import constant
+    from pytensor_tpu.tensor.subtensor import DYN, Subtensor
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    try:
+        T = int(get_scalar_constant_value(node.inputs[0]))
+    except NotScalarConstantError:
+        return False
+
+    # untraced finals depend on running ALL steps
+    for u in range(info.n_untraced):
+        if fgraph.clients.get(node.outputs[info.n_states + u]):
+            return False
+
+    needed = 0
+    clients_to_rewrite = []
+    any_used = False
+    for k, out in enumerate(node.outputs):
+        clients = fgraph.clients.get(out, ())
+        if not clients:
+            continue
+        any_used = True
+        for c, idx in clients:
+            if c == "output" or not isinstance(c.op, Subtensor):
+                return False
+            il = c.op.idx_list
+            if not il:
+                return False
+            e = il[0]
+            if isinstance(e, (int, np.integer)):
+                i = int(e)
+                if i < 0:
+                    return False
+                needed = max(needed, i + 1)
+            elif isinstance(e, tuple) and e[0] == "slice":
+                _, start, stop, step = e
+                if stop is None or stop == DYN or int(stop) < 0:
+                    return False
+                if start == DYN or (start is not None and int(start) < 0):
+                    return False
+                if step == DYN or (step is not None and int(step) < 0):
+                    return False
+                needed = max(needed, int(stop))
+            else:
+                return False
+            clients_to_rewrite.append((c, k))
+    if not any_used or needed >= T or needed < 1:
+        return False
+
+    new_outs = op(constant(np.int64(needed)), *node.inputs[1:])
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+    repl = {}
+    for c, k in clients_to_rewrite:
+        # same index expression against the shortened trace
+        new_client_out = c.op(new_outs[k], *c.inputs[1:])
+        repl[c.outputs[0]] = new_client_out
+    return repl
+
+
+optdb.register(
+    "scan_reduce_nsteps",
+    WalkingGraphRewriter(scan_reduce_nsteps),
+    "fast_run", "scan", "scan_save_mem",
+    position=1.611,  # reference position
 )

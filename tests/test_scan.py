@@ -477,3 +477,116 @@ def test_scan_return_updates_false_without_updates_ok():
     out = ptt.scan(lambda xt: xt * 2, sequences=[x], return_updates=False)
     res = compare_xla_and_py([x], out, [np.arange(4.0)])
     np.testing.assert_allclose(np.asarray(res[0]), np.arange(4.0) * 2)
+
+
+def test_scan_push_out_seqs():
+    """Sequence-only inner computation hoists out of the loop as a
+    precomputed (vectorized) sequence (reference push_out.py pushout_seqs)."""
+    from pytensor_tpu.scan.op import Scan
+
+    x = pt.dvector("x")
+    out, _ = ptt.scan(lambda xt, acc: acc + pt.exp(xt),
+                      sequences=[x],
+                      outputs_info=[pt.constant(0.0, dtype="float64")])
+    f = ptt.function([x], out)
+    scan_node = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)][0]
+    assert not any(
+        getattr(getattr(n.op, "scalar_op", None), "name", "") == "exp"
+        for n in scan_node.op.fgraph.apply_nodes), \
+        "exp(x_t) should have been hoisted out of the loop body"
+    xv = np.arange(4.0)
+    np.testing.assert_allclose(np.asarray(f(xv)), np.cumsum(np.exp(xv)),
+                               rtol=1e-12)
+
+
+def test_scan_push_out_seqs_mixed_with_nonseq():
+    """seq ⊗ non-seq products (e.g. W @ x_t) hoist as one batched op."""
+    from pytensor_tpu.scan.op import Scan
+
+    xs = pt.dmatrix("xs")  # (T, n)
+    w = pt.dmatrix("w")    # (n, n)
+    out, _ = ptt.scan(
+        lambda xt, acc, ww: acc + (ww @ xt),
+        sequences=[xs],
+        outputs_info=[pt.zeros((3,), dtype="float64")],
+        non_sequences=[w])
+    f = ptt.function([xs, w], out[-1])
+    scan_node = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)][0]
+    # the matmul left the loop body
+    from pytensor_tpu.tensor.math import Dot
+    from pytensor_tpu.tensor.blockwise import Blockwise
+    assert not any(
+        isinstance(n.op, (Dot, Blockwise)) for n in scan_node.op.fgraph.apply_nodes), \
+        "W @ x_t should have been hoisted and batched outside the loop"
+    rng = np.random.default_rng(0)
+    xv = rng.normal(size=(5, 3))
+    wv = rng.normal(size=(3, 3))
+    np.testing.assert_allclose(np.asarray(f(xv, wv)),
+                               (wv @ xv.T).T.cumsum(axis=0)[-1], rtol=1e-10)
+
+
+def test_scan_push_out_non_recurrent_outputs():
+    """A nit-sot output that only depends on sequences leaves the loop
+    entirely (reference pushout_non_recurrent_outputs)."""
+    from pytensor_tpu.scan.op import Scan
+
+    x = pt.dvector("x")
+
+    def step(xt, acc):
+        return acc + xt, pt.sin(xt)
+
+    (acc_tr, sin_tr), _ = ptt.scan(
+        step, sequences=[x],
+        outputs_info=[pt.constant(0.0, dtype="float64"), None])
+    f = ptt.function([x], [acc_tr, sin_tr])
+    scan_node = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)][0]
+    assert scan_node.op.info.n_nit_sot == 0, \
+        "the seq-only nit-sot should have been pushed out of the scan"
+    xv = np.arange(4.0)
+    r1, r2 = (np.asarray(a) for a in f(xv))
+    np.testing.assert_allclose(r1, np.cumsum(xv))
+    np.testing.assert_allclose(r2, np.sin(xv), rtol=1e-12)
+
+
+def test_scan_reduce_nsteps():
+    """scan(..., n_steps=100)[0][:3] only runs 3 iterations
+    (reference scan/rewriting/trace.py scan_reduce_nsteps)."""
+    from pytensor_tpu.scan.op import Scan
+    from pytensor_tpu.tensor.basic import get_scalar_constant_value
+
+    z = pt.dscalar("z")
+    out, _ = ptt.scan(lambda acc: acc * 2.0,
+                      outputs_info=[z],
+                      n_steps=100)
+    f = ptt.function([z], out[:3])
+    scan_nodes = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
+    assert scan_nodes, "scan should survive (its prefix is used)"
+    n_steps_val = int(get_scalar_constant_value(scan_nodes[0].inputs[0]))
+    assert n_steps_val == 3, f"n_steps should be reduced to 3, got {n_steps_val}"
+    np.testing.assert_allclose(np.asarray(f(1.0)), [2.0, 4.0, 8.0])
+
+
+def test_scan_reduce_nsteps_scalar_index():
+    from pytensor_tpu.scan.op import Scan
+    from pytensor_tpu.tensor.basic import get_scalar_constant_value
+
+    z = pt.dscalar("z")
+    out, _ = ptt.scan(lambda acc: acc + 1.0,
+                      outputs_info=[z],
+                      n_steps=50)
+    f = ptt.function([z], out[4])
+    scan_nodes = [n for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
+    assert scan_nodes
+    n_steps_val = int(get_scalar_constant_value(scan_nodes[0].inputs[0]))
+    assert n_steps_val == 5
+    assert float(np.asarray(f(0.0))) == 5.0
+
+
+def test_scan_reduce_nsteps_not_applied_on_negative_reads():
+    """trace[-1] must NOT shorten the loop (it needs the full run) —
+    scan_sit_sot_to_untraced owns that case instead."""
+    out, _ = ptt.scan(lambda acc: acc + 1.0,
+                      outputs_info=[pt.constant(0.0, dtype="float64")],
+                      n_steps=7)
+    f = ptt.function([], out[-1])
+    assert float(np.asarray(f())) == 7.0

@@ -179,3 +179,30 @@ def test_ipython_repr_smoke():
     x = pt.dvector("x")
     y = pt.exp(x)
     assert "Elemwise" in str(y.owner.op) or "exp" in str(y.owner.op)
+
+
+def test_profile_rewrite_pass_split_and_op_table():
+    """function(profile=True) reports per-rewrite-pass times, a static
+    per-op cost table over the final graph, and XLA memory analysis
+    (reference compile/debug/profiling.py ProfileStats:126)."""
+    import io
+
+    import numpy as np
+
+    from pytensor_tpu.models.radon import make_radon_graphs
+
+    inputs, outputs, n_params = make_radon_graphs(n_obs=50, n_counties=5)
+    f = ptt.function(inputs, outputs, profile=True)
+    theta = np.zeros(n_params)
+    for _ in range(2):
+        f(theta)
+    st = f.profile_stats
+    assert st.call_count == 2
+    assert st.rewrite_pass_times, "per-pass rewrite times missing"
+    pass_names = [n for n, _ in st.rewrite_pass_times]
+    assert any("canonicalize" in n for n in pass_names)
+    assert st.op_table, "static per-op table missing"
+    assert st.xla_memory is not None and st.xla_memory["temp_bytes"] is not None
+    buf = io.StringIO()
+    s = st.summary(file=buf)
+    assert "rewrite passes" in s and "per-op static cost" in s
