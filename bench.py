@@ -247,14 +247,24 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"single-chain bench skipped: {e!r}", file=sys.stderr)
+    try:
+        from benchsuite import run_suite
+
+        suite = run_suite()
+    except Exception as e:
+        print(f"benchmark suite failed: {e!r}", file=sys.stderr)
+        suite = None
     vs = ours_rate / ref_rate if ref_rate == ref_rate else float("nan")
-    print(json.dumps({
+    payload = {
         "metric": f"radon logp+dlogp leapfrog evals/sec, {N_CHAINS} batched chains on one TPU chip (fetch-synced) vs reference C-VM CPU loop",
         "value": round(ours_rate, 1),
         "unit": "evals/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
         "baseline_evals_per_sec": round(ref_rate, 1) if ref_rate == ref_rate else None,
-    }))
+    }
+    if suite:
+        payload["suite"] = suite
+    print(json.dumps(payload))
 
 
 

@@ -34,7 +34,7 @@ from pytensor_tpu.gradient import (  # noqa: F401
     pushforward,
     verify_grad,
 )
-from pytensor_tpu.printing import debugprint, dprint, pydotprint  # noqa: F401
+from pytensor_tpu.printing import debugprint, dprint, pp, pprint, pydotprint  # noqa: F401
 from pytensor_tpu.updates import OrderedUpdates  # noqa: F401
 
 import pytensor_tpu.tensor as tensor  # noqa: F401

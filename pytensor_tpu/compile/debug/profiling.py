@@ -196,8 +196,15 @@ class ProfileStats:
 
 
 def profile_function(fn, stats: ProfileStats | None = None):
-    """Attach runtime profiling to a compiled Function."""
-    stats = stats or ProfileStats(name=fn.name, atexit_print=True)
+    """Attach runtime profiling to a compiled Function.  The atexit
+    summary fires only under the global ``config.profile`` flag (the
+    reference's behavior); per-call ``function(profile=True)`` keeps the
+    stats on ``fn.profile_stats`` for explicit inspection."""
+    if stats is None:
+        from pytensor_tpu.config import config
+
+        stats = ProfileStats(name=fn.name,
+                             atexit_print=bool(config.profile))
     fn.profile_stats = stats
     stats.compile_time = fn.compile_time
     stats.rewrite_time = fn.rewrite_time

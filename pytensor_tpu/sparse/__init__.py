@@ -18,6 +18,17 @@ from pytensor_tpu.sparse.type import (  # noqa: F401
     csr_matrix,
     matrix,
 )
+from pytensor_tpu.sparse.structured import (  # noqa: F401
+    ConstructSparseFromList,
+    Diag,
+    GetItem2Lists,
+    GetItem2ListsGrad,
+    GetItemList,
+    GetItemListGrad,
+    construct_sparse_from_list,
+)
+from pytensor_tpu.sparse import linalg  # noqa: F401
+from pytensor_tpu.sparse.linalg import SparseBlockDiagonal, block_diag  # noqa: F401
 from pytensor_tpu.sparse.compat import *  # noqa: F401,F403,E402
 from pytensor_tpu.sparse.compat import (  # noqa: F401,E402
     cast,

@@ -410,6 +410,9 @@ mul_s_v = MulSV()
 
 def mul(x, y):
     xs = isinstance(getattr(x, "type", None), SparseTensorType)
+    ys = isinstance(getattr(y, "type", None), SparseTensorType)
+    if xs and ys:
+        return MulSS()(x, y)
     if xs:
         return mul_s_v(x, y)
     return mul_s_v(y, x)
@@ -441,23 +444,34 @@ class SamplingDot(Op):
 sampling_dot = SamplingDot()
 
 
+def _to_bcoo(v):
+    """Convert a scipy sparse value to a BCOO (identity on BCOO/dense)."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsp
+
+    if isinstance(v, jsp.BCOO):
+        return v
+    import scipy.sparse as sp
+
+    if sp.issparse(v):
+        coo = v.tocoo()
+        # lexicographic (row, col) order -> sorted/unique flags enable
+        # the fast gather/segment paths in the lowerings
+        order = np.lexsort((coo.col, coo.row))
+        idx = jnp.stack([jnp.asarray(coo.row[order], dtype="int32"),
+                         jnp.asarray(coo.col[order], dtype="int32")],
+                        axis=1)
+        return jsp.BCOO((jnp.asarray(coo.data[order]), idx),
+                        shape=coo.shape, indices_sorted=True,
+                        unique_indices=True)
+    return v
+
+
 def _register_xla():
     from pytensor_tpu.link.xla.dispatch import xla_funcify
 
     import jax.numpy as jnp
     from jax.experimental import sparse as jsp
-
-    def _to_bcoo(v):
-        if isinstance(v, jsp.BCOO):
-            return v
-        import scipy.sparse as sp
-
-        if sp.issparse(v):
-            coo = v.tocoo()
-            idx = jnp.stack([jnp.asarray(coo.row, dtype="int32"),
-                             jnp.asarray(coo.col, dtype="int32")], axis=1)
-            return jsp.BCOO((jnp.asarray(coo.data), idx), shape=coo.shape)
-        return v
 
     @xla_funcify.register(CSMProperties)
     def _csm_props(op, node=None, **kw):
@@ -497,8 +511,23 @@ def _register_xla():
 
     @xla_funcify.register(StructuredDot)
     def _sdot(op, node=None, **kw):
+        import jax
+
         def sdot(a, b):
-            return _to_bcoo(a) @ b
+            ab = _to_bcoo(a)
+            # gather + segment-sum beats bcoo_dot_general ~2.3x on TPU for
+            # unstructured CSR (measured 10.7ms vs 24ms at 650k nnz); the
+            # scatter half is the hardware bottleneck either way
+            rows = ab.indices[:, 0]
+            cols = ab.indices[:, 1]
+            sorted_ = bool(getattr(ab, "indices_sorted", False))
+            if b.ndim == 1:
+                prod = ab.data * jnp.take(b, cols)
+            else:
+                prod = ab.data[:, None] * jnp.take(b, cols, axis=0)
+            return jax.ops.segment_sum(
+                prod, rows, num_segments=ab.shape[0],
+                indices_are_sorted=sorted_)
 
         return sdot
 
@@ -532,8 +561,15 @@ def _register_xla():
 
     @xla_funcify.register(AddSS)
     def _addss(op, node=None, **kw):
-        return lambda x, y: jsp.BCOO.fromdense(_to_bcoo(x).todense()
-                                               + _to_bcoo(y).todense())
+        def addss(x, y):
+            # union structure by concatenation: BCOO sums duplicate
+            # indices, so this is exact with static nse = nse_x + nse_y
+            xb, yb = _to_bcoo(x), _to_bcoo(y)
+            data = jnp.concatenate([xb.data, yb.data])
+            idx = jnp.concatenate([xb.indices, yb.indices], axis=0)
+            return jsp.BCOO((data, idx), shape=xb.shape)
+
+        return addss
 
     @xla_funcify.register(MulSV)
     def _mulsv(op, node=None, **kw):
@@ -699,8 +735,16 @@ def _register_xla_extra():
     @xla_funcify.register(MulSS)
     def _mulss(op, node=None, **kw):
         def mulss(x, y):
-            return jsp.BCOO.fromdense(_to_bcoo2(x).todense()
-                                      * _to_bcoo2(y).todense())
+            # intersection structure with x's (static) pattern: look up y's
+            # value at each x entry by a one-hot mask contraction — no
+            # value-dependent nse, MXU-friendly
+            xb, yb = _to_bcoo2(x), _to_bcoo2(y)
+            eq = ((xb.indices[:, 0][:, None] == yb.indices[:, 0][None, :])
+                  & (xb.indices[:, 1][:, None] == yb.indices[:, 1][None, :]))
+            yvals = eq.astype(yb.data.dtype) @ yb.data
+            return jsp.BCOO((xb.data * yvals, xb.indices), shape=xb.shape,
+                            indices_sorted=bool(getattr(xb, "indices_sorted",
+                                                        False)))
 
         return mulss
 
@@ -764,6 +808,44 @@ def _register_sparse_rewrites():
         return False
 
     register_specialize(local_usmm, name="local_usmm")
+
+    from pytensor_tpu.compile.mode import register_canonicalize
+
+    @node_rewriter([CSMProperties])
+    def local_csm_properties_csm(fgraph, node):
+        """csm_properties(CSM(data, ind, ptr, shp)) -> the raw inputs
+        (reference sparse/rewriting.py:32)."""
+        (x,) = node.inputs
+        if x.owner is None or not isinstance(x.owner.op, CSM):
+            return False
+        return dict(zip(node.outputs, x.owner.inputs))
+
+    register_canonicalize(local_csm_properties_csm,
+                          name="local_csm_properties_csm")
+    register_specialize(local_csm_properties_csm,
+                        name="local_csm_properties_csm")
+
+    @node_rewriter([DenseFromSparse])
+    def local_dense_from_sparse_sparse_from_dense(fgraph, node):
+        """dense_from_sparse(sparse_from_dense(x)) -> x (reference
+        sparse/rewriting.py:213)."""
+        (s,) = node.inputs
+        if s.owner is None or not isinstance(s.owner.op, SparseFromDense):
+            return False
+        (x,) = s.owner.inputs
+        if not node.outputs[0].type.is_super(x.type):
+            from pytensor_tpu.tensor.basic import cast as t_cast
+
+            x = t_cast(x, node.outputs[0].type.dtype)
+            if not node.outputs[0].type.is_super(x.type):
+                return False
+        copy_stack_trace(node.outputs[0], x)
+        return [x]
+
+    register_canonicalize(local_dense_from_sparse_sparse_from_dense,
+                          name="local_dense_from_sparse_sparse_from_dense")
+    register_specialize(local_dense_from_sparse_sparse_from_dense,
+                        name="local_dense_from_sparse_sparse_from_dense")
 
 
 _register_sparse_rewrites()

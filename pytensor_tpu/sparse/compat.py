@@ -328,27 +328,35 @@ def clean(x):
     return ensure_sorted_indices(remove0(x))
 
 
-# --- indexing helpers ------------------------------------------------------
+# --- indexing helpers (structured; see sparse/structured.py) --------------
 
 def get_item_list(x, idx):
-    """Select rows by an integer list/vector -> dense."""
-    return dense_from_sparse(x)[idx]
+    """Select rows by an integer list/vector -> sparse (reference
+    GetItemList semantics; repeats allowed)."""
+    from pytensor_tpu.sparse.structured import get_item_list as _gil
+
+    return _gil(x, idx)
 
 
 def get_item_2d(x, i, j):
-    return dense_from_sparse(x)[i, j]
+    """Scalar (i, j) lookup."""
+    from pytensor_tpu.sparse.basic import get_item_scalar
+
+    return get_item_scalar(x, i, j)
 
 
 def get_item_2lists(x, rows, cols):
     """Elementwise (rows[k], cols[k]) lookup -> dense vector."""
-    return dense_from_sparse(x)[rows, cols]
+    from pytensor_tpu.sparse.structured import get_item_2lists as _gi2
+
+    return _gi2(x, rows, cols)
 
 
 def diag(x):
     """Main diagonal of a square sparse matrix -> dense vector."""
-    from pytensor_tpu.tensor.basic import diagonal
+    from pytensor_tpu.sparse.structured import diag as _diag
 
-    return diagonal(dense_from_sparse(x))
+    return _diag(x)
 
 
 def square_diagonal(v):

@@ -62,6 +62,9 @@ class SparseTensorType(Type, HasDataType, HasShape):
 
         if isinstance(value, jsparse.BCOO):
             return value
+        if hasattr(value, "sort_indices"):
+            value = value.copy()
+            value.sort_indices()
         coo = value.tocoo()
         import jax.numpy as jnp
 
@@ -69,7 +72,11 @@ class SparseTensorType(Type, HasDataType, HasShape):
             [jnp.asarray(coo.row, dtype="int32"), jnp.asarray(coo.col, dtype="int32")],
             axis=1,
         )
-        return jsparse.BCOO((jnp.asarray(coo.data), indices), shape=coo.shape)
+        # csr.tocoo with sorted indices is lexicographic (row, col): mark it
+        # so lowerings can use the fast sorted segment/gather paths
+        return jsparse.BCOO((jnp.asarray(coo.data), indices), shape=coo.shape,
+                            indices_sorted=value.format == "csr",
+                            unique_indices=True)
 
     def values_eq(self, a, b):
         return (a != b).nnz == 0 if hasattr(a, "nnz") else bool(np.array_equal(a, b))
@@ -95,3 +102,14 @@ def matrix(format="csr", name=None, dtype=None):
 
 csr_matrix = lambda name=None, dtype=None: matrix("csr", name, dtype)  # noqa: E731
 csc_matrix = lambda name=None, dtype=None: matrix("csc", name, dtype)  # noqa: E731
+
+
+def _wire_variable_classes():
+    # sugar classes live in sparse/variable.py (reference sparse/variable.py)
+    from pytensor_tpu.sparse.variable import SparseConstant, SparseVariable
+
+    SparseTensorType.variable_type = SparseVariable
+    SparseTensorType.constant_type = SparseConstant
+
+
+_wire_variable_classes()

@@ -231,8 +231,116 @@ def root(equations, variables, method="hybr", optimizer_kwargs=None):
     return (x_star, x_star.owner.outputs[1]), op
 
 
-minimize_scalar = minimize
-root_scalar = root
+class MinimizeScalarOp(MinimizeOp):
+    """argmin over a SCALAR variable via scipy.optimize.minimize_scalar
+    (reference MinimizeScalarOp:552) — bracketing methods (brent/golden)
+    on the oracle; the device path runs safeguarded Newton on the
+    stationarity condition (inherited lowering)."""
+
+    def __init__(self, fgraph, method="brent", optimizer_kwargs=None):
+        super().__init__(fgraph, method=method,
+                         optimizer_kwargs=optimizer_kwargs)
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.optimize as sopt
+
+        x0, *args = inputs
+        fn = self._objective_callable()
+
+        def obj(x):
+            return float(np.asarray(fn(np.asarray(x, dtype=x0.dtype), *args)))
+
+        res = sopt.minimize_scalar(obj, method=self.method,
+                                   **self.optimizer_kwargs)
+        output_storage[0][0] = np.asarray(
+            res.x, dtype=node.outputs[0].type.numpy_dtype)
+        output_storage[1][0] = np.asarray(bool(res.success))
+
+    def __str__(self):
+        return f"MinimizeScalarOp{{{self.method}}}"
+
+
+def minimize_scalar(objective, x, method="brent", optimizer_kwargs=None):
+    """Symbolic scalar argmin (reference minimize_scalar): ``x`` must be a
+    0-d variable; every other root input becomes an IFT-differentiated
+    parameter."""
+    x = as_tensor_variable(x)
+    if x.type.ndim != 0:
+        raise ValueError("minimize_scalar requires a scalar variable; "
+                         "use minimize for vectors")
+    params = [
+        v for v in graph_inputs([objective])
+        if v is not x and v.owner is None and not _is_constant(v)
+    ]
+    fg = FunctionGraph([x, *params], [objective], clone=True)
+    op = MinimizeScalarOp(fg, method=method, optimizer_kwargs=optimizer_kwargs)
+    x_star = op(x, *params)
+    return (x_star, x_star.owner.outputs[1]), op
+
+
+class RootScalarOp(RootOp):
+    """Solve f(x) = 0 for SCALAR x via scipy.optimize.root_scalar
+    (reference RootScalarOp:886); Newton with the autodiffed fprime on
+    the oracle, Newton under jit on the device (inherited lowering)."""
+
+    def __init__(self, fgraph, method="newton", optimizer_kwargs=None):
+        super().__init__(fgraph, method=method,
+                         optimizer_kwargs=optimizer_kwargs)
+        self._fprime = None
+
+    def clone(self):
+        res = super().clone()
+        res._fprime = None
+        return res
+
+    def _fprime_callable(self):
+        if self._fprime is None:
+            import jax
+
+            from pytensor_tpu.link.xla.linker import fgraph_to_jax
+
+            inner = fgraph_to_jax(self.fgraph)
+            self._fprime = jax.grad(lambda x, *a: inner(x, *a)[0])
+        return self._fprime
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.optimize as sopt
+
+        x0, *args = inputs
+        fn = self._objective_callable()
+
+        def f(x):
+            return float(np.asarray(fn(np.asarray(x, dtype=x0.dtype), *args)))
+
+        kwargs = dict(self.optimizer_kwargs)
+        if self.method in ("newton", "halley") and "fprime" not in kwargs:
+            fp = self._fprime_callable()
+            kwargs["fprime"] = lambda x: float(np.asarray(
+                fp(np.asarray(x, dtype=x0.dtype), *args)))
+        res = sopt.root_scalar(f, x0=float(np.asarray(x0)),
+                               method=self.method, **kwargs)
+        output_storage[0][0] = np.asarray(
+            res.root, dtype=node.outputs[0].type.numpy_dtype)
+        output_storage[1][0] = np.asarray(bool(res.converged))
+
+    def __str__(self):
+        return f"RootScalarOp{{{self.method}}}"
+
+
+def root_scalar(equation, variables, method="newton", optimizer_kwargs=None):
+    """Symbolic scalar root (reference root_scalar)."""
+    x = as_tensor_variable(variables)
+    if x.type.ndim != 0:
+        raise ValueError("root_scalar requires a scalar variable; "
+                         "use root for systems")
+    params = [
+        v for v in graph_inputs([equation])
+        if v is not x and v.owner is None and not _is_constant(v)
+    ]
+    fg = FunctionGraph([x, *params], [equation], clone=True)
+    op = RootScalarOp(fg, method=method, optimizer_kwargs=optimizer_kwargs)
+    x_star = op(x, *params)
+    return (x_star, x_star.owner.outputs[1]), op
 
 
 def _register_xla():

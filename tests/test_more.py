@@ -54,6 +54,50 @@ class TestOptimize:
         fg = ptt.function([x, a], g, mode="FAST_COMPILE")
         np.testing.assert_allclose(float(np.asarray(fg(0.0, 3.0))), 1.0, rtol=1e-5)
 
+    def test_minimize_scalar_and_ift(self):
+        """MinimizeScalarOp (reference tensor/optimize.py:552): brent on
+        the oracle, Newton-on-stationarity on the device; IFT gradient."""
+        from pytensor_tpu.tensor.optimize import MinimizeScalarOp, minimize_scalar
+
+        x = pt.dscalar("x")
+        a = pt.dscalar("a")
+        (xstar, ok), op = minimize_scalar((x - a) ** 2 + 1.0, x)
+        assert isinstance(op, MinimizeScalarOp)
+        for mode in ("FAST_COMPILE", None):
+            f = ptt.function([x, a], xstar, mode=mode)
+            np.testing.assert_allclose(float(np.asarray(f(0.0, 3.0))), 3.0,
+                                       atol=1e-5)
+        g = ptt.grad(xstar, a)
+        fg = ptt.function([x, a], g, mode="FAST_COMPILE")
+        np.testing.assert_allclose(float(np.asarray(fg(0.0, 3.0))), 1.0,
+                                   rtol=1e-5)
+
+    def test_minimize_scalar_rejects_vector(self):
+        from pytensor_tpu.tensor.optimize import minimize_scalar
+
+        v = pt.dvector("v")
+        with pytest.raises(ValueError, match="scalar"):
+            minimize_scalar((v ** 2).sum(), v)
+
+    def test_root_scalar_and_ift(self):
+        """RootScalarOp (reference tensor/optimize.py:886): scipy newton
+        with autodiffed fprime on the oracle; IFT gradient."""
+        from pytensor_tpu.tensor.optimize import RootScalarOp, root_scalar
+
+        x = pt.dscalar("x")
+        a = pt.dscalar("a")
+        (r, ok), op = root_scalar(x ** 3 - a, x)
+        assert isinstance(op, RootScalarOp)
+        for mode in ("FAST_COMPILE", None):
+            fr = ptt.function([x, a], r, mode=mode)
+            np.testing.assert_allclose(float(np.asarray(fr(1.5, 8.0))), 2.0,
+                                       rtol=1e-6)
+        gr = ptt.grad(r, a)
+        fgr = ptt.function([x, a], gr, mode="FAST_COMPILE")
+        # d(a^{1/3})/da = 1/(3 a^{2/3}) = 1/12 at a=8
+        np.testing.assert_allclose(float(np.asarray(fgr(1.5, 8.0))), 1 / 12,
+                                   rtol=1e-6)
+
     def test_root_and_ift(self):
         from pytensor_tpu.tensor.optimize import root
 

@@ -347,9 +347,9 @@ class TestSparseCompat:
         sd = ptt.function([], sp.square_diagonal(
             pt.as_tensor_variable(v)), mode="FAST_COMPILE")()
         np.testing.assert_allclose(sd.toarray(), np.diag(v))
-        gl = np.asarray(ptt.function([x], sp.get_item_list(
-            x, np.array([0, 2])), mode="FAST_COMPILE")(Xv))
-        np.testing.assert_allclose(gl, Xv.toarray()[[0, 2]])
+        gl = ptt.function([x], sp.get_item_list(
+            x, np.array([0, 2])), mode="FAST_COMPILE")(Xv)
+        np.testing.assert_allclose(gl.toarray(), Xv.toarray()[[0, 2]])
 
     def test_sub_casts_ones_like(self):
         sp, x, Xv = self._x()
@@ -379,3 +379,129 @@ class TestSparseStructuredGrads:
             arr = (np.asarray(gv.todense()) if hasattr(gv, "todense")
                    else gv.toarray())
             np.testing.assert_allclose(arr, exp.toarray())
+
+
+class TestSparseStructuredOps:
+    """Round-2 structured sparse kernels (reference sparse/basic.py
+    GetItemList:?, GetItem2Lists:?, Diag:?, ConstructSparseFromList) —
+    no densification on either backend."""
+
+    def _x(self):
+        import scipy.sparse as ssp
+
+        import pytensor_tpu.sparse as sp
+
+        Xv = ssp.random(6, 5, density=0.5, format="csr", random_state=3,
+                        dtype="float64")
+        return sp, sp.csr_matrix("x", dtype="float64"), Xv
+
+    @staticmethod
+    def _arr(v):
+        return v.toarray() if hasattr(v, "toarray") else np.asarray(v.todense())
+
+    def test_get_item_list_with_repeats_both_backends(self):
+        sp, x, Xv = self._x()
+        idx = np.array([1, 1, 4, 0], dtype="int64")
+        out = sp.get_item_list(x, idx)
+        for mode in ("FAST_COMPILE", None):
+            r = ptt.function([x], out, mode=mode)(Xv)
+            np.testing.assert_allclose(self._arr(r), Xv.toarray()[idx])
+
+    def test_get_item_list_grad(self):
+        sp, x, Xv = self._x()
+        idx = np.array([1, 1, 4, 0], dtype="int64")
+        cost = sp.sp_sum(sp.mul(sp.get_item_list(x, idx),
+                                sp.get_item_list(x, idx)))
+        g = ptt.grad(cost, x)
+        expected = np.zeros_like(Xv.toarray())
+        sel = Xv.toarray()[idx]
+        for k, i in enumerate(idx):
+            expected[i] += 2 * sel[k] * (Xv.toarray()[i] != 0)
+        for mode in ("FAST_COMPILE", None):
+            gv = ptt.function([x], g, mode=mode)(Xv)
+            np.testing.assert_allclose(self._arr(gv), expected)
+
+    def test_get_item_2lists_and_grad(self):
+        sp, x, Xv = self._x()
+        rows = np.array([0, 2, 5], dtype="int64")
+        cols = np.array([1, 4, 0], dtype="int64")
+        out = sp.get_item_2lists(x, rows, cols)
+        for mode in ("FAST_COMPILE", None):
+            r = np.asarray(ptt.function([x], out, mode=mode)(Xv))
+            np.testing.assert_allclose(r, Xv.toarray()[rows, cols])
+        g = ptt.grad((out ** 2).sum(), x)
+        expected = np.zeros_like(Xv.toarray())
+        for r_, c_ in zip(rows, cols):
+            expected[r_, c_] = 2 * Xv.toarray()[r_, c_]
+        for mode in ("FAST_COMPILE", None):
+            gv = ptt.function([x], g, mode=mode)(Xv)
+            np.testing.assert_allclose(self._arr(gv), expected)
+
+    def test_diag_both_backends_and_grad(self):
+        import scipy.sparse as ssp
+
+        sp, x, _ = self._x()
+        sq = ssp.random(5, 5, density=0.6, format="csr",
+                        random_state=1, dtype="float64").tocsr()
+        x5 = sp.csr_matrix("x5", dtype="float64")
+        d = sp.diag(x5)
+        for mode in ("FAST_COMPILE", None):
+            r = np.asarray(ptt.function([x5], d, mode=mode)(sq))
+            np.testing.assert_allclose(r, sq.toarray().diagonal())
+        g = ptt.grad((d ** 2).sum(), x5)
+        gv = ptt.function([x5], g, mode="FAST_COMPILE")(sq)
+        np.testing.assert_allclose(self._arr(gv),
+                                   np.diag(2 * sq.toarray().diagonal()))
+
+    def test_construct_sparse_from_list(self):
+        sp, x, Xv = self._x()
+        vals = pt.as_tensor_variable(
+            np.arange(10, dtype="float64").reshape(2, 5))
+        ilist = np.array([1, 1], dtype="int64")
+        out = sp.construct_sparse_from_list(x, vals, ilist)
+        for mode in ("FAST_COMPILE", None):
+            r = ptt.function([x], out, mode=mode)(Xv)
+            expected = np.zeros((6, 5))
+            expected[1] = np.arange(5) + (np.arange(5) + 5)  # repeats sum
+            np.testing.assert_allclose(self._arr(r), expected)
+
+    def test_block_diag(self):
+        import scipy.sparse as ssp
+
+        import pytensor_tpu.sparse as sp
+
+        a = pt.dmatrix("a")
+        b = pt.dmatrix("b")
+        out = sp.block_diag(a, b)
+        av = np.arange(4.0).reshape(2, 2)
+        bv = np.arange(9.0).reshape(3, 3) + 10
+        for mode in ("FAST_COMPILE", None):
+            r = ptt.function([a, b], out, mode=mode)(av, bv)
+            np.testing.assert_allclose(self._arr(r),
+                                       ssp.block_diag([av, bv]).toarray())
+        g = ptt.grad(sp.sp_sum(sp.mul(out, out)), a)
+        gv = np.asarray(ptt.function([a, b], g, mode="FAST_COMPILE")(av, bv))
+        np.testing.assert_allclose(gv, 2 * av)
+
+    def test_csm_properties_of_csm_cancels(self):
+        import pytensor_tpu.sparse.basic as spb
+
+        sp, x, Xv = self._x()
+        data, indices, indptr, shape = spb.CSMProperties()(x)
+        rebuilt = spb.CSM("csr")(data * 2.0, indices, indptr, shape)
+        d2, i2, p2, s2 = spb.CSMProperties()(rebuilt)
+        f = ptt.function([x], d2)
+        # after the cancel rewrite no CSM/CSMProperties pair survives
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "CSM" not in ops, ops
+        np.testing.assert_allclose(np.asarray(f(Xv)), Xv.data * 2.0)
+
+    def test_dense_from_sparse_round_trip_cancels(self):
+        sp, x, Xv = self._x()
+        d = pt.dmatrix("d")
+        out = sp.dense_from_sparse(sp.csr_from_dense(d)) + 1.0
+        f = ptt.function([d], out)
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "SparseFromDense" not in ops and "DenseFromSparse" not in ops, ops
+        dv = np.arange(6.0).reshape(2, 3)
+        np.testing.assert_allclose(np.asarray(f(dv)), dv + 1.0)

@@ -206,3 +206,47 @@ def test_profile_rewrite_pass_split_and_op_table():
     buf = io.StringIO()
     s = st.summary(file=buf)
     assert "rewrite passes" in s and "per-op static cost" in s
+
+
+def test_pprint_expressions():
+    """Composable Printer pipeline (reference printing.py Printer:1573,
+    PPrinter:1791): operators, functions, subtensor, precedence."""
+    import numpy as np
+
+    from pytensor_tpu.printing import (FunctionPrinter, OperatorPrinter,
+                                       PPrinter, pprint)
+
+    x = pt.dvector("x")
+    y = pt.dvector("y")
+    z = pt.dscalar("z")
+    assert pprint((x + y) * z) == "(x + y) * z"
+    assert pprint(x + y * z) == "x + y * z"
+    assert pprint(pt.exp(x[1:3]) / pt.sum(x ** 2)) == \
+        "exp(x[1:3]) / sum(x ** 2)"
+    assert pprint(-x) == "-x"
+    assert pprint(pt.dot(pt.dmatrix("a"), pt.dmatrix("b"))) == "a @ b"
+
+    # custom assignment wins over the default
+    p2 = pprint.clone()
+    p2.assign(lambda v: v.owner is not None
+              and getattr(getattr(v.owner.op, "scalar_op", None), "name", "")
+              == "exp",
+              FunctionPrinter("EXP"))
+    assert p2(pt.exp(z)) == "EXP(z)"
+
+    # a fresh PPrinter falls back to the default printer
+    bare = PPrinter()
+    s = bare(x + y)
+    assert "add" in s.lower() or "+" in s
+
+
+def test_pprint_radon_round_trip_readably():
+    """VERDICT round-1 item 10: pprint(radon logp) is readable math."""
+    from pytensor_tpu.models.radon import make_radon_graphs
+    from pytensor_tpu.printing import pprint
+
+    inputs, (logp, dlogp), n = make_radon_graphs(n_obs=5, n_counties=2)
+    s = pprint(logp)
+    for token in ("theta", "exp", "log", "sum", "**", "/"):
+        assert token in s, f"missing {token} in pprint output"
+    assert "Elemwise" not in s, "raw op names leaked into pprint"
