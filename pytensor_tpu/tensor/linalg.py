@@ -731,7 +731,7 @@ class Expm(MatrixOp):
 
 
 def expm(x):
-    return Expm()(x)
+    return _core2(Expm(), x)
 
 
 def kron(a, b):
@@ -780,15 +780,31 @@ def trace(x, offset=0, axis1=0, axis2=1):
 
 
 def norm(x, ord=None, axis=None, keepdims=False):
+    """np.linalg.norm semantics: matrix norms for 2-d inputs with
+    axis=None (max/min column/row sums, spectral, nuclear), vector norms
+    otherwise (reference tensor/linalg/summary.py:34)."""
     x = as_tensor_variable(x)
-    if axis is None and x.type.ndim == 2 and ord in (None, "fro"):
-        return tm.sqrt(pt_sum(tm.sqr(x)))
-    if ord is None or ord == 2:
-        return tm.norm(x, 2, axis=axis, keepdims=keepdims)
-    if ord == 1:
-        return tm.norm(x, 1, axis=axis, keepdims=keepdims)
-    if ord == np.inf:
-        return tm.norm(x, np.inf, axis=axis, keepdims=keepdims)
+    if axis is None and x.type.ndim == 2:
+        absx = tm.abs(x)
+        if ord in (None, "fro"):
+            return tm.sqrt(pt_sum(tm.sqr(x)))
+        if ord == 1:
+            return tm.max(pt_sum(absx, axis=0))
+        if ord == -1:
+            return tm.min(pt_sum(absx, axis=0))
+        if ord == np.inf:
+            return tm.max(pt_sum(absx, axis=1))
+        if ord == -np.inf:
+            return tm.min(pt_sum(absx, axis=1))
+        if ord == 2:
+            return tm.max(svd(x, compute_uv=False))
+        if ord == -2:
+            return tm.min(svd(x, compute_uv=False))
+        if ord == "nuc":
+            return pt_sum(svd(x, compute_uv=False))
+        raise ValueError(f"invalid matrix norm order {ord!r}")
+    if ord is None:
+        ord = 2
     return tm.norm(x, ord, axis=axis, keepdims=keepdims)
 
 

@@ -49,11 +49,13 @@ uniform = RandomVariable(
     "uniform", [0, 0], 0, "floatX",
     lambda key, shape, low, high: low + (high - low) * _jr().uniform(
         key, _full_shape(shape, low, high)),
+    defaults=(0.0, 1.0),
 )
 
 normal = RandomVariable(
     "normal", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().normal(key, shp)),
+    defaults=(0.0, 1.0),
 )
 
 standard_normal = RandomVariable(
@@ -64,12 +66,14 @@ standard_normal = RandomVariable(
 halfnormal = RandomVariable(
     "halfnormal", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jnp().abs(_jr().normal(key, shp))),
+    defaults=(0.0, 1.0),
 )
 
 lognormal = RandomVariable(
     "lognormal", [0, 0], 0, "floatX",
     lambda key, shape, mean, sigma: _jnp().exp(
         mean + sigma * _jr().normal(key, _full_shape(shape, mean, sigma))),
+    defaults=(0.0, 1.0),
 )
 
 beta = RandomVariable(
@@ -103,6 +107,7 @@ chisquare = RandomVariable(
 exponential = RandomVariable(
     "exponential", [0], 0, "floatX",
     lambda key, shape, scale: _jr().exponential(key, _full_shape(shape, scale)) * scale,
+    defaults=(1.0,),
 )
 
 weibull = RandomVariable(
@@ -114,6 +119,7 @@ weibull = RandomVariable(
 logistic = RandomVariable(
     "logistic", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().logistic(key, shp)),
+    defaults=(0.0, 1.0),
 )
 
 vonmises = RandomVariable(
@@ -192,6 +198,7 @@ def _gengamma(key, shape, alpha, p, lambd):
 
 gengamma = RandomVariable(
     "gengamma", [0, 0, 0], 0, "floatX", _gengamma,
+    defaults=(1.0, 1.0, 1.0),
 )
 
 
@@ -228,32 +235,38 @@ hypergeometric = RandomVariable(
 cauchy = RandomVariable(
     "cauchy", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().cauchy(key, shp)),
+    defaults=(0.0, 1.0),
 )
 
 halfcauchy = RandomVariable(
     "halfcauchy", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jnp().abs(_jr().cauchy(key, shp))),
+    defaults=(0.0, 1.0),
 )
 
 pareto = RandomVariable(
     "pareto", [0, 0], 0, "floatX",
     lambda key, shape, b, scale: _jr().pareto(
         key, b, shape=_full_shape(shape, b, scale)) * scale,
+    defaults=(1.0,),
 )
 
 gumbel = RandomVariable(
     "gumbel", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().gumbel(key, shp)),
+    defaults=(0.0, 1.0),
 )
 
 laplace = RandomVariable(
     "laplace", [0, 0], 0, "floatX",
     _locscale(lambda key, shp: _jr().laplace(key, shp)),
+    defaults=(0.0, 1.0),
 )
 
 wald = RandomVariable(
     "wald", [0, 0], 0, "floatX",
     lambda key, shape, mean, scale: _wald(key, shape, mean, scale),
+    defaults=(1.0, 1.0),
 )
 
 
@@ -277,6 +290,7 @@ t = RandomVariable(
     "t", [0, 0, 0], 0, "floatX",
     lambda key, shape, df, loc, scale: loc + scale * _jr().t(
         key, df, _full_shape(shape, df, loc, scale)),
+    defaults=(0.0, 1.0),
 )
 
 triangular = RandomVariable(
@@ -287,7 +301,9 @@ triangular = RandomVariable(
 
 rayleigh = RandomVariable(
     "rayleigh", [0], 0, "floatX",
-    lambda key, shape, scale: _jr().rayleigh(key, shape=_full_shape(shape, scale)) * scale,
+    lambda key, shape, scale: _jr().rayleigh(
+        key, scale, shape=_full_shape(shape, scale)),
+    defaults=(1.0,),
 )
 
 truncated_normal = RandomVariable(
@@ -318,6 +334,7 @@ dirichlet = RandomVariable(
 poisson = RandomVariable(
     "poisson", [0], 0, "int64",
     lambda key, shape, lam: _jr().poisson(key, lam, shape=_full_shape(shape, lam)),
+    defaults=(1.0,),
 )
 
 bernoulli = RandomVariable(

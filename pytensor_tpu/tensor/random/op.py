@@ -45,8 +45,10 @@ class RandomVariable(Op):
     __props__ = ("name", "signature", "dtype")
 
     def __init__(self, name: str, ndims_params: Sequence[int], ndim_supp: int,
-                 dtype: str, jax_sampler: Callable, param_dtypes=None):
+                 dtype: str, jax_sampler: Callable, param_dtypes=None,
+                 defaults: Sequence = ()):
         self.name = name
+        self.defaults = tuple(defaults)  # trailing-parameter defaults
         self.ndims_params = tuple(ndims_params)
         self.ndim_supp = int(ndim_supp)
         self.signature = (
@@ -161,7 +163,20 @@ class RandomVariable(Op):
         ]
 
     def __call__(self, *args, rng=None, size=None, name=None, **kwargs):
-        """Distribution-style call: rv(param1, param2, size=..., rng=...)."""
+        """Distribution-style call: rv(param1, param2, size=..., rng=...).
+
+        Missing trailing parameters take the distribution's declared
+        defaults (the reference's per-RV ``__call__`` signatures, e.g.
+        ``t(df, loc=0.0, scale=1.0)``)."""
+        n = len(self.ndims_params)
+        if len(args) < n and self.defaults:
+            need = n - len(args)
+            if need <= len(self.defaults):
+                args = tuple(args) + tuple(self.defaults[-need:])
+        if len(args) != n:
+            raise TypeError(
+                f"{self.name} expects {n} distribution parameters "
+                f"({n - len(self.defaults)} required), got {len(args)}")
         node = self.make_node(rng, size, *args)
         out = node.outputs[1]
         if name:

@@ -35,7 +35,12 @@ def local_shape_to_makevector(fgraph, node):
     x = node.inputs[0]
     if x.type.ndim == 0:
         return [constant(np.zeros((0,), dtype="int64"))]
-    if all(s is None for s in x.type.shape):
+    if all(s is None for s in x.type.shape) and x.owner is None:
+        # a graph input with fully unknown shape: Shape(x) is already
+        # minimal.  When x is computed, split anyway so the per-dim
+        # Shape_i entries can lift THROUGH the op (the ShapeFeature
+        # propagation, reference tensor/rewriting/shape.py:70) and the
+        # computation disappears from shape-only graphs.
         return False
     entries = []
     for i, s in enumerate(x.type.shape):

@@ -703,11 +703,15 @@ def _getitem(x, args):
     if len([a for a in args if a is not None]) > x.type.ndim:
         raise IndexError(f"too many indices for {x.type}")
 
-    if not has_advanced and not any(a is None for a in args):
-        # pure basic indexing
+    if not has_advanced:
+        # pure basic indexing; newaxis (None) entries become a DimShuffle
+        # afterwards (free under XLA, and shape inference stays exact)
+        newaxes = any(a is None for a in args)
         idx_list = []
         dyn = []
         for a in args:
+            if a is None:
+                continue
             if isinstance(a, slice):
                 entry = ["slice"]
                 for part in (a.start, a.stop, a.step):
@@ -732,8 +736,24 @@ def _getitem(x, args):
         if not idx_list or all(
             isinstance(e, tuple) and e == ("slice", None, None, None) for e in idx_list
         ):
-            return x
-        return Subtensor(idx_list)(x, *dyn)
+            res = x
+        else:
+            res = Subtensor(idx_list)(x, *dyn)
+        if newaxes:
+            from pytensor_tpu.tensor.elemwise import DimShuffle
+
+            order = []
+            res_dim = 0
+            for a in args:
+                if a is None:
+                    order.append("x")
+                elif isinstance(a, slice):
+                    order.append(res_dim)
+                    res_dim += 1
+                # int index: dimension dropped
+            order.extend(range(res_dim, res.type.ndim))
+            res = DimShuffle(res.type.ndim, order)(res)
+        return res
 
     # advanced path (may include None/newaxis and bool masks)
     idx_list = []

@@ -91,9 +91,13 @@ class TensorType(Type, HasDataType, HasShape):
                 up = np.promote_types(converted.dtype, self.numpy_dtype)
                 ok = str(up) == str(self.numpy_dtype)
                 if not ok and allow_downcast is None:
-                    # silently downcast float64 -> lower floats when floatX is lower
+                    # silent float downcast only for values that were NOT
+                    # already ndarrays (Python floats/lists adopt floatX —
+                    # reference TensorType.filter semantics); an explicit
+                    # float64 array into a float32 input is an error
                     ok = (
-                        converted.dtype.kind == "f"
+                        not isinstance(data, np.ndarray)
+                        and converted.dtype.kind == "f"
                         and self.dtype in ("float32", "bfloat16", "float16")
                     ) or (converted.dtype.kind in "iu" and self.dtype in int_dtypes + uint_dtypes
                           and np.can_cast(converted.dtype, self.numpy_dtype, "same_kind"))
