@@ -16,15 +16,31 @@ from pytensor_tpu.graph.rewriting.db import RewriteDatabaseQuery
 
 
 class RewriteInnerGraphs(GraphRewriter):
-    """Apply a (cheap, stable) rewrite query to every inner graph."""
+    """Apply the active mode's rewrite query to every inner graph.
+
+    ``wants_query``: when selected from the optdb, ``bind_query`` hands
+    this rewriter the query it was selected under, so mode extensions
+    (e.g. ``mode.including("onehot_gather")``) reach loop bodies — the
+    reference's scan inner-graph bridge semantics
+    (scan/rewriting/db.py:260-265)."""
 
     name = "rewrite_inner_graphs"
+    wants_query = True
 
-    def __init__(self, include=("fast_run",),
-                 exclude=("fusion", "inplace", "scan", "inner_unsafe",
-                          "rewrite_inner_graphs")):  # no recursive self-application
-        self.include = include
-        self.exclude = exclude
+    # never applied inside inner graphs recursively; fusion/inplace are
+    # backend-pass concerns that must not run early on inner graphs
+    BASE_EXCLUDE = ("fusion", "inplace", "scan", "inner_unsafe",
+                    "rewrite_inner_graphs")
+
+    def __init__(self, include=("fast_run",), exclude=BASE_EXCLUDE):
+        self.include = tuple(include)
+        self.exclude = tuple(exclude)
+
+    def bind_query(self, query):
+        return RewriteInnerGraphs(
+            include=tuple(query.include),
+            exclude=tuple(set(self.BASE_EXCLUDE) | set(query.exclude)),
+        )
 
     def apply(self, fgraph):
         from pytensor_tpu.compile.builders import OpFromGraph

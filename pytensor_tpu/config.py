@@ -281,6 +281,16 @@ config.add(
                     "control overhead (good for small, latency-bound "
                     "bodies). n_steps must be divisible or XLA pads."),
 )
+config.add(
+    "scan__pallas",
+    BoolParam(False, doc="EXPERIMENTAL: lower eligible Scan nodes (sit-sot "
+                         "taps, float32 bodies built from elemwise/reduce/"
+                         "dot/subtensor ops) into ONE Pallas TPU kernel with "
+                         "an internal fori_loop — zero per-iteration kernel "
+                         "launches. Ineligible scans fall back to lax.scan. "
+                         "Combine with mode.including('onehot_gather') to "
+                         "make gather/scatter bodies eligible."),
+)
 config.add("scan__allow_gc", BoolParam(False))
 config.add("scan__allow_output_prealloc", BoolParam(True))
 

@@ -155,6 +155,12 @@ class SequenceDB(RewriteDatabase):
                 sub = rewriter.query(sub_q)
                 selected.append((pos, sub))
             else:
+                if getattr(rewriter, "wants_query", False):
+                    # rewriters like the inner-graph bridge re-run the
+                    # ACTIVE mode's pipeline inside HasInnerGraph ops
+                    # (reference scan/rewriting/db.py:260): hand them the
+                    # query they were selected under
+                    rewriter = rewriter.bind_query(query)
                 selected.append((pos, rewriter))
         selected.sort(key=lambda t: t[0])
         rewriters = [r for _, r in selected]

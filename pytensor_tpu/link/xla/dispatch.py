@@ -77,6 +77,26 @@ def _cast_outputs(node, res):
     return out[0] if len(out) == 1 else tuple(out)
 
 
+_MOSAIC_SAFE = False
+
+
+class mosaic_safe:
+    """Context: lowerings emit Mosaic-compatible forms (static slice+concat
+    instead of scatter/DUS, 2-D matmuls) at the cost of XLA-path fusion
+    quality.  Entered by the Pallas scan body trace only."""
+
+    def __enter__(self):
+        global _MOSAIC_SAFE
+        self._prev = _MOSAIC_SAFE
+        _MOSAIC_SAFE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _MOSAIC_SAFE
+        _MOSAIC_SAFE = self._prev
+        return False
+
+
 def _concrete(x, what="value"):
     """Require a trace-time concrete value (static shapes under jit)."""
     import jax
@@ -145,6 +165,34 @@ def register_all():
                 if out_dtype is not None and str(r.dtype) != out_dtype and out_dtype != "bfloat16":
                     r = r.astype(out_dtype)
                 return r
+            if _MOSAIC_SAFE:
+                # Mosaic fuses broadcast into sitofp and then rejects it
+                # ('arith.sitofp' requires same shape, e.g. pow(f32 vector,
+                # int scalar)).  When the result is float, pre-cast integer
+                # args to the output float dtype AT THEIR OWN SHAPE — the
+                # arithmetic would promote them anyway, and the broadcast
+                # then happens in float, which Mosaic lowers fine.
+                if out_dtype is not None and ("float" in out_dtype
+                                              or out_dtype == "bfloat16"):
+                    tgt = jnp.dtype(out_dtype)
+                    args = tuple(
+                        a.astype(tgt)
+                        if (hasattr(a, "dtype")
+                            and jnp.issubdtype(a.dtype, jnp.integer))
+                        else a
+                        for a in args
+                    )
+                else:
+                    # int-result ops: widen sub-32-bit ints (Mosaic has no
+                    # i8/i16 vector arithmetic)
+                    args = tuple(
+                        a.astype(jnp.int32)
+                        if (hasattr(a, "dtype")
+                            and jnp.issubdtype(a.dtype, jnp.integer)
+                            and a.dtype.itemsize < 4)
+                        else a
+                        for a in args
+                    )
             return _cast_outputs(node, jax_fn(*args))
 
         return elemwise
@@ -354,6 +402,8 @@ def register_all():
         set_mode = op.set_instead_of_inc
 
         def inc_subtensor(x, y, *dyn):
+            import jax.lax as lax
+
             it = iter(dyn)
             idx = []
             for e in idx_list:
@@ -371,7 +421,72 @@ def register_all():
                         None if b2 is None else int(_concrete(b2)),
                         None if c2 is None else int(_concrete(c2)),
                     ))
-            ref = jnp.asarray(x).at[tuple(idx)]
+            xa = jnp.asarray(x)
+            if not _MOSAIC_SAFE:
+                ref = xa.at[tuple(idx)]
+                return ref.set(y) if set_mode else ref.add(y)
+            # Mosaic-safe form: basic indices are duplicate-free, and jnp's
+            # .at[int].set/.add emits scatter(-add), which Pallas TPU cannot
+            # lower.  Eligible when every entry is a static int or a nonneg
+            # unit-step slice.
+            def _norm(i, dim):
+                return i + dim if i < 0 else i
+
+            eligible = True
+            starts, sizes, squeeze = [], [], []
+            for d, e in enumerate(idx):
+                dim = xa.shape[d]
+                if isinstance(e, int):
+                    starts.append(_norm(e, dim))
+                    sizes.append(1)
+                    squeeze.append(d)
+                elif isinstance(e, slice) and (e.step is None or e.step == 1):
+                    a0 = 0 if e.start is None else _norm(e.start, dim)
+                    b0 = dim if e.stop is None else min(_norm(e.stop, dim), dim)
+                    if a0 < 0 or b0 < a0:
+                        eligible = False
+                        break
+                    starts.append(a0)
+                    sizes.append(b0 - a0)
+                else:
+                    eligible = False
+                    break
+            if eligible:
+                for d in range(len(idx), xa.ndim):
+                    starts.append(0)
+                    sizes.append(xa.shape[d])
+                window_shape = tuple(sizes)
+                # y's natural shape is the window minus int-indexed dims
+                ynat = tuple(s for d, s in enumerate(window_shape)
+                             if d not in squeeze)
+                yw = jnp.broadcast_to(jnp.asarray(y, xa.dtype), ynat)
+                yw = yw.reshape(window_shape)
+                region = tuple(slice(a, a + s)
+                               for a, s in zip(starts, window_shape))
+                if not set_mode:
+                    yw = yw + xa[region]
+
+                # static-start update as slice+concat: Mosaic-lowerable
+                # (no dynamic_update_slice / scatter), and XLA canonicalizes
+                # constant-start concats just like DUS
+                def upd(arr, win, d):
+                    if d == len(starts):
+                        return win
+                    a, s = starts[d], window_shape[d]
+                    pre = (slice(None),) * d
+                    middle = upd(arr[pre + (slice(a, a + s),)], win, d + 1)
+                    parts = []
+                    if a > 0:
+                        parts.append(arr[pre + (slice(0, a),)])
+                    parts.append(middle)
+                    if a + s < arr.shape[d]:
+                        parts.append(arr[pre + (slice(a + s, None),)])
+                    if len(parts) == 1:
+                        return middle
+                    return jnp.concatenate(parts, axis=d)
+
+                return upd(xa, yw, 0)
+            ref = xa.at[tuple(idx)]
             return ref.set(y) if set_mode else ref.add(y)
 
         return inc_subtensor
@@ -455,7 +570,27 @@ def register_all():
         precision = None if config.matmul_precision == "default" else config.matmul_precision
 
         def dot(x, y):
-            return _cast_outputs(node, jnp.dot(x, y, precision=precision))
+            if not _MOSAIC_SAFE:
+                return _cast_outputs(node, jnp.dot(x, y, precision=precision))
+            # Mosaic-safe: keep matmul operands 2-D with vectors as ROWS.
+            # Pallas TPU miscompiles reductions of 1-D matvec results
+            # ("only constant accumulators supported"), and a loop-carried
+            # vector reshaped to a COLUMN (k,1) SIGABRTs the Mosaic
+            # compiler (per-iteration relayout); (1,k) row forms compile.
+            # default precision differs between Mosaic and XLA dots —
+            # pin to 'highest' so the Pallas path matches lax.scan
+            prec = precision or "highest"
+            x1 = jnp.ndim(x) == 1
+            y1 = jnp.ndim(y) == 1
+            if x1 and y1:
+                r = jnp.sum(x * y)
+            elif y1 and jnp.ndim(x) == 2:
+                r = jnp.dot(y[None, :], x.T, precision=prec)[0]
+            elif x1:
+                r = jnp.dot(x[None, :], y, precision=prec)[0]
+            else:
+                r = jnp.dot(x, y, precision=prec)
+            return _cast_outputs(node, r)
 
         return dot
 

@@ -654,7 +654,15 @@ def _register_xla():
         import jax
         import jax.numpy as jnp
 
+        from pytensor_tpu.config import config
         from pytensor_tpu.link.xla.linker import fgraph_to_jax
+
+        if config.scan__pallas:
+            from pytensor_tpu.link.pallas import make_pallas_scan_fn
+
+            pallas_fn = make_pallas_scan_fn(op, node)
+            if pallas_fn is not None:
+                return pallas_fn
 
         info = op.info
         inner = fgraph_to_jax(op.fgraph)

@@ -135,6 +135,42 @@ def get_scalar_constant_value(v, elemwise=True, raise_not_constant=True):
             if isinstance(op, Alloc):
                 v = v.owner.inputs[0]
                 continue
+            if isinstance(op, Shape_i):
+                dim = v.owner.inputs[0].type.shape[op.i]
+                if dim is not None:
+                    return np.asarray(np.int64(dim)).reshape(())
+            from pytensor_tpu.tensor.shape import Shape as _Shape
+            from pytensor_tpu.tensor.subtensor import Subtensor as _Subtensor
+
+            if isinstance(op, _Subtensor) and len(op.idx_list) == 1 and \
+                    isinstance(op.idx_list[0], (int, np.integer)):
+                inner = v.owner.inputs[0]
+                i = int(op.idx_list[0])
+                if inner.owner is not None and isinstance(inner.owner.op, _Shape):
+                    dim = inner.owner.inputs[0].type.shape[i]
+                    if dim is not None:
+                        return np.asarray(np.int64(dim)).reshape(())
+                if inner.owner is not None and isinstance(inner.owner.op, MakeVector):
+                    return get_scalar_constant_value(
+                        inner.owner.inputs[i], elemwise)
+            if elemwise and isinstance(op, Elemwise) and \
+                    op.scalar_op.name in ("mul", "add", "sub", "int_div",
+                                          "true_div", "maximum", "minimum"):
+                try:
+                    vals = [get_scalar_constant_value(i, elemwise)
+                            for i in v.owner.inputs]
+                except NotScalarConstantError:
+                    vals = None
+                if vals is not None:
+                    fn = {"mul": np.multiply, "add": np.add,
+                          "sub": np.subtract, "int_div": np.floor_divide,
+                          "true_div": np.true_divide,
+                          "maximum": np.maximum, "minimum": np.minimum,
+                          }[op.scalar_op.name]
+                    r = vals[0]
+                    for w in vals[1:]:
+                        r = fn(r, w)
+                    return np.asarray(r).astype(v.type.numpy_dtype).reshape(())
             if elemwise and isinstance(op, Elemwise) and op.scalar_op.name.startswith("cast"):
                 try:
                     inner = get_scalar_constant_value(v.owner.inputs[0], elemwise)

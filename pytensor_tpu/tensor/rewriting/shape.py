@@ -10,10 +10,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from pytensor_tpu.compile.mode import register_canonicalize, register_useless
+from pytensor_tpu.compile.mode import (register_canonicalize,
+                                       register_specialize, register_useless)
 from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
 from pytensor_tpu.tensor.basic import MakeVector, constant
-from pytensor_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape, shape_i
+from pytensor_tpu.tensor.shape import (Reshape, Shape, Shape_i, SpecifyShape,
+                                       _try_shape_entries, shape_i)
 from pytensor_tpu.tensor.subtensor import DYN, Subtensor
 
 
@@ -158,3 +160,43 @@ def local_shape_i_through_op(fgraph, node):
 
 
 register_canonicalize(local_shape_i_through_op, name="local_shape_i_through_op")
+
+
+@node_rewriter([Reshape])
+def local_reshape_to_static(fgraph, node):
+    """Rebuild a Reshape whose output type has unknown dims when the shape
+    entries now fold to constants (rewrites run after make_node, so types
+    never retighten on their own).  Static output types feed Mosaic/XLA
+    static specialization and the Pallas scan eligibility check."""
+    from pytensor_tpu.tensor.basic import (NotScalarConstantError, constant,
+                                           get_scalar_constant_value)
+
+    out = node.outputs[0]
+    if all(s is not None for s in out.type.shape):
+        return False
+    x, shp = node.inputs
+    entries = _try_shape_entries(shp, node.op.ndim)
+    if entries is None:
+        return False
+    dims = []
+    for e in entries:
+        try:
+            dims.append(int(get_scalar_constant_value(e)))
+        except NotScalarConstantError:
+            return False
+    if dims.count(-1) == 1 and all(s is not None for s in x.type.shape):
+        total = int(np.prod(x.type.shape, initial=1))
+        known = int(np.prod([d for d in dims if d != -1], initial=1))
+        if known > 0 and total % known == 0:
+            dims[dims.index(-1)] = total // known
+    if any(d < 0 for d in dims):
+        return False
+    new_out = Reshape(node.op.ndim)(x, constant(np.asarray(dims, "int64")))
+    if all(s is None for s in new_out.type.shape):
+        return False  # nothing gained
+    copy_stack_trace(out, new_out)
+    return [new_out]
+
+
+register_canonicalize(local_reshape_to_static, name="local_reshape_to_static")
+register_specialize(local_reshape_to_static, name="local_reshape_to_static")

@@ -7,7 +7,7 @@ import numpy as np
 
 from pytensor_tpu.compile.mode import (register_canonicalize, register_specialize, register_useless)
 from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
-from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, IncSubtensor, Subtensor)
+from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, AdvancedSubtensor1, IncSubtensor, Subtensor)
 
 
 def _full_slice(e):
@@ -460,3 +460,109 @@ def local_subtensor_of_unbroadcast_cast(fgraph, node):
 
 register_specialize(local_subtensor_of_unbroadcast_cast,
                     name="local_subtensor_of_cast")
+
+
+# ---------------------------------------------------------------------------
+# Constant-index gather/scatter -> one-hot MXU matmuls
+# ---------------------------------------------------------------------------
+# TPU-native: XLA gathers/scatters with unstructured indices serialize on
+# the scalar/vector units, while a one-hot matmul rides the systolic
+# array and FUSES with neighboring elemwise work.  When the index vector
+# is a graph-time constant (the hierarchical-model pattern: a[county]),
+# x[idx] == onehot @ x and inc_subtensor(x[idx], y) == x + onehot.T @ y
+# exactly (scatter-add accumulates duplicates, and so does the matmul).
+
+_ONEHOT_MAX_ELEMS = 1 << 20  # onehot matrix size cap (4 MB f32)
+
+
+def _onehot_constant(idx_data, n, dtype):
+    from pytensor_tpu.tensor.basic import constant
+
+    idx = np.asarray(idx_data).astype(np.int64)
+    if idx.ndim != 1 or idx.size == 0:
+        return None
+    if (idx < -n).any() or (idx >= n).any():
+        return None
+    idx = np.where(idx < 0, idx + n, idx)
+    onehot = np.zeros((idx.size, n), dtype=dtype)
+    onehot[np.arange(idx.size), idx] = 1
+    return constant(onehot)
+
+
+@node_rewriter([AdvancedSubtensor1])
+def local_constant_gather_to_onehot_dot(fgraph, node):
+    """x[const_ivec] -> dot(onehot, x) (MXU gather)."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.math import dot
+
+    x, ilist = node.inputs
+    if not isinstance(ilist, Constant):
+        return False
+    if x.type.ndim not in (1, 2) or not x.type.dtype.startswith(
+            ("float", "bfloat")):
+        return False
+    n = x.type.shape[0]
+    if n is None:
+        return False
+    m = int(np.asarray(ilist.data).size)
+    if m * n > _ONEHOT_MAX_ELEMS:
+        return False
+    onehot = _onehot_constant(ilist.data, n, x.type.dtype)
+    if onehot is None:
+        return False
+    out = dot(onehot, x)
+    if not node.outputs[0].type.is_super(out.type):
+        return False
+    copy_stack_trace(node.outputs[0], out)
+    return [out]
+
+
+# NOT in fast_run: measured on TPU v5 (radon leapfrog body, m=919
+# n=85) the one-hot matmuls cost ~+5.7us/step vs XLA's native
+# gather/scatter at this size.  Opt in for workloads where the matmul
+# form unlocks fusion: mode.including("onehot_gather").
+from pytensor_tpu.compile.mode import specialize as _specialize_db
+
+_specialize_db.register("local_constant_gather_to_onehot_dot",
+                        local_constant_gather_to_onehot_dot,
+                        "onehot_gather")
+
+
+@node_rewriter([AdvancedIncSubtensor1])
+def local_constant_scatter_to_onehot_dot(fgraph, node):
+    """inc_subtensor(x[const_ivec], y) -> x + dot(onehot.T, y) (MXU
+    scatter-add; exact with duplicate indices)."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.math import dot
+
+    if node.op.set_instead_of_inc:
+        return False  # set semantics = last-write-wins, not a sum
+    x, y, ilist = node.inputs
+    if not isinstance(ilist, Constant):
+        return False
+    if x.type.ndim not in (1, 2) or not x.type.dtype.startswith(
+            ("float", "bfloat")):
+        return False
+    if y.type.ndim != x.type.ndim:
+        return False
+    n = x.type.shape[0]
+    if n is None:
+        return False
+    m = int(np.asarray(ilist.data).size)
+    if m * n > _ONEHOT_MAX_ELEMS:
+        return False
+    onehot = _onehot_constant(ilist.data, n, x.type.dtype)
+    if onehot is None:
+        return False
+    from pytensor_tpu.tensor.basic import matrix_transpose
+
+    out = x + dot(matrix_transpose(onehot), y)
+    if not node.outputs[0].type.is_super(out.type):
+        return False
+    copy_stack_trace(node.outputs[0], out)
+    return [out]
+
+
+_specialize_db.register("local_constant_scatter_to_onehot_dot",
+                        local_constant_scatter_to_onehot_dot,
+                        "onehot_gather")

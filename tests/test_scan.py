@@ -590,3 +590,79 @@ def test_scan_reduce_nsteps_not_applied_on_negative_reads():
                       n_steps=7)
     f = ptt.function([], out[-1])
     assert float(np.asarray(f())) == 7.0
+
+
+class TestScanPallas:
+    """EXPERIMENTAL whole-loop Pallas scan lowering (config.scan__pallas).
+    On the CPU test mesh the kernel runs in interpret mode; on TPU it is
+    one Mosaic kernel (models/radon_pallas.py is the hand-written
+    existence proof)."""
+
+    def test_scalar_carry(self):
+        from pytensor_tpu.config import config
+
+        z = pt.tensor("z", dtype="float32", shape=())
+        with config.change_flags(scan__pallas=True):
+            tr, _ = ptt.scan(
+                lambda acc: acc * np.float32(1.1) + np.float32(0.5),
+                outputs_info=[z], n_steps=6)
+            f = ptt.function([z], tr)
+        r = np.asarray(f(np.float32(1.0)))
+        acc, exp = 1.0, []
+        for _ in range(6):
+            acc = acc * 1.1 + 0.5
+            exp.append(acc)
+        np.testing.assert_allclose(r, exp, rtol=1e-6)
+
+    def test_vector_state_and_nitsot(self):
+        from pytensor_tpu.config import config
+
+        v0 = pt.tensor("v0", dtype="float32", shape=(4,))
+        with config.change_flags(scan__pallas=True):
+            (tr, sq), _ = ptt.scan(
+                lambda acc: (acc + np.float32(1.0), (acc ** 2).sum()),
+                outputs_info=[v0, None], n_steps=3)
+            f = ptt.function([v0], [tr, sq])
+        a, b = (np.asarray(x) for x in f(np.zeros(4, "float32")))
+        assert a.shape == (3, 4)
+        np.testing.assert_allclose(b, [0.0, 4.0, 16.0])
+
+    def test_matches_lax_scan_path(self):
+        from pytensor_tpu.config import config
+
+        v0 = pt.tensor("v0", dtype="float32", shape=(5,))
+        W = pt.as_tensor_variable(
+            (np.eye(5) * 0.9 + 0.01).astype("float32"))
+
+        def step(acc):
+            return pt.tanh(pt.dot(W, acc)) + np.float32(0.01)
+
+        with config.change_flags(scan__pallas=False):
+            tr_ref, _ = ptt.scan(step, outputs_info=[v0], n_steps=10)
+            f_ref = ptt.function([v0], tr_ref)
+        with config.change_flags(scan__pallas=True):
+            tr_pal, _ = ptt.scan(step, outputs_info=[v0], n_steps=10)
+            f_pal = ptt.function([v0], tr_pal)
+        x0 = np.random.default_rng(0).standard_normal(5).astype("float32")
+        np.testing.assert_allclose(np.asarray(f_pal(x0)),
+                                   np.asarray(f_ref(x0)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_ineligible_scans_fall_back(self):
+        from pytensor_tpu.config import config
+        from pytensor_tpu.tensor.random import RandomStream
+
+        # RNG state (uint32 keys) is not Mosaic-traceable -> lax.scan path
+        srng = RandomStream(seed=1)
+        with config.change_flags(scan__pallas=True):
+            tr, upd = ptt.scan(lambda: srng.normal(0.0, 1.0), n_steps=3)
+            f = ptt.function([], tr, updates=upd)
+        assert np.asarray(f()).shape == (3,)
+        # sequences -> fallback
+        x = pt.tensor("x", dtype="float32", shape=(4,))
+        with config.change_flags(scan__pallas=True):
+            tr2, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                              outputs_info=[pt.constant(np.float32(0.0))])
+            f2 = ptt.function([x], tr2)
+        np.testing.assert_allclose(np.asarray(f2(np.ones(4, "float32"))),
+                                   [1, 2, 3, 4])
