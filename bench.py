@@ -38,12 +38,21 @@ EPS = 1e-3
 
 
 def build_ours(dtype="float32", n_chains=None):
-    """Leapfrog chain over `n_chains` batched chains (None = single)."""
+    """Leapfrog chain over `n_chains` batched chains (None = single).
+
+    Single-chain is latency-bound, so it takes the whole-loop Pallas
+    lowering (config.scan__pallas): the chain runs as ONE Mosaic kernel
+    with the county gather/scatter as one-hot MXU matmuls.  The batched
+    path stays on lax.scan — it is compute-bound and its (chains, obs)
+    intermediates would blow the VMEM budget anyway.
+    """
     import pytensor_tpu as ptt
     import pytensor_tpu.tensor as pt
+    from pytensor_tpu.compile.mode import get_mode
     from pytensor_tpu.config import config
     from pytensor_tpu.graph.replace import graph_replace
 
+    mode = None
     if n_chains is None:
         from pytensor_tpu.models.radon import make_radon_graphs
 
@@ -52,6 +61,8 @@ def build_ours(dtype="float32", n_chains=None):
         theta_in = inputs[0]
         shape = (n_params,)
         final_red = lambda lp: lp
+        if dtype == "float32":
+            mode = get_mode(None).including("onehot_gather")
     else:
         from pytensor_tpu.models.radon import make_radon_logp_batched
 
@@ -72,14 +83,16 @@ def build_ours(dtype="float32", n_chains=None):
         m_new = m_half + (EPS / 2) * g_new
         return theta_new, m_new
 
-    with config.change_flags(scan__unroll=8):
+    pallas = n_chains is None and dtype == "float32"
+    with config.change_flags(scan__unroll=1 if pallas else 8,
+                             scan__pallas=pallas):
         (thetas, ms), _ = ptt.scan(step, outputs_info=[theta0, m0],
                                    n_steps=LEAPFROG_STEPS // 2,
                                    name="leapfrog")
         final_logp = final_red(
             graph_replace(logp, {theta_in: thetas[-1]}))
         f = ptt.function([theta0, m0], [thetas[-1], ms[-1], final_logp],
-                         name="leapfrog_chain")
+                         name="leapfrog_chain", mode=mode)
     f.trust_input = True
     return f, n_params
 
@@ -241,9 +254,10 @@ def main():
     try:
         single_rate, _ = bench_ours(n_chains=None)
         print(f"secondary: single-chain on-device leapfrog "
-              f"{single_rate:,.0f} evals/s (latency-bound; the batched "
-              f"headline is the TPU deployment shape; throughput keeps "
-              f"scaling with chains — ~120M evals/s at 8192 chains)",
+              f"{single_rate:,.0f} evals/s via the whole-loop Pallas scan "
+              f"(latency-bound; the batched headline is the TPU deployment "
+              f"shape; throughput keeps scaling with chains — ~120M "
+              f"evals/s at 8192 chains)",
               file=sys.stderr)
     except Exception as e:
         print(f"single-chain bench skipped: {e!r}", file=sys.stderr)
