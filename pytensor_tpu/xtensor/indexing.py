@@ -1,18 +1,38 @@
-"""Dim-aware indexing: isel with ints / slices / integer-array indexers,
-and index_update (set/inc) by dim name.
+"""Dim-aware indexing with full xarray semantics.
 
 Parallels /root/reference/pytensor/xtensor/indexing.py (Index:113,
-IndexUpdate:213).  Indexers are applied per-dim (outer/orthogonal
-semantics, xarray's default for non-DataArray indexers).
+IndexUpdate:213) and rewriting/indexing.py (_lower_index:39):
+
+- orthogonal indexing: indexers with DISTINCT output dims combine as an
+  outer product (xarray's default);
+- vectorized indexing: indexers SHARING an output dim combine pointwise
+  (numpy advanced semantics), including against a kept sliced axis of
+  ``x`` with the same name (diagonal selection);
+- scalar indexers (static ints or 0-d integer tensors) drop the dim;
+- 1-d boolean masks select along their own dim (graph-time-constant
+  masks only: XLA requires static shapes, so a symbolic mask — whose
+  nonzero count is data-dependent — is rejected up front, unlike the
+  reference's dynamic ``nonzero`` lowering);
+- slices keep the dim in place (static bounds only, for the same
+  static-shape reason).
+
+TPU-first lowering: everything becomes one plain-tensor mixed
+basic/advanced index (Subtensor/AdvancedSubtensor), which XLA fuses into
+a single gather; a transpose restores xarray's dim order when numpy's
+non-consecutive-advanced rule fronts the advanced block.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from pytensor_tpu.graph.basic import Apply
+from pytensor_tpu.graph.basic import Apply, Constant
 from pytensor_tpu.xtensor.ops import XOp
-from pytensor_tpu.xtensor.type import XTensorType, as_xtensor
+from pytensor_tpu.xtensor.type import (XTensorType, XTensorVariable,
+                                       as_xtensor)
+
+_INT_DTYPES = ("int8", "int16", "int32", "int64",
+               "uint8", "uint16", "uint32", "uint64")
 
 
 def _slice_len(payload, size):
@@ -27,81 +47,201 @@ def _slice_len(payload, size):
         return None
 
 
-class XIndexDim(XOp):
-    """Index one named dim: int (drops it), slice (keeps it), or a 1-d
-    integer xtensor (replaces it by the indexer's dim)."""
+def _is_full_slice(payload):
+    return payload == (None, None, None)
 
-    __props__ = ("dim", "kind", "payload")
 
-    def __init__(self, dim, kind, payload=None):
-        if kind not in ("int", "slice", "array"):
-            raise ValueError(f"bad indexer kind {kind}")
-        self.dim = dim
-        self.kind = kind
-        self.payload = payload
+class XIndex(XOp):
+    """General labeled indexing (reference Index:113).
 
-    def make_node(self, x, *idx):
+    ``specs`` has one entry per axis of ``x``:
+      ("slice", (start, stop, step))  static slice, keeps the dim
+      ("int", v)                      static int, drops the dim
+      ("scalar", None)                0-d integer input, drops the dim
+      ("array", None)                 labeled integer-array input
+    Non-static indexers are extra inputs, consumed in axis order.
+    """
+
+    __props__ = ("specs",)
+
+    def __init__(self, specs):
+        self.specs = tuple(specs)
+
+    def make_node(self, x, *idxs):
         x = as_xtensor(x)
-        if self.dim not in x.type.dims:
-            raise ValueError(f"isel: unknown dim {self.dim}")
-        axis = x.type.dims.index(self.dim)
-        dims = list(x.type.dims)
-        shape = list(x.type.shape)
-        inputs = [x]
-        if self.kind == "int":
-            del dims[axis], shape[axis]
-        elif self.kind == "slice":
-            shape[axis] = _slice_len(self.payload, shape[axis])
+        if len(self.specs) != x.type.ndim:
+            raise IndexError(
+                f"too many indices: {len(self.specs)} for {x.type.ndim}-d")
+        idxs = [as_xtensor(i) if not isinstance(i, XTensorVariable) else i
+                for i in idxs]
+
+        out_dims: list[str] = []
+        out_shape: list[int | None] = []
+
+        def combine(dim, size):
+            if dim not in out_dims:
+                out_dims.append(dim)
+                out_shape.append(size)
+            else:
+                pos = out_dims.index(dim)
+                if out_shape[pos] is None:
+                    out_shape[pos] = size
+                elif size is not None and size != out_shape[pos]:
+                    raise IndexError(
+                        f"dimension of indexers mismatch for dim {dim}: "
+                        f"{out_shape[pos]} vs {size}")
+
+        k = 0
+        for axis, (kind, payload) in enumerate(self.specs):
+            x_dim = x.type.dims[axis]
+            if kind == "slice":
+                combine(x_dim, _slice_len(payload, x.type.shape[axis]))
+            elif kind == "int":
+                pass
+            elif kind == "scalar":
+                idx = idxs[k]
+                k += 1
+                if idx.type.ndim != 0 or idx.type.dtype not in _INT_DTYPES:
+                    raise TypeError("scalar indexer must be a 0-d integer")
+            elif kind == "array":
+                idx = idxs[k]
+                k += 1
+                if idx.type.dtype not in _INT_DTYPES:
+                    raise TypeError(
+                        f"array indexer for dim {x_dim} must be integer, "
+                        f"got {idx.type.dtype}")
+                for d, s in zip(idx.type.dims, idx.type.shape):
+                    combine(d, s)
+            else:
+                raise ValueError(f"bad indexer kind {kind}")
+        if k != len(idxs):
+            raise ValueError("wrong number of indexer inputs")
+
+        out = XTensorType(x.type.dtype, tuple(out_dims), tuple(out_shape))()
+        return Apply(self, [x, *idxs], [out])
+
+    # -- lowering (reference rewriting/indexing.py:_lower_index) --------
+    def _lowered_view(self, node, tensor_inputs):
+        """Return (indexed_tensor, its_dims): the plain-tensor gather plus
+        the dim labels of its axes (numpy may front the advanced block)."""
+        from pytensor_tpu.tensor.basic import arange
+        from pytensor_tpu.tensor.elemwise import DimShuffle
+        from pytensor_tpu.tensor.shape import shape_i
+
+        x = node.inputs[0]
+        t = tensor_inputs[0]
+        extras = tensor_inputs[1:]
+        extra_vars = node.inputs[1:]
+        out = node.outputs[0]
+        out_dims = out.type.dims
+        out_ndim = len(out_dims)
+
+        if all(kind in ("slice", "int", "scalar") for kind, _ in self.specs):
+            # pure basic indexing
+            it = iter(extras)
+            idx = []
+            for kind, payload in self.specs:
+                if kind == "slice":
+                    idx.append(slice(*payload))
+                elif kind == "int":
+                    idx.append(payload)
+                else:
+                    idx.append(next(it))
+            return t[tuple(idx)], out_dims
+
+        # dims indexed by some array indexer (for slice->arange promotion)
+        array_dims: set[str] = set()
+        ei = 0
+        for kind, payload in self.specs:
+            if kind in ("scalar", "array"):
+                if kind == "array":
+                    array_dims |= set(extra_vars[ei].type.dims)
+                ei += 1
+
+        aligned = []
+        basic_axis = []
+        ei = 0
+        for axis, (kind, payload) in enumerate(self.specs):
+            x_dim = x.type.dims[axis]
+            if kind == "slice":
+                if x_dim not in array_dims:
+                    aligned.append(slice(*payload))
+                    basic_axis.append(out_dims.index(x_dim))
+                else:
+                    # promote to an aligned advanced index (vectorized
+                    # interaction with the array indexer on this dim)
+                    n = x.type.shape[axis]
+                    length = n if n is not None else shape_i(t, axis)
+                    adv = arange(length)[slice(*payload)]
+                    order = ["x"] * out_ndim
+                    order[out_dims.index(x_dim)] = 0
+                    aligned.append(DimShuffle(1, tuple(order))(adv))
+            elif kind == "int":
+                aligned.append(np.int64(payload))  # 0-d advanced
+            elif kind == "scalar":
+                aligned.append(extras[ei])
+                ei += 1
+            else:
+                arr_t = extras[ei]
+                arr_dims = extra_vars[ei].type.dims
+                ei += 1
+                order = ["x"] * out_ndim
+                for j, d in enumerate(arr_dims):
+                    order[out_dims.index(d)] = j
+                aligned.append(DimShuffle(len(arr_dims), tuple(order))(arr_t))
+
+        if basic_axis:
+            # drop the alignment axes reserved for basic-kept dims
+            def _squeeze(a):
+                if isinstance(a, slice) or np.ndim(a) == 0:
+                    return a
+                order = tuple(i for i in range(a.type.ndim)
+                              if i not in basic_axis)
+                return DimShuffle(a.type.ndim, order)(a)
+
+            aligned = [_squeeze(a) for a in aligned]
+
+        r = t[tuple(aligned)]
+
+        # numpy axis order of the result
+        adv_positions = [i for i, a in enumerate(aligned)
+                         if not isinstance(a, slice)]
+        consecutive = adv_positions == list(
+            range(adv_positions[0], adv_positions[0] + len(adv_positions)))
+        basic_dims_in_order = [out_dims[i] for i in sorted(basic_axis)]
+        adv_dims = [d for d in out_dims if d not in basic_dims_in_order]
+        if not basic_axis:
+            r_dims = list(out_dims)
+        elif not consecutive:
+            # advanced block moves to the front
+            r_dims = adv_dims + basic_dims_in_order
         else:
-            (indexer,) = idx
-            indexer = as_xtensor(indexer)
-            if indexer.type.ndim != 1 or indexer.type.dtype not in (
-                    "int8", "int16", "int32", "int64"):
-                raise TypeError("array indexer must be a 1-d integer xtensor")
-            dims[axis] = indexer.type.dims[0]
-            shape[axis] = indexer.type.shape[0]
-            inputs.append(indexer)
-        out = XTensorType(x.type.dtype, tuple(dims), tuple(shape))()
-        return Apply(self, inputs, [out])
+            # advanced block sits at the position of the first advanced
+            # index, surrounded by the kept basic dims in axis order
+            n_before = sum(1 for i, a in enumerate(aligned)
+                           if isinstance(a, slice) and i < adv_positions[0])
+            r_dims = (basic_dims_in_order[:n_before] + adv_dims
+                      + basic_dims_in_order[n_before:])
+        return r, tuple(r_dims)
 
     def lower(self, node, tensor_inputs):
-        t = tensor_inputs[0]
-        x = node.inputs[0]
-        axis = x.type.dims.index(self.dim)
-        if self.kind == "int":
-            idx = self.payload
-        elif self.kind == "slice":
-            idx = slice(*self.payload)
-        else:
-            idx = tensor_inputs[1]
-        return [t[(slice(None),) * axis + (idx,)]]
+        from pytensor_tpu.tensor.elemwise import DimShuffle
+        from pytensor_tpu.tensor.shape import specify_shape
 
-
-def isel(x, indexers=None, **kwargs):
-    """Outer (per-dim) selection by name; indexers may be ints, slices,
-    integer lists/arrays, or 1-d integer xtensors."""
-    x = as_xtensor(x)
-    m = dict(indexers or {})
-    m.update(kwargs)
-    out = x
-    for dim, idx in m.items():
-        if isinstance(idx, (int, np.integer)):
-            out = XIndexDim(dim, "int", int(idx))(out)
-        elif isinstance(idx, slice):
-            out = XIndexDim(dim, "slice",
-                            (idx.start, idx.stop, idx.step))(out)
-        else:
-            if isinstance(idx, (list, tuple, np.ndarray)):
-                idx = as_xtensor(np.asarray(idx, dtype="int64"), dims=(dim,))
-            out = XIndexDim(dim, "array")(out, idx)
-    return out
+        out = node.outputs[0]
+        r, r_dims = self._lowered_view(node, tensor_inputs)
+        if tuple(r_dims) != out.type.dims:
+            order = tuple(r_dims.index(d) for d in out.type.dims)
+            r = DimShuffle(r.type.ndim, order)(r)
+        if any(s is not None for s in out.type.shape):
+            r = specify_shape(r, out.type.shape)
+        return [r]
 
 
 class XIndexUpdate(XOp):
-    """Set/inc a per-dim-indexed region (reference IndexUpdate:213).
+    """Set/inc an indexed region by dim name (reference IndexUpdate:213).
 
-    ``specs`` is a tuple of (dim, kind, payload); array indexers are extra
-    xtensor inputs in spec order, then the value."""
+    Inputs: (x, *indexer_inputs, value); ``specs`` as in XIndex."""
 
     __props__ = ("specs", "mode")
 
@@ -110,99 +250,219 @@ class XIndexUpdate(XOp):
             raise ValueError("mode must be 'set' or 'inc'")
         self.specs = tuple(specs)
         self.mode = mode
-        if sum(1 for _, kind, _ in self.specs if kind == "array") > 1:
-            raise NotImplementedError(
-                "index_update supports at most one array indexer")
 
     def make_node(self, x, *rest):
         x = as_xtensor(x)
         rest = list(rest)
-        value = as_xtensor(rest.pop())
-        arrays = [as_xtensor(a) for a in rest]
-        # region dims: apply specs to x's dims
-        dims = list(x.type.dims)
-        ai = 0
-        for dim, kind, payload in self.specs:
-            axis = dims.index(dim)
-            if kind == "int":
-                del dims[axis]
-            elif kind == "array":
-                dims[axis] = arrays[ai].type.dims[0]
-                ai += 1
-        extra = [d for d in value.type.dims if d not in dims]
+        value = rest.pop()
+        idxs = rest
+        view_node = XIndex(self.specs).make_node(x, *idxs)
+        view = view_node.outputs[0]
+        try:
+            value = as_xtensor(value)
+        except (TypeError, ValueError):
+            from pytensor_tpu.tensor.basic import as_tensor_variable
+
+            value = as_xtensor(as_tensor_variable(value),
+                               dims=view.type.dims)
+        extra = [d for d in value.type.dims if d not in view.type.dims]
         if extra:
             raise ValueError(
-                f"value dims {extra} not present in the indexed region {dims}")
+                f"value dims {extra} not present in the indexed region "
+                f"{view.type.dims}")
         out = x.type()
-        return Apply(self, [x, *arrays, value], [out])
+        return Apply(self, [x, *idxs, value], [out])
 
     def lower(self, node, tensor_inputs):
         from pytensor_tpu.tensor.elemwise import DimShuffle
         from pytensor_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         x = node.inputs[0]
-        t = tensor_inputs[0]
-        arrays = tensor_inputs[1:-1]
+        v_var = node.inputs[-1]
         v = tensor_inputs[-1]
-        # build the region's dim list and the index tuple
-        dims = list(x.type.dims)
-        idx = [slice(None)] * len(dims)
-        ai = 0
-        for dim, kind, payload in self.specs:
-            if kind == "int":
-                idx[x.type.dims.index(dim)] = payload
-            elif kind == "slice":
-                idx[x.type.dims.index(dim)] = slice(*payload)
-            else:
-                idx[x.type.dims.index(dim)] = arrays[ai]
-                ai += 1
-        # region dims after indexing
-        region_dims = []
-        ai = 0
-        spec_by_dim = {d: (k, p) for d, k, p in self.specs}
-        for d in x.type.dims:
-            if d in spec_by_dim:
-                kind, _ = spec_by_dim[d]
-                if kind == "int":
-                    continue
-                if kind == "array":
-                    region_dims.append(node.inputs[1 + ai].type.dims[0])
-                    ai += 1
-                    continue
-            region_dims.append(d)
-        # align value to region dims
-        v_dims = node.inputs[-1].type.dims
-        order = ["x" if d not in v_dims else v_dims.index(d)
-                 for d in region_dims]
-        if order != list(range(len(v_dims))):
+        view_node = XIndex(self.specs).make_node(x, *node.inputs[1:-1])
+        target, target_dims = XIndex(self.specs)._lowered_view(
+            view_node, tensor_inputs[:-1])
+        # align value to the target's ACTUAL axis order (which may be the
+        # numpy-fronted one, not the xarray out order)
+        v_dims = v_var.type.dims
+        order = tuple(v_dims.index(d) if d in v_dims else "x"
+                      for d in target_dims)
+        while order and order[0] == "x":
+            order = order[1:]
+        if order != tuple(range(v.type.ndim)):
             v = DimShuffle(v.type.ndim, order)(v)
-        target = t[tuple(idx)]
         fn = set_subtensor if self.mode == "set" else inc_subtensor
         return [fn(target, v)]
 
 
-def _norm_specs(x, indexers, kwargs):
+# ---------------------------------------------------------------------------
+# helpers: build specs from user indexers
+# ---------------------------------------------------------------------------
+
+def _static_slice(s):
+    for part in (s.start, s.stop, s.step):
+        if part is not None and not isinstance(part, (int, np.integer)):
+            raise NotImplementedError(
+                "xtensor slices need static (python int) bounds: a symbolic "
+                "bound makes the output shape dynamic, which XLA cannot "
+                "compile; precompute the bound or use isel with an arange "
+                "indexer")
+    return ("slice", (None if s.start is None else int(s.start),
+                      None if s.stop is None else int(s.stop),
+                      None if s.step is None else int(s.step)))
+
+
+def _as_indexer(idx, x, dim):
+    """Normalize one user indexer for dim `dim` -> (spec, input or None)."""
+    from pytensor_tpu.graph.basic import Variable
+    from pytensor_tpu.tensor.basic import as_tensor_variable
+
+    if idx is None:
+        raise TypeError(
+            "XTensors do not support indexing with None (np.newaxis); "
+            "use expand_dims instead")
+    if isinstance(idx, (int, np.integer)) and not isinstance(
+            idx, (bool, np.bool_)):
+        return ("int", int(idx)), None
+    if isinstance(idx, slice):
+        return _static_slice(idx), None
+    # ("other_dim", values) — xarray's dim-renaming indexer
+    if (isinstance(idx, tuple) and len(idx) == 2
+            and (isinstance(idx[0], str)
+                 or (isinstance(idx[0], (tuple, list))
+                     and all(isinstance(d, str) for d in idx[0])))):
+        dims, vals = idx
+        if isinstance(vals, XTensorVariable):
+            raise IndexError(
+                "giving a dimension name to an XTensorVariable indexer is "
+                "not supported; use .rename() instead")
+        dims = (dims,) if isinstance(dims, str) else tuple(dims)
+        vals = as_xtensor(as_tensor_variable(vals), dims=dims)
+        return ("array", None), vals
+    if isinstance(idx, XTensorVariable):
+        if idx.type.dtype == "bool":
+            return _bool_mask_indexer(idx, dim)
+        if idx.type.ndim == 0:
+            return ("scalar", None), idx
+        return ("array", None), idx
+    # unlabeled: ndarray / list / plain tensor
+    if isinstance(idx, Variable):
+        tv = as_tensor_variable(idx)
+    else:
+        arr = np.asarray(idx)
+        if arr.dtype.kind == "b":
+            return _bool_mask_indexer(
+                as_xtensor(as_tensor_variable(arr),
+                           dims=(dim,) if arr.ndim else ()), dim)
+        tv = as_tensor_variable(arr)
+    if tv.type.ndim > 1:
+        raise IndexError(
+            "Unlabeled multi-dimensional array cannot be used for indexing")
+    if tv.type.dtype == "bool":
+        return _bool_mask_indexer(
+            as_xtensor(tv, dims=(dim,) if tv.type.ndim else ()), dim)
+    if tv.type.ndim == 0:
+        return ("scalar", None), as_xtensor(tv)
+    # implicit dim = the indexed one
+    return ("array", None), as_xtensor(tv, dims=(dim,))
+
+
+def _bool_mask_indexer(mask, dim):
+    """Constant 1-d bool mask -> integer indexer on the same dim."""
+    from pytensor_tpu.tensor.basic import as_tensor_variable
+
+    if mask.type.ndim != 1:
+        raise NotImplementedError(
+            "only 1-d boolean indexing arrays are supported")
+    if mask.type.dims != (dim,):
+        raise IndexError(
+            f"boolean indexer should be unlabeled or on the indexed "
+            f"dimension; indexer is on {mask.type.dims} but the target "
+            f"dimension is {dim}")
+    base = mask
+    while base.owner is not None and len(base.owner.inputs) == 1 and \
+            type(base.owner.op).__name__ in ("XTensorFromTensor",):
+        base = base.owner.inputs[0]
+    data = None
+    if isinstance(base, Constant):
+        data = np.asarray(base.data)
+    if data is None:
+        raise NotImplementedError(
+            "boolean mask indexing needs a graph-time-constant mask: the "
+            "number of selected elements is data-dependent, which XLA "
+            "cannot compile to a static shape (reference lowers to a "
+            "dynamic nonzero; this framework requires static shapes)")
+    idx = np.nonzero(data)[0].astype("int64")
+    return ("array", None), as_xtensor(as_tensor_variable(idx), dims=(dim,))
+
+
+def _build_specs(x, indexers, kwargs):
+    """Per-dim mapping -> (specs, extra_inputs)."""
     x = as_xtensor(x)
     m = dict(indexers or {})
     m.update(kwargs)
+    unknown = [d for d in m if d not in x.type.dims]
+    if unknown:
+        raise ValueError(
+            f"isel: unknown dims {unknown}; tensor has {x.type.dims}")
     specs = []
-    arrays = []
-    for dim, idx in m.items():
-        if isinstance(idx, (int, np.integer)):
-            specs.append((dim, "int", int(idx)))
-        elif isinstance(idx, slice):
-            specs.append((dim, "slice", (idx.start, idx.stop, idx.step)))
+    inputs = []
+    for axis, dim in enumerate(x.type.dims):
+        if dim in m:
+            spec, inp = _as_indexer(m[dim], x, dim)
+            specs.append(spec)
+            if inp is not None:
+                inputs.append(inp)
         else:
-            if isinstance(idx, (list, tuple, np.ndarray)):
-                idx = as_xtensor(np.asarray(idx, dtype="int64"), dims=(dim,))
-            specs.append((dim, "array", None))
-            arrays.append(idx)
-    return x, tuple(specs), arrays
+            specs.append(("slice", (None, None, None)))
+    return x, tuple(specs), inputs
+
+
+def _positional_specs(x, idxs):
+    """Positional (getitem-style) indexers -> (specs, extra_inputs)."""
+    x = as_xtensor(x)
+    idxs = list(idxs)
+    if any(i is Ellipsis for i in idxs):
+        if idxs.count(Ellipsis) > 1:
+            raise IndexError(
+                "an index can only have a single ellipsis ('...')")
+        loc = idxs.index(Ellipsis)
+        fill = x.type.ndim - (len(idxs) - 1)
+        idxs = (idxs[:loc] + [slice(None)] * fill + idxs[loc + 1:])
+    if len(idxs) > x.type.ndim:
+        raise IndexError("too many indices")
+    idxs = idxs + [slice(None)] * (x.type.ndim - len(idxs))
+    specs = []
+    inputs = []
+    for axis, idx in enumerate(idxs):
+        spec, inp = _as_indexer(idx, x, x.type.dims[axis])
+        specs.append(spec)
+        if inp is not None:
+            inputs.append(inp)
+    return x, tuple(specs), inputs
+
+
+def isel(x, indexers=None, **kwargs):
+    """Outer/vectorized selection by dim name (xarray ``isel``)."""
+    x, specs, inputs = _build_specs(x, indexers, kwargs)
+    if all(k == "slice" and _is_full_slice(p) for k, p in specs):
+        return x
+    return XIndex(specs)(x, *inputs)
+
+
+def index(x, *idxs):
+    """Positional indexing (``x[...]``): slices, ints, 0-d tensors,
+    labeled arrays, constant bool masks, ``("dim", values)`` tuples."""
+    x, specs, inputs = _positional_specs(x, idxs)
+    if all(k == "slice" and _is_full_slice(p) for k, p in specs):
+        return x
+    return XIndex(specs)(x, *inputs)
 
 
 def index_update(x, indexers, value, mode="set", **kwargs):
-    x, specs, arrays = _norm_specs(x, indexers, kwargs)
-    return XIndexUpdate(specs, mode)(x, *arrays, value)
+    x, specs, inputs = _build_specs(x, indexers, kwargs)
+    return XIndexUpdate(specs, mode)(x, *inputs, value)
 
 
 def index_set(x, indexers, value, **kwargs):

@@ -174,6 +174,23 @@ class XTensorVariable(Variable):
 
         return isel(self, indexers, **kwargs)
 
+    def __getitem__(self, idx):
+        from pytensor_tpu.xtensor.indexing import index
+
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return index(self, *idx)
+
+    def set(self, value, indexers=None, **kwargs):
+        from pytensor_tpu.xtensor.indexing import index_set
+
+        return index_set(self, indexers, value, **kwargs)
+
+    def inc(self, value, indexers=None, **kwargs):
+        from pytensor_tpu.xtensor.indexing import index_inc
+
+        return index_inc(self, indexers, value, **kwargs)
+
     def prod(self, dim=None):
         from pytensor_tpu.xtensor.ops import XProd
 

@@ -174,3 +174,143 @@ class TestXRandom:
         mu = px.as_xtensor(np.arange(3.0), dims=("other",))
         with pytest.raises(ValueError):
             pxr.normal(srng, mu, 1.0, dims={"chain": 4})
+
+
+class TestXIndexGeneral:
+    """Full xarray indexing semantics (reference xtensor/indexing.py
+    Index:113, rewriting/indexing.py _lower_index:39)."""
+
+    def _x3(self):
+        x = px.xtensor("x", dims=("a", "b", "c"), shape=(3, 4, 5),
+                       dtype="float64")
+        return x, np.arange(60.0).reshape(3, 4, 5)
+
+    def _run(self, x, out, xv):
+        return np.asarray(ptt.function([x], out.values)(xv))
+
+    def test_orthogonal_distinct_dims(self):
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2]), dims=("i",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("j",))
+        out = px.isel(x, a=i, b=j)
+        assert out.type.dims == ("i", "j", "c")
+        exp = xv[np.ix_([0, 2], [1, 3, 0], range(5))]
+        np.testing.assert_allclose(self._run(x, out, xv), exp)
+
+    def test_vectorized_shared_dim(self):
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2, 1]), dims=("k",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("k",))
+        out = px.isel(x, a=i, b=j)
+        assert out.type.dims == ("k", "c")
+        np.testing.assert_allclose(self._run(x, out, xv),
+                                   xv[[0, 2, 1], [1, 3, 0], :])
+
+    def test_diagonal_with_kept_dim(self):
+        # indexer labeled with a dim that x keeps -> pointwise (diagonal)
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2, 1, 0]), dims=("b",))
+        out = px.isel(x, a=i)
+        assert out.type.dims == ("b", "c")
+        np.testing.assert_allclose(self._run(x, out, xv),
+                                   xv[[0, 2, 1, 0], np.arange(4), :])
+
+    def test_multidim_labeled_indexer(self):
+        x, xv = self._x3()
+        m = px.as_xtensor(np.array([[0, 1], [2, 0], [1, 1]]),
+                          dims=("p", "q"))
+        out = px.isel(x, b=m)
+        assert out.type.dims == ("a", "p", "q", "c")
+        np.testing.assert_allclose(self._run(x, out, xv),
+                                   xv[:, [[0, 1], [2, 0], [1, 1]], :])
+
+    def test_constant_bool_mask(self):
+        x, xv = self._x3()
+        mask = np.array([True, False, True, True])
+        out = px.isel(x, b=mask)
+        assert out.type.shape == (3, 3, 5)
+        np.testing.assert_allclose(self._run(x, out, xv), xv[:, mask, :])
+
+    def test_symbolic_bool_mask_rejected(self):
+        x, _ = self._x3()
+        m = px.xtensor("m", dims=("a",), shape=(3,), dtype="bool")
+        with pytest.raises(NotImplementedError, match="graph-time-constant"):
+            px.isel(x, a=m)
+
+    def test_getitem_positional_ellipsis(self):
+        x, xv = self._x3()
+        out = x[1, ..., 2]
+        assert out.type.dims == ("b",)
+        np.testing.assert_allclose(self._run(x, out, xv), xv[1, :, 2])
+
+    def test_getitem_newaxis_rejected(self):
+        x, _ = self._x3()
+        with pytest.raises(TypeError, match="expand_dims"):
+            x[None]
+
+    def test_unlabeled_multidim_rejected(self):
+        x, _ = self._x3()
+        with pytest.raises(IndexError, match="Unlabeled"):
+            px.isel(x, a=np.array([[0, 1], [1, 0]]))
+
+    def test_nonconsecutive_restores_xarray_order(self):
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2]), dims=("i",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("j",))
+        out = px.isel(x, a=i, c=j)
+        assert out.type.dims == ("i", "b", "j")
+        exp = xv[np.ix_([0, 2], range(4), [1, 3, 0])]
+        np.testing.assert_allclose(self._run(x, out, xv), exp)
+
+    def test_dim_tuple_indexer(self):
+        x, xv = self._x3()
+        out = x[("z", np.array([0, 1, 1])),]
+        assert out.type.dims == ("z", "b", "c")
+        np.testing.assert_allclose(self._run(x, out, xv), xv[[0, 1, 1]])
+
+    def test_scalar_symbolic_indexer(self):
+        x, xv = self._x3()
+        s = px.as_xtensor(np.int64(2))
+        out = px.isel(x, a=s)
+        assert out.type.dims == ("b", "c")
+        np.testing.assert_allclose(self._run(x, out, xv), xv[2])
+
+    def test_index_update_array_region_value_transposed(self):
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2]), dims=("i",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("j",))
+        val = px.as_xtensor(np.arange(6.0).reshape(3, 2), dims=("j", "i"))
+        out = px.index_set(x, dict(a=i, c=j), val)
+        r = self._run(x, out, xv)
+        exp = xv.copy()
+        exp[np.ix_([0, 2], range(4), [1, 3, 0])] = \
+            np.arange(6.0).reshape(3, 2).T[:, None, :]
+        np.testing.assert_allclose(r, exp)
+
+    def test_index_inc_duplicate_indices_accumulate(self):
+        x, xv = self._x3()
+        idup = px.as_xtensor(np.array([1, 1, 0]), dims=("i",))
+        v = px.as_xtensor(np.ones(3), dims=("i",))
+        out = px.index_inc(x, dict(a=idup, b=0, c=0), v)
+        r = self._run(x, out, xv)
+        exp = xv.copy()
+        np.add.at(exp, ([1, 1, 0], 0, 0), 1.0)
+        np.testing.assert_allclose(r, exp)
+
+    def test_indexer_shape_mismatch_raises(self):
+        x, _ = self._x3()
+        i = px.as_xtensor(np.array([0, 2]), dims=("k",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("k",))
+        with pytest.raises(IndexError, match="mismatch"):
+            px.isel(x, a=i, b=j)
+
+    def test_grad_through_vectorized_index(self):
+        x, xv = self._x3()
+        i = px.as_xtensor(np.array([0, 2, 1]), dims=("k",))
+        j = px.as_xtensor(np.array([1, 3, 0]), dims=("k",))
+        y = px.isel(x, a=i, b=j).sum().values
+        g = ptt.grad(y, x)
+        gv = np.asarray(ptt.function([x], g.values)(xv))
+        exp = np.zeros_like(xv)
+        np.add.at(exp, ([0, 2, 1], [1, 3, 0]), 1.0)
+        np.testing.assert_allclose(gv, exp)
