@@ -3,6 +3,8 @@ from pytensor_tpu.xtensor import rewriting  # noqa: F401  (registers lower_xtens
 from pytensor_tpu.xtensor import math  # noqa: F401
 from pytensor_tpu.xtensor import linalg  # noqa: F401
 from pytensor_tpu.xtensor import random  # noqa: F401
+from pytensor_tpu.xtensor import signal  # noqa: F401
+from pytensor_tpu.xtensor.signal import convolve1d  # noqa: F401
 from pytensor_tpu.xtensor.indexing import (  # noqa: F401
     index_inc,
     index_set,

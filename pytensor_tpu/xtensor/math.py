@@ -56,6 +56,31 @@ for _ns in (ps, psm):
                     setattr(_mod, _alias, getattr(_mod, _name))
 
 
+where = switch  # noqa: F821  (generated wrapper; xarray name)
+square = sqr  # noqa: F821
+round = round_half_to_even  # noqa: F821
+floor_divide = int_div  # noqa: F821
+true_divide = true_div  # noqa: F821
+bitwise_invert = invert  # noqa: F821
+
+
+def cast(x, dtype):
+    """Dim-aware dtype cast (reference xtensor/math.py cast)."""
+    from pytensor_tpu.xtensor.type import as_xtensor
+
+    return as_xtensor(x).astype(dtype)
+
+
+def logsumexp(x, dim=None):
+    """log(sum(exp(x), dim)) over named dims (reference math.py:533).
+    Max-shifted for stability; dim-name broadcasting realigns the max."""
+    from pytensor_tpu.xtensor.type import as_xtensor
+
+    x = as_xtensor(x)
+    m = x.max(dim)
+    return log(exp(x - m).sum(dim)) + m  # noqa: F821
+
+
 def softmax(x, dim):
     """Softmax over a named dim (dim-name broadcasting makes the reduced
     terms realign automatically)."""

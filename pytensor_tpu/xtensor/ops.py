@@ -497,6 +497,53 @@ class XVar(XStd):
         return tm.var(t, axis=list(axes), ddof=self.ddof)
 
 
+class XAll(XReduce):
+    """Logical-and reduction over named dims (reference
+    xtensor/reduction.py bool_reduce:75)."""
+
+    def _out_dtype(self, dtype):
+        return "bool"
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.all(tm.neq(t, 0), axis=list(axes))
+
+
+class XAny(XReduce):
+    def _out_dtype(self, dtype):
+        return "bool"
+
+    def _reduce(self, t, axes):
+        from pytensor_tpu.tensor import math as tm
+
+        return tm.any(tm.neq(t, 0), axis=list(axes))
+
+
+class XCumProd(XOp):
+    """Cumulative product along a named dim (reference
+    xtensor/reduction.py cumreduce:127)."""
+
+    __props__ = ("dim",)
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def make_node(self, x):
+        from pytensor_tpu.xtensor.type import as_xtensor
+
+        x = as_xtensor(x)
+        if self.dim not in x.type.dims:
+            raise ValueError(f"cumprod: unknown dim {self.dim}")
+        return Apply(self, [x], [x.type()])
+
+    def lower(self, node, tensor_inputs):
+        from pytensor_tpu.tensor.extra_ops import cumprod
+
+        axis = node.inputs[0].type.dims.index(self.dim)
+        return [cumprod(tensor_inputs[0], axis=axis)]
+
+
 class XCumSum(XOp):
     """Cumulative sum along a named dim (keeps dims)."""
 

@@ -211,6 +211,21 @@ class XTensorVariable(Variable):
 
         return XCumSum(dim)(self)
 
+    def cumprod(self, dim):
+        from pytensor_tpu.xtensor.ops import XCumProd
+
+        return XCumProd(dim)(self)
+
+    def all(self, dim=None):
+        from pytensor_tpu.xtensor.ops import XAll
+
+        return XAll(_norm_dims(dim))(self)
+
+    def any(self, dim=None):
+        from pytensor_tpu.xtensor.ops import XAny
+
+        return XAny(_norm_dims(dim))(self)
+
     def dot(self, other):
         from pytensor_tpu.xtensor.ops import xdot
 

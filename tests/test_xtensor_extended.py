@@ -314,3 +314,47 @@ class TestXIndexGeneral:
         exp = np.zeros_like(xv)
         np.add.at(exp, ([0, 2, 1], [1, 3, 0]), 1.0)
         np.testing.assert_allclose(gv, exp)
+
+
+class TestXReductionsAndSignal:
+    """all/any/cumprod reductions, where/logsumexp/cast math, convolve1d
+    (reference xtensor/reduction.py, math.py:533, signal.py:13)."""
+
+    def test_bool_reductions_and_cumprod(self):
+        x = px.xtensor("x", dims=("a", "b"), shape=(2, 5), dtype="float64")
+        xv = np.array([[1.0, 2, 3, 4, 5], [0, 1, 0, 2, 0]])
+        assert list(np.asarray(
+            ptt.function([x], (x > 0).all("b").values)(xv))) == [True, False]
+        assert list(np.asarray(
+            ptt.function([x], (x > 0).any("b").values)(xv))) == [True, True]
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], x.cumprod("b").values)(xv)),
+            np.cumprod(xv, 1))
+
+    def test_where_logsumexp(self):
+        x = px.xtensor("x", dims=("a", "b"), shape=(2, 5), dtype="float64")
+        xv = np.arange(10.0).reshape(2, 5)
+        np.testing.assert_allclose(
+            np.asarray(ptt.function(
+                [x], pxm.where(x > 2, x, -x).values)(xv)),
+            np.where(xv > 2, xv, -xv))
+        np.testing.assert_allclose(
+            np.asarray(ptt.function([x], pxm.logsumexp(x, "b").values)(xv)),
+            np.log(np.exp(xv).sum(1)))
+
+    @pytest.mark.parametrize("mode", ["full", "valid", "same"])
+    def test_convolve1d_batched(self, mode):
+        x = px.xtensor("x", dims=("a", "b"), shape=(2, 5), dtype="float64")
+        xv = np.arange(10.0).reshape(2, 5)
+        k = px.as_xtensor(np.array([1.0, 0.0, -1.0]), dims=("t",))
+        out = px.convolve1d(x, k, mode=mode, dims=("b", "t"))
+        assert out.type.dims == ("a", "b")
+        r = np.asarray(ptt.function([x], out.values)(xv))
+        exp = np.stack([np.convolve(row, [1, 0, -1], mode) for row in xv])
+        np.testing.assert_allclose(r, exp)
+
+    def test_convolve1d_dim_errors(self):
+        x = px.xtensor("x", dims=("a", "b"), shape=(2, 5), dtype="float64")
+        k = px.as_xtensor(np.ones(3), dims=("b",))
+        with pytest.raises(ValueError, match="distinct"):
+            px.convolve1d(x, k, dims=("b", "b"))
