@@ -190,6 +190,7 @@ class FullHistory(Feature):
     def __init__(self, callback=None):
         self.fw: list = []
         self.bw: list = []
+        self.reasons: list = []  # rewrite reason per recorded change
         self.pointer = -1
         self.fg = None
         self.callback = callback
@@ -204,10 +205,12 @@ class FullHistory(Feature):
             # drop the redo tail after a new change
             del self.fw[self.pointer + 1:]
             del self.bw[self.pointer + 1:]
+            del self.reasons[self.pointer + 1:]
         self.bw.append(lambda: fgraph.change_node_input(node, i, old_var,
                                                         reason="undo"))
         self.fw.append(lambda: fgraph.change_node_input(node, i, new_var,
                                                         reason="redo"))
+        self.reasons.append(reason)
         self.pointer = len(self.fw) - 1
         if self.callback:
             self.callback()

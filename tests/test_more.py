@@ -278,6 +278,45 @@ class TestDebugModeCatches:
             f(np.ones(3))
 
 
+    def test_bad_rewrite_blamed(self):
+        """Rewrite blame: a semantics-changing rewrite is detected and
+        NAMED (reference debugmode.py:694 _find_bad_optimizations)."""
+        from pytensor_tpu.compile.debug import BadOptimization, DebugMode
+        from pytensor_tpu.compile.mode import optdb
+        from pytensor_tpu.graph.rewriting.basic import node_rewriter
+        from pytensor_tpu.graph.rewriting.db import EquilibriumDB
+        from pytensor_tpu.scalar import basic as ps
+        from pytensor_tpu.tensor.basic import constant
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        @node_rewriter([Elemwise])
+        def evil_exp_scale(fgraph, node):
+            if getattr(node.op.scalar_op, "name", None) != "exp":
+                return False
+            if getattr(node.tag, "evil", False):
+                return False
+            new = Elemwise(ps.exp)(*node.inputs)
+            new.owner.tag.evil = True
+            return [new * constant(np.float64(1.5))]
+
+        db = EquilibriumDB(name="evil")
+        db.register("evil_exp_scale", evil_exp_scale, "evil_tag_test")
+        optdb.register("evil_test", db, position=47.5)
+        try:
+            x = pt.dvector("x")
+            mode = DebugMode().including("evil_tag_test")
+            f = ptt.function([x], pt.exp(x) + 1.0, mode=mode)
+            with pytest.raises(BadOptimization, match="evil_exp_scale"):
+                f(np.ones(3))
+            # and a clean pipeline does NOT blame
+            f2 = ptt.function([x], pt.exp(x) + 1.0, mode=DebugMode())
+            np.testing.assert_allclose(f2(np.ones(3)), np.e + 1)
+        finally:
+            del optdb._names["evil_test"]
+            del optdb._tags["evil_test"]
+            del optdb.positions["evil_test"]
+
+
 class TestBatchedRadon:
     def test_matches_per_chain(self):
         from pytensor_tpu.models.radon import (
