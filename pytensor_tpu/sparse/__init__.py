@@ -12,9 +12,26 @@ from pytensor_tpu.sparse.basic import (  # noqa: F401
     structured_dot,
     transpose,
 )
+from pytensor_tpu.sparse.basic import (  # noqa: F401
+    CSMGrad,
+    as_sparse_or_tensor_variable,
+    as_symbolic_sparse,
+    csm_data,
+    csm_grad,
+    csm_indices,
+    csm_indptr,
+    csm_shape,
+)
 from pytensor_tpu.sparse.type import (  # noqa: F401
     SparseTensorType,
+    bsr_dmatrix,
+    bsr_fmatrix,
+    bsr_matrix,
+    csc_dmatrix,
+    csc_fmatrix,
     csc_matrix,
+    csr_dmatrix,
+    csr_fmatrix,
     csr_matrix,
     matrix,
 )
@@ -27,6 +44,9 @@ from pytensor_tpu.sparse.structured import (  # noqa: F401
     GetItemListGrad,
     construct_sparse_from_list,
 )
+
+get_item_list_grad = GetItemListGrad()
+get_item_2lists_grad = GetItem2ListsGrad()
 from pytensor_tpu.sparse import linalg  # noqa: F401
 from pytensor_tpu.sparse.linalg import SparseBlockDiagonal, block_diag  # noqa: F401
 from pytensor_tpu.sparse.compat import *  # noqa: F401,F403,E402

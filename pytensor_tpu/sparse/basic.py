@@ -79,6 +79,39 @@ class CSMProperties(Op):
 csm_properties = CSMProperties()
 
 
+def csm_data(csm):
+    """Data field of a sparse variable (reference sparse/basic.py:332)."""
+    return csm_properties(csm)[0]
+
+
+def csm_indices(csm):
+    """Indices field of a sparse variable."""
+    return csm_properties(csm)[1]
+
+
+def csm_indptr(csm):
+    """Indptr field of a sparse variable."""
+    return csm_properties(csm)[2]
+
+
+def csm_shape(csm):
+    """Shape field of a sparse variable."""
+    return csm_properties(csm)[3]
+
+
+def as_sparse_or_tensor_variable(x, name=None):
+    """Sparse if possible, else dense tensor (reference basic.py:161)."""
+    try:
+        return _as_sparse_variable(x)
+    except (TypeError, ValueError):
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        return as_tensor_variable(x)
+
+
+as_symbolic_sparse = as_sparse_variable
+
+
 class CSM(Op):
     """Build a csr/csc matrix from (data, indices, indptr, shape)."""
 
@@ -114,13 +147,56 @@ class CSM(Op):
             return [grad_undefined(self, 0, data, "no gradient flows"),
                     DisconnectedType()(), DisconnectedType()(),
                     DisconnectedType()()]
-        g_data = CSMProperties()(gz)[0]
+        gd, gi, gp, gs = CSMProperties()(gz)
+        g_data = CSMGrad()(data, indices, indptr, shape, gd, gi, gp, gs)
         return [g_data, DisconnectedType()(), DisconnectedType()(),
                 DisconnectedType()()]
 
 
 CSR = CSM("csr")
 CSC = CSM("csc")
+
+
+class CSMGrad(Op):
+    """Pattern-aware gradient of CSM's data vector (reference
+    sparse/basic.py:508).  The cotangent gz may be sparser than x or
+    carry a different index order inside each compressed row; gout_data
+    re-extracts gz at x's (indices, indptr) pattern, restoring explicit
+    zeros where gz dropped them."""
+
+    __props__ = ()
+
+    def make_node(self, x_data, x_indices, x_indptr, x_shape,
+                  g_data, g_indices, g_indptr, g_shape):
+        ins = [as_tensor_variable(v) for v in
+               (x_data, x_indices, x_indptr, x_shape,
+                g_data, g_indices, g_indptr, g_shape)]
+        return Apply(self, ins, [ins[4].type()])
+
+    def perform(self, node, inputs, output_storage):
+        import scipy.sparse as sp
+
+        (x_data, x_indices, x_indptr, x_shape,
+         g_data, g_indices, g_indptr, _g_shape) = inputs
+        n_compressed = len(x_indptr) - 1
+        sp_dim = int(x_shape[1]) if n_compressed == int(x_shape[0]) \
+            else int(x_shape[0])
+        gm = sp.csr_matrix((g_data, g_indices, g_indptr),
+                           shape=(n_compressed, sp_dim))
+        rows = np.repeat(np.arange(n_compressed),
+                         np.diff(np.asarray(x_indptr)))
+        gout = np.asarray(gm[rows, x_indices]).ravel().astype(
+            node.outputs[0].type.numpy_dtype)
+        output_storage[0][0] = np.zeros(
+            len(x_data), node.outputs[0].type.numpy_dtype) + gout
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[4]]
+
+
+csm_grad = CSMGrad
+
+
 
 
 class DenseFromSparse(Op):
@@ -494,12 +570,19 @@ def _register_xla():
 
     @xla_funcify.register(CSM)
     def _csm_build(op, node=None, **kw):
+        csc = op.format == "csc"
+
         def build(data, indices, indptr, shape_v):
             nse = data.shape[0]
-            rows = (jnp.searchsorted(indptr.astype("int32"),
+            comp = (jnp.searchsorted(indptr.astype("int32"),
                                      jnp.arange(nse, dtype="int32"),
                                      side="right") - 1).astype("int32")
-            idx = jnp.stack([rows, indices.astype("int32")], axis=1)
+            # csr compresses rows (comp=row, indices=col); csc compresses
+            # columns (comp=col, indices=row)
+            if csc:
+                idx = jnp.stack([indices.astype("int32"), comp], axis=1)
+            else:
+                idx = jnp.stack([comp, indices.astype("int32")], axis=1)
             # shape must be host-concrete (CSMProperties keeps it so)
             from pytensor_tpu.link.xla.dispatch import _concrete
 
@@ -508,6 +591,31 @@ def _register_xla():
             return jsp.BCOO((data, idx), shape=out_shape)
 
         return build
+
+    @xla_funcify.register(CSMGrad)
+    def _csm_grad(op, node=None, **kw):
+        import jax.numpy as jnp
+
+        def csm_grad(x_data, x_indices, x_indptr, x_shape,
+                     g_data, g_indices, g_indptr, g_shape):
+            n_comp = x_indptr.shape[0] - 1
+            nnz_x = x_data.shape[0]
+            nnz_g = g_data.shape[0]
+            sp_dim = jnp.where(n_comp == x_shape[0], x_shape[1], x_shape[0])
+            # dense scatter of gz, then gather at x's pattern: both ride
+            # XLA's native scatter/gather, no per-row loop
+            g_rows = jnp.searchsorted(g_indptr, jnp.arange(nnz_g),
+                                      side="right") - 1
+            from pytensor_tpu.link.xla.dispatch import _concrete
+
+            dense = jnp.zeros((n_comp, int(_concrete(sp_dim, "CSMGrad sparse dim"))),
+                              g_data.dtype)
+            dense = dense.at[g_rows, g_indices].add(g_data)
+            x_rows = jnp.searchsorted(x_indptr, jnp.arange(nnz_x),
+                                      side="right") - 1
+            return dense[x_rows, x_indices]
+
+        return csm_grad
 
     @xla_funcify.register(StructuredDot)
     def _sdot(op, node=None, **kw):
@@ -824,6 +932,62 @@ def _register_sparse_rewrites():
                           name="local_csm_properties_csm")
     register_specialize(local_csm_properties_csm,
                         name="local_csm_properties_csm")
+
+    @node_rewriter([CSMGrad])
+    def local_csm_grad_same_pattern(fgraph, node):
+        """CSMGrad where gz provably shares x's (indices, indptr): the
+        data vector IS the gradient — no re-extraction needed."""
+        xd, xi, xp, xsh, gd, gi, gp, gsh = node.inputs
+        if xi is not gi or xp is not gp:
+            return False
+        from pytensor_tpu.tensor.basic import cast as t_cast
+
+        g_data = gd
+        if g_data.type.dtype != node.outputs[0].type.dtype:
+            g_data = t_cast(g_data, node.outputs[0].type.dtype)
+        if not node.outputs[0].type.is_super(g_data.type):
+            return False
+        copy_stack_trace(node.outputs[0], g_data)
+        return [g_data]
+
+    register_canonicalize(local_csm_grad_same_pattern,
+                          name="local_csm_grad_same_pattern")
+    register_specialize(local_csm_grad_same_pattern,
+                        name="local_csm_grad_same_pattern")
+
+    @node_rewriter([CSMGrad])
+    def local_csm_grad_of_dense(fgraph, node):
+        """CSMGrad whose cotangent is SparseFromDense(d) -> gather d at
+        x's (indices, indptr) pattern: one static AdvancedSubtensor, no
+        value-dependent nse (XLA needs static shapes; the general
+        CSMGrad path keeps the reference's dynamic semantics for the
+        oracle)."""
+        xd, xi, xp, xsh, gd, gi, gp, gsh = node.inputs
+        o = gd.owner
+        if o is None or not isinstance(o.op, CSMProperties):
+            return False
+        if gi.owner is not o or gp.owner is not o:
+            return False
+        (gz,) = o.inputs
+        if gz.owner is None or not isinstance(gz.owner.op, SparseFromDense):
+            return False
+        (d,) = gz.owner.inputs
+        from pytensor_tpu.tensor.basic import arange, cast as t_cast
+        from pytensor_tpu.tensor.extra_ops import searchsorted
+
+        nnz = xd.shape[0]
+        comp = searchsorted(xp, arange(nnz), side="right") - 1
+        if gz.owner.op.format == "csc":
+            g_data = d[xi, comp]
+        else:
+            g_data = d[comp, xi]
+        if g_data.type.dtype != node.outputs[0].type.dtype:
+            g_data = t_cast(g_data, node.outputs[0].type.dtype)
+        copy_stack_trace(node.outputs[0], g_data)
+        return [g_data]
+
+    register_specialize(local_csm_grad_of_dense,
+                        name="local_csm_grad_of_dense")
 
     @node_rewriter([DenseFromSparse])
     def local_dense_from_sparse_sparse_from_dense(fgraph, node):

@@ -17,7 +17,7 @@ class SparseTensorType(Type, HasDataType, HasShape):
     __props__ = ("format", "dtype", "shape")
 
     def __init__(self, format: str, dtype: str, shape=None):
-        if format not in ("csr", "csc", "bcoo"):
+        if format not in ("csr", "csc", "bcoo", "bsr"):
             raise ValueError(f"unsupported sparse format {format}")
         self.format = format
         self.dtype = str(dtype)
@@ -35,7 +35,7 @@ class SparseTensorType(Type, HasDataType, HasShape):
         import scipy.sparse as sp
 
         if sp.issparse(value):
-            if value.format != self.format and self.format in ("csr", "csc"):
+            if value.format != self.format and self.format in ("csr", "csc", "bsr"):
                 value = value.asformat(self.format)
             if str(value.dtype) != self.dtype:
                 if strict:
@@ -54,7 +54,8 @@ class SparseTensorType(Type, HasDataType, HasShape):
         import scipy.sparse as sp2
 
         arr = np.asarray(value, dtype=self.numpy_dtype)
-        return getattr(sp2, f"{self.format if self.format != 'bcoo' else 'csr'}_matrix")(arr)
+        fmt = self.format if self.format not in ('bcoo',) else 'csr'
+        return getattr(sp2, f"{fmt}_matrix")(arr)
 
     def xla_typify(self, value):
         """Convert an oracle value (scipy.sparse) into a BCOO for jit."""
@@ -102,6 +103,13 @@ def matrix(format="csr", name=None, dtype=None):
 
 csr_matrix = lambda name=None, dtype=None: matrix("csr", name, dtype)  # noqa: E731
 csc_matrix = lambda name=None, dtype=None: matrix("csc", name, dtype)  # noqa: E731
+bsr_matrix = lambda name=None, dtype=None: matrix("bsr", name, dtype)  # noqa: E731
+csr_dmatrix = lambda name=None: matrix("csr", name, "float64")  # noqa: E731
+csc_dmatrix = lambda name=None: matrix("csc", name, "float64")  # noqa: E731
+bsr_dmatrix = lambda name=None: matrix("bsr", name, "float64")  # noqa: E731
+csr_fmatrix = lambda name=None: matrix("csr", name, "float32")  # noqa: E731
+csc_fmatrix = lambda name=None: matrix("csc", name, "float32")  # noqa: E731
+bsr_fmatrix = lambda name=None: matrix("bsr", name, "float32")  # noqa: E731
 
 
 def _wire_variable_classes():

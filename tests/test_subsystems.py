@@ -505,3 +505,55 @@ class TestSparseStructuredOps:
         assert "SparseFromDense" not in ops and "DenseFromSparse" not in ops, ops
         dv = np.arange(6.0).reshape(2, 3)
         np.testing.assert_allclose(np.asarray(f(dv)), dv + 1.0)
+
+
+class TestCSMGradAndFormats:
+    """CSM gradient fidelity + csc layout (reference sparse/basic.py:508
+    CSMGrad; csc compresses COLUMNS)."""
+
+    @pytest.mark.parametrize("fmt", ["csr", "csc"])
+    def test_csm_dense_roundtrip_and_grad(self, fmt):
+        import scipy.sparse as ssp
+
+        import pytensor_tpu.sparse as sparse
+
+        x_pat = getattr(ssp, fmt + "_matrix")(
+            np.array([[1.0, 0, 2], [0, 3, 0], [4, 5, 6], [0, 0, 7]]))
+        data = pt.tensor("d", dtype="float64", shape=(x_pat.nnz,))
+        xs = sparse.CSM(fmt)(data, x_pat.indices, x_pat.indptr,
+                             np.array(x_pat.shape))
+        dense = sparse.dense_from_sparse(xs)
+        dv = np.arange(1.0, x_pat.nnz + 1)
+        fw = np.asarray(ptt.function([data], dense)(dv))
+        exp = getattr(ssp, fmt + "_matrix")(
+            (dv, x_pat.indices, x_pat.indptr), shape=x_pat.shape).toarray()
+        np.testing.assert_allclose(fw, exp)
+        g = ptt.grad((dense ** 3).sum(), data)
+        gv = np.asarray(ptt.function([data], g)(dv))
+        np.testing.assert_allclose(gv, 3 * dv ** 2)
+
+    def test_csm_grad_pattern_mismatch_oracle(self):
+        """gz sparser than x and permuted: zeros restored in x's order."""
+        import pytensor_tpu.sparse as sparse
+
+        xd = np.array([1.0, 2, 3])
+        out = sparse.CSMGrad()(
+            pt.as_tensor_variable(xd), np.array([0, 2, 1]),
+            np.array([0, 2, 3]), np.array([2, 3]),
+            pt.as_tensor_variable(np.array([7.0])), np.array([2]),
+            np.array([0, 1, 1]), np.array([2, 3]))
+        r = np.asarray(ptt.function([], out, mode="FAST_COMPILE")())
+        np.testing.assert_allclose(r, [0.0, 7.0, 0.0])
+
+    def test_surface_aliases(self):
+        import pytensor_tpu.sparse as sparse
+
+        m = sparse.bsr_matrix("m", dtype="float64")
+        assert m.type.format == "bsr"
+        s = sparse.csr_matrix("s", dtype="float64")
+        assert sparse.csm_data(s).type.ndim == 1
+        assert sparse.csm_indices(s).type.ndim == 1
+        assert sparse.csm_indptr(s).type.ndim == 1
+        assert sparse.csm_shape(s).type.ndim == 1
+        t = sparse.as_sparse_or_tensor_variable(np.eye(3))
+        assert hasattr(t, "type")
