@@ -358,3 +358,57 @@ class TestXReductionsAndSignal:
         k = px.as_xtensor(np.ones(3), dims=("b",))
         with pytest.raises(ValueError, match="distinct"):
             px.convolve1d(x, k, dims=("b", "b"))
+
+
+class TestXRandomBreadth:
+    """Distribution breadth + core-dim multivariates (reference
+    xtensor/random/basic.py:56 as_xrv, :152 multivariate_normal)."""
+
+    def _srng(self):
+        from pytensor_tpu.tensor.random.utils import RandomStream
+
+        return RandomStream(seed=0)
+
+    def test_scalar_dist_breadth(self):
+        from pytensor_tpu.xtensor import random as pxr
+
+        srng = self._srng()
+        for name in ("weibull", "pareto", "gumbel", "rayleigh", "vonmises",
+                     "chisquare", "standard_normal", "halfcauchy", "wald",
+                     "nbinom"):
+            assert hasattr(pxr, name), name
+        d = pxr.weibull(srng, 2.0, dims={"chain": 50})
+        v = np.asarray(ptt.function([], d.values)())
+        assert d.type.dims == ("chain",) and v.shape == (50,) and (v > 0).all()
+
+    def test_multivariate_normal_core_dims(self):
+        from pytensor_tpu.xtensor import random as pxr
+
+        srng = self._srng()
+        mu = px.as_xtensor(np.array([[0.0, 10.0], [5.0, -5.0]]),
+                           dims=("g", "p"))
+        cov = px.as_xtensor(np.eye(2) * 0.01, dims=("p", "p2"))
+        d = pxr.multivariate_normal(srng, mu, cov, core_dims=("p", "p2"),
+                                    dims={"chain": 400, "g": 2})
+        assert d.type.dims == ("chain", "g", "p")
+        v = np.asarray(ptt.function([], d.values)())
+        np.testing.assert_allclose(v.mean(0), [[0, 10], [5, -5]], atol=0.05)
+        # reversed core_dims resolve via mean's dims
+        d2 = pxr.multivariate_normal(srng, mu, cov, core_dims=("p2", "p"),
+                                     dims={"chain": 4, "g": 2})
+        assert d2.type.dims == ("chain", "g", "p")
+
+    def test_dirichlet_and_multinomial(self):
+        from pytensor_tpu.xtensor import random as pxr
+
+        srng = self._srng()
+        al = px.as_xtensor(np.array([2.0, 3.0, 5.0]), dims=("k",))
+        d = pxr.dirichlet(srng, al, core_dims="k", dims={"chain": 300})
+        v = np.asarray(ptt.function([], d.values)())
+        assert d.type.dims == ("chain", "k")
+        np.testing.assert_allclose(v.sum(-1), 1.0)
+        np.testing.assert_allclose(v.mean(0), [0.2, 0.3, 0.5], atol=0.06)
+        p = px.as_xtensor(np.array([0.2, 0.3, 0.5]), dims=("k",))
+        m = pxr.multinomial(srng, 10, p, core_dims="k", dims={"chain": 100})
+        mv = np.asarray(ptt.function([], m.values)())
+        assert (mv.sum(-1) == 10).all()
