@@ -624,3 +624,290 @@ def test_distribution_parameterizations(ref):
         tol = 6 * a.std() / np.sqrt(N) + 0.02 * abs(a.mean())
         assert abs(a.mean() - b.mean()) < tol, \
             (name, a.mean(), b.mean())
+
+
+# ---------------------------------------------------------------------------
+# Systematic parity grids (round 2): build the SAME graph in both
+# frameworks and compare values (+ grads where cheap).  The reference
+# side uses its python linker (mode=FAST_COMPILE) so the grid stays
+# fast — value semantics are identical to the C-VM.
+# ---------------------------------------------------------------------------
+
+def _ref_mode():
+    import pytensor
+
+    return pytensor.compile.mode.Mode(linker="py", optimizer="fast_compile")
+
+
+_UNARY_GRID = [
+    # (name, domain_lo, domain_hi)
+    ("exp", -2, 2), ("log", 0.1, 5), ("log1p", -0.5, 5), ("sqrt", 0.01, 9),
+    ("sin", -3, 3), ("cos", -3, 3), ("tan", -1, 1), ("arcsin", -0.9, 0.9),
+    ("arccos", -0.9, 0.9), ("arctan", -5, 5), ("sinh", -2, 2),
+    ("cosh", -2, 2), ("tanh", -3, 3), ("arcsinh", -3, 3),
+    ("arccosh", 1.1, 5), ("arctanh", -0.9, 0.9), ("sigmoid", -5, 5),
+    ("softplus", -5, 5), ("erf", -2, 2), ("erfc", -2, 2),
+    ("gamma", 0.2, 4), ("gammaln", 0.2, 8), ("psi", 0.3, 8),
+    ("expm1", -2, 2), ("abs", -3, 3), ("floor", -3, 3), ("ceil", -3, 3),
+    ("sqr", -3, 3), ("sign", -3, 3), ("deg2rad", -180, 180),
+    ("rad2deg", -3, 3), ("log2", 0.1, 8), ("log10", 0.1, 8),
+    ("exp2", -3, 3), ("reciprocal", 0.1, 4), ("neg", -3, 3),
+]
+
+
+def test_unary_math_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    failures = []
+    for name, lo, hi in _UNARY_GRID:
+        v = rng.random(64) * (hi - lo) + lo
+        x_r = rt.dvector("x")
+        x_u = pt.dvector("x")
+        try:
+            y_r = getattr(rt, name)(x_r)
+        except AttributeError:
+            y_r = getattr(rt.math, name)(x_r)
+        y_u = getattr(pt, name)(x_u)
+        a = np.asarray(pytensor.function([x_r], y_r, mode=mode)(v))
+        b = np.asarray(ptt.function([x_u], y_u)(v))
+        if not np.allclose(b, a, rtol=1e-10, atol=1e-12):
+            failures.append((name, float(np.max(np.abs(a - b)))))
+    assert not failures, failures
+
+
+_BINARY_GRID = [
+    ("add", -3, 3), ("sub", -3, 3), ("mul", -3, 3), ("true_div", 0.1, 3),
+    ("int_div", 0.5, 9), ("mod", 0.5, 9), ("pow", 0.2, 2),
+    ("maximum", -3, 3), ("minimum", -3, 3), ("arctan2", -3, 3),
+    # hypot: ours has it, the reference doesn't export it — skipped
+    ("gammaincc", 0.2, 4), ("gammainc", 0.2, 4),
+]
+
+
+def test_binary_math_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    failures = []
+    for name, lo, hi in _BINARY_GRID:
+        va = rng.random(32) * (hi - lo) + lo
+        vb = rng.random(32) * (hi - lo) + lo
+        x_r, y_r = rt.dvector("x"), rt.dvector("y")
+        x_u, y_u = pt.dvector("x"), pt.dvector("y")
+        fr = getattr(rt, name, None) or getattr(rt.math, name)
+        fu = getattr(pt, name)
+        a = np.asarray(pytensor.function([x_r, y_r], fr(x_r, y_r),
+                                         mode=mode)(va, vb))
+        b = np.asarray(ptt.function([x_u, y_u], fu(x_u, y_u))(va, vb))
+        if not np.allclose(b, a, rtol=1e-9, atol=1e-12):
+            failures.append((name, float(np.max(np.abs(a - b)))))
+    assert not failures, failures
+
+
+def test_reduction_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    v = rng.standard_normal((4, 5, 6))
+    failures = []
+    for name in ("sum", "prod", "max", "min", "mean", "var", "std",
+                 "argmax", "argmin", "all", "any"):
+        for axis in (None, 0, 1, 2, (0, 2)):
+            if name in ("argmax", "argmin") and isinstance(axis, tuple):
+                continue
+            x_r = rt.dtensor3("x")
+            x_u = pt.tensor("x", dtype="float64", shape=(None,) * 3)
+            a = np.asarray(pytensor.function(
+                [x_r], getattr(rt, name)(x_r if name not in ("all", "any")
+                                         else rt.gt(x_r, 0), axis=axis),
+                mode=mode)(v))
+            b = np.asarray(ptt.function(
+                [x_u], getattr(pt, name)(x_u if name not in ("all", "any")
+                                         else pt.gt(x_u, 0), axis=axis))(v))
+            if not np.allclose(b.astype("float64"), a.astype("float64"),
+                               rtol=1e-12):
+                failures.append((name, axis))
+    assert not failures, failures
+
+
+def test_subtensor_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    v = rng.standard_normal((6, 7))
+    idx_cases = [
+        (slice(1, 5), slice(None)),
+        (slice(None, None, 2), slice(1, None, 3)),
+        (2, slice(None)),
+        (slice(None), -1),
+        (np.array([0, 3, 5]), slice(None)),
+        (np.array([0, 3, 3]), np.array([1, 2, 6])),
+        (slice(1, 4), np.array([0, 2])),
+    ]
+    failures = []
+    for i, idx in enumerate(idx_cases):
+        x_r = rt.dmatrix("x")
+        x_u = pt.dmatrix("x")
+        a = np.asarray(pytensor.function([x_r], x_r[idx], mode=mode)(v))
+        b = np.asarray(ptt.function([x_u], x_u[idx])(v))
+        if not np.allclose(b, a):
+            failures.append(i)
+        # inc_subtensor parity on the same index
+        y_r = rt.inc_subtensor(x_r[idx], x_r[idx] * 2)
+        y_u = pt.inc_subtensor(x_u[idx], x_u[idx] * 2)
+        a2 = np.asarray(pytensor.function([x_r], y_r, mode=mode)(v))
+        b2 = np.asarray(ptt.function([x_u], y_u)(v))
+        if not np.allclose(b2, a2):
+            failures.append(("inc", i))
+    assert not failures, failures
+
+
+def test_extra_ops_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    v = rng.standard_normal(40)
+    vi = rng.integers(0, 9, 40)
+    failures = []
+
+    def cmp(tag, build_r, build_u, val):
+        x_r = rt.dvector("x") if val.dtype.kind == "f" else rt.lvector("x")
+        x_u = (pt.dvector("x") if val.dtype.kind == "f"
+               else pt.lvector("x"))
+        a = pytensor.function([x_r], build_r(x_r), mode=mode)(val)
+        b = ptt.function([x_u], build_u(x_u))(val)
+        for ai, bi in zip(np.atleast_1d(a), np.atleast_1d(b)) \
+                if isinstance(a, (list, tuple)) else [(a, b)]:
+            if not np.allclose(np.asarray(bi, dtype="float64"),
+                               np.asarray(ai, dtype="float64"), rtol=1e-12):
+                failures.append(tag)
+                return
+
+    cmp("cumsum", lambda x: rt.cumsum(x), lambda x: pt.cumsum(x), v)
+    cmp("cumprod", lambda x: rt.cumprod(x), lambda x: pt.cumprod(x),
+        v * 0.1)
+    cmp("diff", lambda x: rt.extra_ops.diff(x, n=2),
+        lambda x: pt.diff(x, n=2), v)
+    cmp("repeat", lambda x: rt.repeat(x, 3),
+        lambda x: pt.repeat(x, 3), v)
+    cmp("bincount", lambda x: rt.extra_ops.bincount(x, minlength=10),
+        lambda x: pt.bincount(x, minlength=10), vi)
+    cmp("searchsorted",
+        lambda x: rt.extra_ops.searchsorted(rt.sort(x), x * 0.5),
+        lambda x: pt.searchsorted(pt.sort(x), x * 0.5), v)
+    cmp("sort", lambda x: rt.sort(x), lambda x: pt.sort(x), v)
+    cmp("argsort", lambda x: rt.argsort(x), lambda x: pt.argsort(x), v)
+    assert not failures, failures
+
+
+def test_linalg_parity_grid(ref):
+    import pytensor
+    import pytensor.tensor as rt
+    from pytensor.tensor import linalg as rla
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.tensor import linalg as pla
+
+    mode = _ref_mode()
+    n = 6
+    Araw = rng.standard_normal((n, n))
+    A_pd = Araw @ Araw.T + n * np.eye(n)
+    bv = rng.standard_normal(n)
+    failures = []
+
+    def cmp(tag, fr, fu, *vals, rtol=1e-9):
+        ins_r = [rt.dmatrix("A"), rt.dvector("b")][: len(vals)]
+        ins_u = [pt.dmatrix("A"), pt.dvector("b")][: len(vals)]
+        a = np.asarray(pytensor.function(ins_r, fr(*ins_r), mode=mode)(*vals))
+        b = np.asarray(ptt.function(ins_u, fu(*ins_u))(*vals))
+        if not np.allclose(b, a, rtol=rtol, atol=1e-10):
+            failures.append((tag, float(np.max(np.abs(a - b)))))
+
+    cmp("cholesky", lambda A: rla.cholesky(A), lambda A: pla.cholesky(A),
+        A_pd)
+    cmp("solve", lambda A, b: rla.solve(A, b),
+        lambda A, b: pla.solve(A, b), A_pd, bv)
+    cmp("inv", lambda A: rt.linalg.inv(A), lambda A: pla.inv(A), A_pd)
+    cmp("det", lambda A: rt.linalg.det(A), lambda A: pla.det(A), A_pd)
+    cmp("slogdet", lambda A: rt.linalg.slogdet(A)[1],
+        lambda A: pla.slogdet(A)[1], A_pd)
+    # expm: reference uses an eig-based algorithm, ours scaling-squaring
+    # (jax) — equal to ~1e-6 relative, not 1e-9
+    cmp("expm", lambda A: rla.expm(A * 0.1),
+        lambda A: pla.expm(A * 0.1), A_pd, rtol=1e-5)
+    cmp("solve_triangular",
+        lambda A, b: rla.solve_triangular(rla.cholesky(A), b, lower=True),
+        lambda A, b: pla.solve_triangular(pla.cholesky(A), b, lower=True),
+        A_pd, bv)
+    cmp("pinv", lambda A: rt.linalg.pinv(A), lambda A: pla.pinv(A), A_pd)
+    # gradient parity through cholesky+solve (the GP kernel core)
+    A_r = rt.dmatrix("A")
+    A_u = pt.dmatrix("A")
+    g_r = pytensor.grad(
+        rla.solve(A_r, np.ones(n)).sum() + rt.log(rt.linalg.det(A_r)), A_r)
+    g_u = ptt.grad(
+        pla.solve(A_u, np.ones(n)).sum() + pt.log(pla.det(A_u)), A_u)
+    a = np.asarray(pytensor.function([A_r], g_r, mode=mode)(A_pd))
+    b = np.asarray(ptt.function([A_u], g_u)(A_pd))
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10)
+    assert not failures, failures
+
+
+def test_sparse_parity(ref):
+    import scipy.sparse as ssp
+
+    import pytensor
+    from pytensor import sparse as rsp
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.sparse as usp
+    import pytensor_tpu.tensor as pt
+    import pytensor.tensor as rt
+
+    mode = _ref_mode()
+    A = ssp.random(8, 6, density=0.4, format="csr", random_state=3,
+                   dtype="float64")
+    xv = rng.standard_normal((6, 3))
+
+    # structured_dot value + dense-operand grad
+    x_r = rt.dmatrix("x")
+    x_u = pt.dmatrix("x")
+    y_r = rsp.structured_dot(rsp.as_sparse_variable(A), x_r)
+    y_u = usp.structured_dot(usp.as_sparse_variable(A), x_u)
+    a = np.asarray(pytensor.function([x_r], y_r, mode=mode)(xv))
+    b = np.asarray(ptt.function([x_u], y_u)(xv))
+    np.testing.assert_allclose(b, a, rtol=1e-12)
+    ga = np.asarray(pytensor.function(
+        [x_r], pytensor.grad(y_r.sum(), x_r), mode=mode)(xv))
+    gb = np.asarray(ptt.function([x_u], ptt.grad(y_u.sum(), x_u))(xv))
+    np.testing.assert_allclose(gb, ga, rtol=1e-12)
+
+    # sp_sum / dense roundtrip
+    s_r = rsp.csr_matrix("s", dtype="float64")
+    s_u = usp.csr_matrix("s", dtype="float64")
+    a = float(pytensor.function(
+        [s_r], rsp.sp_sum(s_r, sparse_grad=False), mode=mode)(A))
+    b = float(np.asarray(ptt.function([s_u], usp.sp_sum(s_u))(A)))
+    assert abs(a - b) < 1e-12
