@@ -10,7 +10,9 @@ VMEM and per-iteration kernel-launch overhead is zero.  The hand-written
 existence proof is models/radon_pallas.py (~1 us/leapfrog step).
 
 Eligibility (conservative; anything else falls back to lax.scan):
-- no sequences, no while-condition, taps == (-1,) for every state;
+- no while-condition, taps == (-1,) for every state; sequences are
+  supported when their full (T, *row) arrays are static-shaped and fit
+  the VMEM budget (rows are read at an untiled leading dim — free);
 - no untraced non-float state (RNG keys need jax.random inside the
   kernel, which Mosaic does not trace);
 - every inner op from a whitelist known to lower through Mosaic
@@ -49,12 +51,20 @@ _OK_DTYPES = ("float32", "bfloat16", "bool",
               "uint8", "uint16", "uint32")
 
 
-def pallas_scan_eligible(op) -> bool:
+def pallas_scan_eligible(op, node=None) -> bool:
     info = op.info
-    if info.as_while or info.n_seqs or info.n_nit_sot < 0:
+    if info.as_while or info.n_nit_sot < 0:
         return False
     if any(t != (-1,) for t in info.taps):
         return False
+    if info.n_seqs:
+        if node is None:
+            return False
+        # outer sequences live whole in VMEM: need static (T, *row)
+        for s in node.inputs[1: 1 + info.n_seqs]:
+            shp = getattr(s.type, "shape", None)
+            if shp is None or any(d is None for d in shp):
+                return False
     for v in op.fgraph.inputs + op.fgraph.outputs:
         dt = getattr(v.type, "dtype", None)
         if dt is None or dt not in _OK_DTYPES:
@@ -72,10 +82,13 @@ def pallas_scan_eligible(op) -> bool:
             if o.type.dtype not in _OK_DTYPES and not str(
                     o.type.dtype).startswith("int"):
                 return False
-    # VMEM budget: states + constants + one trace row
+    # VMEM budget: states + constants + whole sequences + one trace row
     total = 0
     for v in op.fgraph.inputs:
         total += int(np.prod(getattr(v.type, "shape", ()) or (1,), initial=1)) * 4
+    if node is not None:
+        for s in node.inputs[1: 1 + info.n_seqs]:
+            total += int(np.prod(s.type.shape, initial=1)) * 4
     for v in ancestors(op.fgraph.outputs):
         if isinstance(v, Constant) and getattr(v.type, "ndim", 0) >= 1:
             total += int(np.asarray(v.data).size) * 4
@@ -85,7 +98,7 @@ def pallas_scan_eligible(op) -> bool:
 def make_pallas_scan_fn(op, node):
     """Return scan_fn(n_steps, *outer) running the whole loop in one
     Pallas kernel, or None when the scan is not eligible."""
-    if not pallas_scan_eligible(op):
+    if not pallas_scan_eligible(op, node):
         return None
 
     import jax
@@ -98,6 +111,7 @@ def make_pallas_scan_fn(op, node):
 
     info = op.info
     inner = fgraph_to_jax(op.fgraph)
+    n_seqs = info.n_seqs
     n_states = info.n_states
     n_unt = info.n_untraced
     n_nit = info.n_nit_sot
@@ -166,26 +180,33 @@ def make_pallas_scan_fn(op, node):
             # outer value (*s) -> kernel operand (*pad(bs))
             return jnp.asarray(v).reshape(_pad(_bs(s)))
 
-        init_raw = outer[: n_states]
-        unt_raw = outer[n_states: n_states + n_unt]
-        ns_raw = outer[n_states + n_unt:]
-        in_state_shapes = in_shapes[: n_states]
-        in_unt_shapes = in_shapes[n_states: n_states + n_unt]
-        in_ns_shapes = in_shapes[n_states + n_unt:]
+        seq_raw = outer[: n_seqs]
+        init_raw = outer[n_seqs: n_seqs + n_states]
+        unt_raw = outer[n_seqs + n_states: n_seqs + n_states + n_unt]
+        ns_raw = outer[n_seqs + n_states + n_unt:]
+        in_seq_shapes = in_shapes[: n_seqs]  # per-step slice shapes
+        in_state_shapes = in_shapes[n_seqs: n_seqs + n_states]
+        in_unt_shapes = in_shapes[n_seqs + n_states:
+                                  n_seqs + n_states + n_unt]
+        in_ns_shapes = in_shapes[n_seqs + n_states + n_unt:]
+        # whole sequences as (T, *pad(bs_row)) VMEM operands
+        seq_ops = [jnp.asarray(v)[:T].reshape((T, *_pad(_bs(s))))
+                   for v, s in zip(seq_raw, in_seq_shapes)]
         inits = [as_op(v, s) for v, s in zip(init_raw, in_state_shapes)]
         unt0 = [as_op(v, s) for v, s in zip(unt_raw, in_unt_shapes)]
         non_seqs = [as_op(v, s) for v, s in zip(ns_raw, in_ns_shapes)]
 
-        n_in = n_states + n_unt + len(non_seqs) + len(big_ops)
+        n_in = n_seqs + n_states + n_unt + len(non_seqs) + len(big_ops)
 
         def load(r, shape):
             v = r[...]
             return v if v.shape == tuple(shape) else v.reshape(shape)
 
         def kernel(*refs):
-            init_refs = refs[:n_states]
-            unt_refs = refs[n_states: n_states + n_unt]
-            rest = refs[n_states + n_unt:]
+            seq_refs = refs[:n_seqs]
+            init_refs = refs[n_seqs: n_seqs + n_states]
+            unt_refs = refs[n_seqs + n_states: n_seqs + n_states + n_unt]
+            rest = refs[n_seqs + n_states + n_unt:]
             nonseq_refs = rest[: len(non_seqs)]
             const_refs = rest[len(non_seqs): len(non_seqs) + len(big_ops)]
             out_refs = refs[n_in:]
@@ -200,8 +221,13 @@ def make_pallas_scan_fn(op, node):
 
             def body(i, carry):
                 states, unt = carry
-                outs = run_body(tuple(states) + tuple(unt) + nonseq_vals,
-                                big)
+                # per-step sequence rows (not loop-carried: the
+                # rank-adjusting reshape of a fresh load is fine)
+                seq_vals = tuple(
+                    seq_refs[k][pl.ds(i, 1)].reshape(_bs(in_seq_shapes[k]))
+                    for k in range(n_seqs))
+                outs = run_body(seq_vals + tuple(states) + tuple(unt)
+                                + nonseq_vals, big)
                 new_states = tuple(outs[:n_states])
                 new_unt = tuple(outs[n_states: n_states + n_unt])
                 nits = tuple(outs[n_states + n_unt:])
@@ -232,7 +258,7 @@ def make_pallas_scan_fn(op, node):
         )
         res = pl.pallas_call(kernel, out_shape=tuple(out_shape),
                              interpret=interpret)(
-            *inits, *unt0, *non_seqs, *big_ops)
+            *seq_ops, *inits, *unt0, *non_seqs, *big_ops)
         if not isinstance(res, (list, tuple)):
             res = (res,)
         res = list(res)

@@ -658,7 +658,7 @@ class TestScanPallas:
             tr, upd = ptt.scan(lambda: srng.normal(0.0, 1.0), n_steps=3)
             f = ptt.function([], tr, updates=upd)
         assert np.asarray(f()).shape == (3,)
-        # sequences -> fallback
+        # sequences: now ELIGIBLE (whole array in VMEM) — values must match
         x = pt.tensor("x", dtype="float32", shape=(4,))
         with config.change_flags(scan__pallas=True):
             tr2, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
