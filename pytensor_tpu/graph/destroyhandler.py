@@ -52,9 +52,56 @@ def _contains_cycle(fgraph, orderings) -> bool:
         return True
 
 
+def view_root(var):
+    """Follow ``view_map`` chains to the storage root of ``var``
+    (reference destroyhandler.py get_var_root semantics)."""
+    while var.owner is not None:
+        vmap = getattr(var.owner.op, "view_map", None)
+        if not vmap:
+            return var
+        out_idx = var.owner.outputs.index(var)
+        if out_idx not in vmap:
+            return var
+        (in_idx,) = vmap[out_idx]
+        var = var.owner.inputs[in_idx]
+    return var
+
+
+def _aliases_of(fgraph, root):
+    """Every live variable whose storage is (a view of) ``root``."""
+    out = {root}
+    frontier = [root]
+    while frontier:
+        v = frontier.pop()
+        for client, idx in fgraph.clients.get(v, ()):
+            if client == "output":
+                continue
+            vmap = getattr(client.op, "view_map", None)
+            if not vmap:
+                continue
+            for out_idx, in_idxs in vmap.items():
+                if idx in in_idxs:
+                    o = client.outputs[out_idx]
+                    if o not in out:
+                        out.add(o)
+                        frontier.append(o)
+    return out
+
+
+class InconsistencyError(Exception):
+    """DestroyHandler validation failure (reference graph/fg.py name)."""
+
+
 class DestroyHandler(Feature):
-    """Validate that destroy_map annotations stay acyclic and that
-    protected (non-donated) variables are never marked destroyed."""
+    """Safety analysis for destructive/viewing ops (reference
+    destroyhandler.py:281 rebuilt for the donation runtime).
+
+    Tracks view chains to storage roots, orders each destroyer after
+    every reader of ANY alias of the destroyed root, rejects protected-
+    variable destruction, double destruction of one root, and ordering
+    cycles.  On the XLA path in-place execution happens through buffer
+    donation, so this feature is consulted by the oracle linkers and by
+    inplace-style rewrites (``has_destroyers``), not by codegen."""
 
     def __init__(self, do_imports_on_attach=True):
         self.protected: set = set()
@@ -64,46 +111,73 @@ class DestroyHandler(Feature):
             raise AlreadyThere()
         fgraph.destroy_handler = self
         fgraph.protect = self.protect
+        fgraph.has_destroyers = self.has_destroyers_fn(fgraph)
 
     def on_detach(self, fgraph):
         del fgraph.destroy_handler
         del fgraph.protect
+        del fgraph.has_destroyers
 
     def protect(self, var):
         self.protected.add(var)
 
-    def orderings(self, fgraph):
-        """Destructive nodes run after every other reader of the value."""
-        ords = {}
+    def _destroyed_roots(self, fgraph):
+        """{root: [destroyer nodes]} over the current graph."""
+        roots = {}
         for node in fgraph.apply_nodes:
             dmap = getattr(node.op, "destroy_map", None)
             if not dmap:
                 continue
             for out_idx, in_idxs in dmap.items():
                 for in_idx in in_idxs:
-                    var = node.inputs[in_idx]
-                    readers = [
-                        c for c, _ in fgraph.clients.get(var, ())
-                        if c != "output" and c is not node
-                    ]
-                    if readers:
-                        ords.setdefault(node, []).extend(readers)
+                    r = view_root(node.inputs[in_idx])
+                    roots.setdefault(r, []).append(node)
+        return roots
+
+    def has_destroyers_fn(self, fgraph):
+        def has_destroyers(protected_list):
+            roots = self._destroyed_roots(fgraph)
+            destroyed = set(roots)
+            return [view_root(v) in destroyed for v in protected_list]
+
+        return has_destroyers
+
+    def orderings(self, fgraph):
+        """Each destroyer runs after every reader of every alias of the
+        destroyed storage root (not just direct readers of the input)."""
+        ords = {}
+        for root, destroyers in self._destroyed_roots(fgraph).items():
+            for node in destroyers:
+                readers = []
+                for alias in _aliases_of(fgraph, root):
+                    for c, _ in fgraph.clients.get(alias, ()):
+                        if c != "output" and c is not node:
+                            readers.append(c)
+                if readers:
+                    ords.setdefault(node, []).extend(readers)
         return ords
 
     def validate(self, fgraph):
-        for node in fgraph.apply_nodes:
-            dmap = getattr(node.op, "destroy_map", None)
-            if not dmap:
-                continue
-            for out_idx, in_idxs in dmap.items():
-                for in_idx in in_idxs:
-                    if node.inputs[in_idx] in self.protected:
-                        raise Exception(
-                            f"{node} would destroy protected variable "
-                            f"{node.inputs[in_idx]}"
-                        )
+        roots = self._destroyed_roots(fgraph)
+        for root, destroyers in roots.items():
+            if len(destroyers) > 1:
+                raise InconsistencyError(
+                    f"multiple destroyers of {root}: {destroyers}")
+            if root in self.protected or any(
+                    a in self.protected for a in _aliases_of(fgraph, root)):
+                raise InconsistencyError(
+                    f"{destroyers[0]} would destroy protected variable "
+                    f"{root}")
+            if root.owner is None and root in fgraph.inputs:
+                # fgraph inputs are only destroyable when explicitly
+                # unprotected (the reference's Supervisor contract)
+                if getattr(root.tag, "destroyable", False) is not True:
+                    raise InconsistencyError(
+                        f"{destroyers[0]} would destroy fgraph input "
+                        f"{root} (mark tag.destroyable to allow)")
         if _contains_cycle(fgraph, self.orderings(fgraph)):
-            raise Exception("destroy orderings introduce a cycle")
+            raise InconsistencyError("destroy orderings introduce a cycle")
+
 
 
 def donation_report(fgraph) -> dict:

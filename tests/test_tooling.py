@@ -132,6 +132,86 @@ def test_destroyhandler_metadata():
     assert rep[0] and rep[1]
 
 
+def test_destroyhandler_view_chains_and_validation():
+    """View-root tracking, aliased-reader orderings, protection, and
+    double-destroy detection (reference destroyhandler.py:281)."""
+    import pytest as _pytest
+
+    from pytensor_tpu.graph.basic import Apply
+    from pytensor_tpu.graph.destroyhandler import (DestroyHandler,
+                                                   InconsistencyError,
+                                                   view_root)
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.op import Op
+
+    class View(Op):
+        __props__ = ()
+        view_map = {0: [0]}
+
+        def make_node(self, x):
+            return Apply(self, [x], [x.type()])
+
+        def perform(self, node, inputs, out):
+            out[0][0] = inputs[0]
+
+    class Destroy(Op):
+        __props__ = ()
+        destroy_map = {0: [0]}
+
+        def make_node(self, x):
+            return Apply(self, [x], [x.type()])
+
+        def perform(self, node, inputs, out):
+            out[0][0] = inputs[0]
+
+    x = pt.dvector("x")
+    v = View()(x)
+    d = Destroy()(v)
+    assert view_root(v) is x
+
+    # destroying a view of an fgraph input without permission -> error
+    fg = FunctionGraph([x], [d], clone=False)
+    dh = DestroyHandler()
+    fg.attach_feature(dh)
+    with _pytest.raises(InconsistencyError, match="destroy fgraph input"):
+        dh.validate(fg)
+    x.tag.destroyable = True
+    dh.validate(fg)  # now allowed
+
+    # the destroyer must be ordered after other readers of ANY alias
+    y = pt.dvector("y")
+    v2 = View()(y)
+    y.tag.destroyable = True
+    reader = v2 + 1.0
+    d2 = Destroy()(y)
+    fg2 = FunctionGraph([y], [reader, d2], clone=False)
+    dh2 = DestroyHandler()
+    fg2.attach_feature(dh2)
+    ords = dh2.orderings(fg2)
+    (destroyer_node,) = [n for n in fg2.apply_nodes
+                         if isinstance(n.op, Destroy)]
+    assert destroyer_node in ords
+    assert reader.owner in ords[destroyer_node]
+    # toposort respects the ordering: reader runs before the destroyer
+    order = fg2.toposort()
+    assert order.index(reader.owner) < order.index(destroyer_node)
+
+    # two destroyers of one root -> error
+    z = pt.dvector("z")
+    z.tag.destroyable = True
+    fg3 = FunctionGraph([z], [Destroy()(z), Destroy()(View()(z))],
+                        clone=False)
+    dh3 = DestroyHandler()
+    fg3.attach_feature(dh3)
+    with _pytest.raises(InconsistencyError, match="multiple destroyers"):
+        dh3.validate(fg3)
+
+    # has_destroyers API (inplace-rewrite contract)
+    assert fg3.has_destroyers([z]) == [True]
+    w = pt.dvector("w")
+    assert fg3.has_destroyers([w]) == [False]
+
+
 def test_profile_xla_cost_analysis():
     """profile=True surfaces the XLA executable's cost analysis
     (reference exposes per-op timing from its VMs; on one fused
