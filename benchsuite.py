@@ -124,18 +124,16 @@ def ours_elman(iters=32):
 
 
 def ours_gp(n=256, iters=32):
-    import jax.numpy as jnp
+    from pytensor_tpu.models.gp import make_gp_sgd_step
 
-    from pytensor_tpu.models.gp import make_gp_marginal_likelihood
-
-    f, theta0 = make_gp_marginal_likelihood(n=n, dtype="float32")
+    # SGD update compiled INTO the step (updates=) on both sides: at
+    # n=256 a host round-trip per parameter would dominate the timing
+    f, params = make_gp_sgd_step(n=n, dtype="float32")
 
     def run_iter(k):
-        th = [jnp.asarray(t) for t in theta0]
         nm = None
         for _ in range(k):
-            nm, g0, g1, g2 = f(*th)
-            th = [th[0] - 1e-3 * g0, th[1] - 1e-3 * g1, th[2] - 1e-3 * g2]
+            nm = f()
         return nm
 
     return 1.0 / _time_chained(run_iter, iters=iters)
@@ -331,6 +329,38 @@ def ref_gp(n=256, iters=8):
     return 1.0 / _ref_time(call, iters)
 
 
+def ref_gp_shared(n=256, iters=8):
+    """Reference with the SAME compiled-updates formulation as ours."""
+    pytensor, rt = _ref_modules()
+    import pytensor as pyt
+
+    rng = np.random.default_rng(SUITE_SEED)
+    Xv = rng.random((n, 3))
+    yv = np.sin(Xv.sum(axis=1)) + 0.1 * rng.standard_normal(n)
+    X = rt.as_tensor_variable(Xv)
+    y = rt.as_tensor_variable(yv)
+    params = [pyt.shared(np.zeros(()), name=nm)
+              for nm in ("log_ls", "log_amp", "log_noise")]
+    log_ls, log_amp, log_noise = params
+    ls, amp, noise = rt.exp(log_ls), rt.exp(log_amp), rt.exp(log_noise)
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=-1)
+    K = amp ** 2 * rt.exp(-sq / (2 * ls ** 2)) + (noise ** 2 + 1e-8) * rt.eye(n)
+    L = rt.linalg.cholesky(K)
+    alpha = rt.linalg.solve_triangular(L, y, lower=True)
+    nmll = 0.5 * rt.sum(alpha ** 2) + rt.sum(rt.log(rt.diag(L))) \
+        + 0.5 * n * float(np.log(2 * np.pi))
+    grads = pyt.grad(nmll, params)
+    f = pyt.function([], nmll,
+                     updates=[(p, p - 1e-3 * g)
+                              for p, g in zip(params, grads)])
+    f.trust_input = True
+
+    def call():
+        f()
+
+    return 1.0 / _ref_time(call, iters)
+
+
 def ref_sparse(n=65536, nnz_per_row=10, iters=32):
     pytensor, rt = _ref_modules()
     import scipy.sparse as sp
@@ -380,7 +410,7 @@ WORKLOADS = [
     ("scan_ewma_4096", lambda: ours_scan("ewma"),
      lambda: ref_scan("ewma"), "calls/s"),
     ("elman_bptt_step", ours_elman, ref_elman, "steps/s"),
-    ("gp_mll_grad_256", ours_gp, ref_gp, "evals/s"),
+    ("gp_mll_grad_256", ours_gp, ref_gp_shared, "evals/s"),
     ("sparse_csr_matvec_65536", ours_sparse, ref_sparse, "matvecs/s"),
     ("fused_elemwise_bandwidth", ours_fused, ref_fused, "GB/s"),
 ]
