@@ -38,3 +38,27 @@ from pytensor_tpu.compile.mode import (  # noqa: F401,E402
 )
 from pytensor_tpu.compile.ops import FromFunctionOp, wrap_py  # noqa: F401,E402
 from pytensor_tpu.compile.rebuild import rebuild_collect_shared  # noqa: F401,E402
+
+from pytensor_tpu.compile.mode import (  # noqa: F401,E402
+    C,
+    CVM,
+    JAX,
+    MLX,
+    NUMBA,
+    PYTORCH,
+    AddDestroyHandler,
+    AddFeatureOptimizer,
+    PrintCurrentFunctionGraph,
+    local_useless,
+)
+from pytensor_tpu.compile.executor import AliasedMemoryError  # noqa: F401,E402
+from pytensor_tpu.compile.aliasing import (  # noqa: F401,E402
+    alias_root,
+    view_tree_set,
+)
+from pytensor_tpu.compile.ops import (  # noqa: F401,E402
+    register_deep_copy_op_c_code,
+    register_view_op_c_code,
+)
+from pytensor_tpu.compile import compilelock, inner_function  # noqa: F401,E402
+from pytensor_tpu.compile.aliasing import add_supervisor_to_fgraph  # noqa: F401,E402

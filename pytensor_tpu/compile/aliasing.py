@@ -73,3 +73,18 @@ def insert_deepcopy(fgraph, wrapped_inputs, wrapped_outputs):
     needed.  The oracle VM returns fresh arrays from each perform.
     """
     return fgraph
+
+
+def alias_root(var):
+    """Storage root of a view chain (reference compile/function naming;
+    same analysis as graph.destroyhandler.view_root)."""
+    from pytensor_tpu.graph.destroyhandler import view_root
+
+    return view_root(var)
+
+
+def view_tree_set(fgraph, var):
+    """Every live alias of ``var``'s storage root."""
+    from pytensor_tpu.graph.destroyhandler import _aliases_of, view_root
+
+    return _aliases_of(fgraph, view_root(var))

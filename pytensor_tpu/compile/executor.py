@@ -20,6 +20,11 @@ from pytensor_tpu.link.basic import PerformLinker
 from pytensor_tpu.link.xla.linker import XlaLinker
 
 
+class AliasedMemoryError(Exception):
+    """Output buffers alias each other or an input unexpectedly
+    (reference compile/executor.py:29)."""
+
+
 class Function:
     def __init__(self, linker, fgraph, explicit_inputs, shared_vars, update_pairs,
                  n_user_outputs, unpack_single, name=None, trust_input=False,

@@ -253,3 +253,69 @@ def register_optimizer(name, query):
 
 def register_mode(name, mode):
     predefined_modes[name] = mode
+
+
+class AddDestroyHandler(GraphRewriter):
+    """Attach the DestroyHandler feature (reference compile/mode.py:118).
+    On the XLA path in-place safety is the compiler's job; this remains
+    meaningful for oracle linkers and inplace-style rewrites."""
+
+    def apply(self, fgraph):
+        pass
+
+    def add_requirements(self, fgraph):
+        from pytensor_tpu.graph.destroyhandler import DestroyHandler
+        from pytensor_tpu.graph.features import AlreadyThere
+
+        try:
+            fgraph.attach_feature(DestroyHandler())
+        except AlreadyThere:
+            pass
+
+
+class AddFeatureOptimizer(GraphRewriter):
+    """Attach an arbitrary feature as a rewrite step (reference
+    compile/mode.py:155)."""
+
+    def __init__(self, feature):
+        self.feature = feature
+
+    def apply(self, fgraph):
+        pass
+
+    def add_requirements(self, fgraph):
+        from pytensor_tpu.graph.features import AlreadyThere
+
+        try:
+            fgraph.attach_feature(self.feature)
+        except AlreadyThere:
+            pass
+
+
+class PrintCurrentFunctionGraph(GraphRewriter):
+    """Debug rewrite step: print the graph when reached (reference
+    compile/mode.py:171)."""
+
+    def __init__(self, header=""):
+        self.header = header
+
+    def apply(self, fgraph):
+        from pytensor_tpu.printing import debugprint
+
+        if self.header:
+            print(self.header)
+        debugprint(fgraph)
+
+
+# reference mode-name constants.  This framework has ONE production
+# backend (XLA); requesting another backend's mode gets the equivalent
+# here: the oracle (py/C-VM analog) for C/CVM, the XLA path for the JIT
+# family — same spirit as jax ignoring an unavailable platform.
+C = Mode(linker="perform", optimizer="fast_run")
+CVM = C
+NUMBA = FAST_RUN
+JAX = FAST_RUN
+PYTORCH = FAST_RUN
+MLX = FAST_RUN
+
+local_useless = useless  # reference compile/mode.py:201 name

@@ -114,3 +114,13 @@ def as_op(itypes, otypes, infer_shape=None):
 
 
 wrap_py = as_op
+
+
+def register_view_op_c_code(type, code, version=()):
+    """No-op: the reference registers per-Type C snippets for its C
+    backend (compile/ops.py:18); on the XLA backend ViewOp lowers to
+    identity and no C code exists to register."""
+
+
+def register_deep_copy_op_c_code(typ, code, version=()):
+    """No-op (see register_view_op_c_code)."""

@@ -330,3 +330,29 @@ def test_pprint_radon_round_trip_readably():
     for token in ("theta", "exp", "log", "sum", "**", "/"):
         assert token in s, f"missing {token} in pprint output"
     assert "Elemwise" not in s, "raw op names leaked into pprint"
+
+
+def test_compile_namespace_parity():
+    """Reference compile namespace coverage: mode constants, feature
+    rewriters, aliasing helpers, compilelock, inner_function."""
+    import pytensor_tpu.compile as c
+
+    assert c.CVM is c.C
+    # feature rewriters attach on rewrite()
+    from pytensor_tpu.graph.fg import FunctionGraph
+
+    x = pt.dvector("x")
+    fg = FunctionGraph([x], [x + 1], clone=False)
+    c.AddDestroyHandler().rewrite(fg)
+    assert hasattr(fg, "destroy_handler")
+    # alias analysis helpers
+    assert c.alias_root(x) is x
+    assert x in c.view_tree_set(fg, x)
+    # no-op C registrars accept anything
+    c.register_view_op_c_code(None, "")
+    c.register_deep_copy_op_c_code(None, "")
+    # requesting another backend's mode compiles and runs
+    f = ptt.function([x], x * 2, mode=c.NUMBA)
+    np.testing.assert_allclose(f(np.ones(3)), 2.0)
+    f2 = ptt.function([x], x * 2, mode=c.C)
+    np.testing.assert_allclose(f2(np.ones(3)), 2.0)
