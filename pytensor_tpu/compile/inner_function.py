@@ -25,7 +25,7 @@ class HasInnerFunction(HasInnerGraph):
 
             self._inner_fn = function(
                 list(self.fgraph.inputs), list(self.fgraph.outputs),
-                mode=Mode(linker="perform", optimizer=None),
+                mode=Mode(linker="py", optimizer="None"),
                 accept_inplace=True)
         return self._inner_fn
 

@@ -311,7 +311,7 @@ class PrintCurrentFunctionGraph(GraphRewriter):
 # backend (XLA); requesting another backend's mode gets the equivalent
 # here: the oracle (py/C-VM analog) for C/CVM, the XLA path for the JIT
 # family — same spirit as jax ignoring an unavailable platform.
-C = Mode(linker="perform", optimizer="fast_run")
+C = Mode(linker="py", optimizer="fast_run")
 CVM = C
 NUMBA = FAST_RUN
 JAX = FAST_RUN
