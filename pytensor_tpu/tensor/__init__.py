@@ -308,3 +308,17 @@ def __getattr__(name):
         return optimize
     raise AttributeError(f"module pytensor_tpu.tensor has no attribute {name}")
 import pytensor_tpu.tensor.fused  # noqa: E402,F401
+
+# reference-namespace module aliases and leftovers
+import pytensor_tpu.tensor.optimize as optimize  # noqa: F401
+import pytensor_tpu.tensor.type_other as slicetype  # noqa: F401
+import pytensor_tpu.tensor.type_other as none_type_t_module  # noqa: F401
+from pytensor_tpu.tensor.type_other import NoneConst, none_type_t  # noqa: F401
+
+NoneSliceConst = NoneConst  # reference tensor/__init__.py:4 name
+
+
+def values_eq_approx_always_true(a, b):
+    """Comparator that accepts anything (reference tensor/type.py:728;
+    used to silence DebugMode on intentionally-nondeterministic ops)."""
+    return True

@@ -30,3 +30,5 @@ def shared_rng(seed=None, name=None):
 
 
 rng = shared_rng
+
+from pytensor_tpu.tensor.random import rewriting, variable  # noqa: F401
