@@ -530,3 +530,84 @@ def test_convolve_same_mode_grads_fd():
     fd2 = (float(np.asarray(f2(xv2, kv2 + eps * E2)[0]))
            - float(np.asarray(f2(xv2, kv2 - eps * E2)[0]))) / (2 * eps)
     np.testing.assert_allclose((gka2 * E2).sum(), fd2, rtol=1e-6)
+
+
+class TestParallelPPandEP:
+    """Pipeline (GPipe over ppermute) and expert (Switch MoE over
+    all_to_all) parallelism on the virtual mesh (SURVEY §5.8)."""
+
+    def test_pipeline_forward_matches_sequential(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from pytensor_tpu import parallel
+        from pytensor_tpu.parallel import pipeline as plmod
+
+        n_stages, n_micro, mb, d = 4, 6, 4, 8
+        mesh = parallel.make_mesh({"pipe": n_stages})
+        layer = plmod._stage_layer_fn(mb, d)
+        rng = np.random.default_rng(0)
+        W = (rng.standard_normal((n_stages, d, d)) * 0.3).astype("float32")
+        b = np.zeros((n_stages, d), "float32")
+        xs = rng.standard_normal((n_micro, mb, d)).astype("float32")
+        out = xs.copy()
+        for s in range(n_stages):
+            out = np.tanh(out @ W[s] + b[s])
+
+        ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def probe(W_l, b_l, xs_):
+            idx = jax.lax.axis_index("pipe")
+
+            def body(carry, t):
+                k_in = jnp.minimum(t, n_micro - 1)
+                inp = jnp.where(idx == 0, xs_[k_in], carry)
+                y = layer(W_l[0], b_l[0], inp)[0]
+                nxt = jax.lax.ppermute(y, "pipe", ring)
+                k_out = t - (n_stages - 1)
+                emit = jnp.where((idx == n_stages - 1) & (k_out >= 0), y,
+                                 jnp.zeros_like(y))
+                return nxt, (emit, k_out)
+
+            init = jax.lax.pcast(jnp.zeros((mb, d), "float32"), ("pipe",),
+                                 to="varying")
+            _, (emits, ks) = jax.lax.scan(body, init,
+                                          jnp.arange(n_micro + n_stages - 1))
+            outs = jnp.zeros((n_micro, mb, d))
+            outs = outs.at[jnp.clip(ks, 0, n_micro - 1)].add(
+                jnp.where((ks >= 0)[:, None, None], emits, 0.0))
+            return jax.lax.psum(outs, "pipe")
+
+        f = jax.jit(shard_map(probe, mesh=mesh,
+                              in_specs=(P("pipe"), P("pipe"), P()),
+                              out_specs=P()))
+        np.testing.assert_allclose(np.asarray(f(W, b, xs)), out,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_pipeline_train_step_decreases_loss(self):
+        from pytensor_tpu import parallel
+        from pytensor_tpu.parallel.pipeline import make_pipeline_train_step
+
+        mesh = parallel.make_mesh({"pipe": 4})
+        step, (W, b), (xs, ys) = make_pipeline_train_step(
+            mesh, n_micro=8, mb=4, d=8)
+        losses = []
+        for _ in range(8):
+            W, b, loss = step(W, b, xs, ys)
+            losses.append(float(np.asarray(loss)))
+        assert losses[-1] < losses[0]
+
+    def test_moe_train_step_decreases_loss(self):
+        from pytensor_tpu import parallel
+        from pytensor_tpu.parallel.moe import make_moe_train_step
+
+        mesh = parallel.make_mesh({"expert": 8})
+        step, (Wg, W1, W2), (x, y) = make_moe_train_step(
+            mesh, tokens_per_dev=16, d=8, h=16)
+        losses = []
+        for _ in range(8):
+            Wg, W1, W2, loss = step(Wg, W1, W2, x, y)
+            losses.append(float(np.asarray(loss)))
+        assert losses[-1] < losses[0]
