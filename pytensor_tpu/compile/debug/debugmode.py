@@ -76,16 +76,70 @@ def _outputs_match(fgraph, a_vals, b_vals, rtol, atol):
     return True
 
 
+def _canon_signature(fgraph) -> str:
+    """Structural graph signature, independent of object identity —
+    recurses into HasInnerGraph ops (whose __eq__ is identity, so
+    equal_computations cannot compare across independent rewrites)."""
+    from pytensor_tpu.graph.op import HasInnerGraph
+
+    in_pos = {v: i for i, v in enumerate(fgraph.inputs)}
+    memo = {}
+
+    def sig(v):
+        if v in memo:
+            return memo[v]
+        if v in in_pos:
+            s = f"in{in_pos[v]}"
+        elif isinstance(v, Constant):
+            data = v.data
+            try:
+                body = np.asarray(data).tobytes().hex()[:32]
+            except Exception:
+                body = repr(data)
+            s = f"const[{v.type}]{body}"
+        elif v.owner is None:
+            s = f"free[{v.type}]"
+        else:
+            node = v.owner
+            op = node.op
+            if isinstance(op, HasInnerGraph):
+                op_s = (f"{type(op).__name__}"
+                        f"<{_canon_signature(op.fgraph)}>")
+            else:
+                op_s = str(op)
+            args = ",".join(sig(i) for i in node.inputs)
+            s = f"{op_s}({args})#{node.outputs.index(v)}"
+        memo[v] = s
+        return s
+
+    return ";".join(sig(o) for o in fgraph.outputs)
+
+
+class StochasticOrder(Exception):
+    """Rewriting the same graph twice gave different results — some
+    rewrite iterates in a memory-address-dependent order (reference
+    debugmode.py:287)."""
+
+
 class _RecordingRewriter(GraphRewriter):
     """Run the mode's pipeline with a reason-recording FullHistory
-    attached; leave the history on the fgraph for the blame pass."""
+    attached; leave the history on the fgraph for the blame pass.
+    Also rewrites a CLONE of the pristine graph and compares: a
+    structural mismatch means the pipeline is nondeterministic."""
 
-    def __init__(self, inner):
+    def __init__(self, inner, check_stochastic_order=True):
         self.inner = inner
+        self.check_stochastic_order = check_stochastic_order
 
     def apply(self, fgraph):
         from pytensor_tpu.graph.features import AlreadyThere, FullHistory
 
+        twin = None
+        if self.check_stochastic_order:
+            try:
+                twin = fgraph.clone(check_integrity=False)
+            except Exception:
+                twin = None
         hist = FullHistory()
         try:
             fgraph.attach_feature(hist)
@@ -94,6 +148,16 @@ class _RecordingRewriter(GraphRewriter):
         res = self.inner.apply(fgraph)
         if hist is not None:
             fgraph._debug_full_history = hist
+        if twin is not None:
+            try:
+                self.inner.apply(twin)
+            except Exception:
+                twin = None  # twin-specific failure: skip the check
+            if twin is not None:
+                if _canon_signature(fgraph) != _canon_signature(twin):
+                    raise StochasticOrder(
+                        "rewriting the same graph twice produced different "
+                        "results; a rewrite likely iterates in id()-order")
         return res
 
     def add_requirements(self, fgraph):

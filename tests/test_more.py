@@ -611,3 +611,34 @@ class TestParallelPPandEP:
             Wg, W1, W2, loss = step(Wg, W1, W2, x, y)
             losses.append(float(np.asarray(loss)))
         assert losses[-1] < losses[0]
+
+
+def test_debugmode_stochastic_order_check():
+    """DebugMode rewrites the graph twice and compares canonical
+    signatures (reference debugmode.py:287 StochasticOrder)."""
+    import itertools
+
+    from pytensor_tpu.compile.debug import DebugMode
+    from pytensor_tpu.compile.debug.debugmode import (StochasticOrder,
+                                                      _RecordingRewriter)
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.rewriting.basic import GraphRewriter
+
+    # deterministic pipeline passes silently
+    x = pt.dvector("x")
+    f = ptt.function([x], pt.exp(x) + pt.log1p(x * x), mode=DebugMode())
+    np.testing.assert_allclose(np.asarray(f(np.ones(3))),
+                               np.e + np.log(2.0))
+
+    # a nondeterministic rewriter is caught
+    flips = itertools.count()
+
+    class Flaky(GraphRewriter):
+        def apply(self, fgraph):
+            if next(flips) % 2:
+                fgraph.replace(fgraph.outputs[0],
+                               fgraph.outputs[0] + 0.0, reason="flaky")
+
+    fg = FunctionGraph([x], [pt.exp(x)], clone=True)
+    with pytest.raises(StochasticOrder):
+        _RecordingRewriter(Flaky()).apply(fg)
