@@ -82,3 +82,11 @@ from pytensor_tpu.sparse.compat import (  # noqa: F401,E402
     sub,
     true_dot,
 )
+
+from pytensor_tpu.sparse.compat import (  # noqa: F401,E402
+    add_s_s_data,
+    sdg_csc,
+    sdg_csr,
+    structured_dot_grad,
+)
+from pytensor_tpu.sparse import basic as rewriting  # noqa: F401,E402  (rewrites live in basic)

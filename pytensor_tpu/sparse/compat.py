@@ -386,3 +386,28 @@ def csr_fmatrix(name=None):
 
 def csc_fmatrix(name=None):
     return SparseTensorType("csc", "float32")(name)
+
+
+def add_s_s_data(x, y):
+    """Add the data vectors of two sparse matrices with IDENTICAL
+    sparsity patterns (reference sparse/basic.py AddSSData); the result
+    keeps the shared pattern."""
+    from pytensor_tpu.sparse.basic import CSM, csm_properties
+
+    xd, xi, xp, xs = csm_properties(x)
+    yd = csm_properties(y)[0]
+    fmt = x.type.format if x.type.format in ("csr", "csc") else "csr"
+    return CSM(fmt)(xd + yd, xi, xp, xs)
+
+
+def structured_dot_grad(sparse_A, dense_B, grad_on_dense):
+    """Gradient of structured_dot wrt the sparse operand (reference
+    sparse/basic.py sdg_csc/sdg_csr): dense cotangent masked to A's
+    sparsity pattern."""
+    from pytensor_tpu.sparse.basic import StructuredDotGrad
+
+    return StructuredDotGrad()(sparse_A, dense_B, grad_on_dense)
+
+
+sdg_csr = structured_dot_grad
+sdg_csc = structured_dot_grad

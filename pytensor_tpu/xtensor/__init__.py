@@ -38,3 +38,11 @@ from pytensor_tpu.xtensor.shape import (  # noqa: F401
     unstack,
     zeros_like,
 )
+
+# reference-module-path aliases (plain assignment: a dotted import here
+# would re-enter the parent package's lazy __getattr__ mid-init)
+from pytensor_tpu.xtensor import ops as _ops_mod
+
+basic = _ops_mod  # ref xtensor/basic.py
+reduction = _ops_mod
+vectorization = _ops_mod
