@@ -166,7 +166,8 @@ def ours_sparse(n=65536, nnz_per_row=10, iters=64):
     return 1.0 / _time_chained(run_iter, iters=iters)
 
 
-FUSED_N = 1 << 22  # 4M elements
+FUSED_N = 1 << 26  # 64M elements: large enough that HBM bandwidth,
+# not per-call dispatch latency, dominates (the metric is GB/s)
 
 
 def ours_fused(iters=64):
