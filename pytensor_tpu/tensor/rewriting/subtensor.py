@@ -10,8 +10,19 @@ from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
 from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, AdvancedSubtensor1, IncSubtensor, Subtensor)
 
 
-def _full_slice(e):
-    return isinstance(e, tuple) and e == ("slice", None, None, None)
+def _full_slice(e, dim=None):
+    """Is this idx_list entry a slice covering the whole axis?  With a
+    static ``dim``, statically-full bounded slices (0:dim:1) count."""
+    if not (isinstance(e, tuple) and e and e[0] == "slice"):
+        return False
+    start, stop, step = e[1], e[2], e[3]
+    if step not in (None, 1):
+        return False
+    if start not in (None, 0):
+        return False
+    if stop is None:
+        return True
+    return dim is not None and isinstance(stop, int) and stop >= dim
 
 
 @node_rewriter([Subtensor])
@@ -422,11 +433,13 @@ def local_useless_inc_subtensor(fgraph, node):
     """set_subtensor(x[full slices], y) -> y when the types line up."""
     if not node.op.set_instead_of_inc:
         return False
-    if not all(_full_slice(e) for e in node.op.idx_list):
+    shape = node.inputs[0].type.shape
+    if not all(_full_slice(e, shape[i] if i < len(shape) else None)
+               for i, e in enumerate(node.op.idx_list)):
         return False
     y = node.inputs[1]
     out = node.outputs[0]
-    if y.type.dtype == out.type.dtype and y.type == out.type:
+    if y.type.dtype == out.type.dtype and out.type.is_super(y.type):
         copy_stack_trace(out, y)
         return [y]
     return False
