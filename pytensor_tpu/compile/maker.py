@@ -86,9 +86,15 @@ def function(
     update_pairs: list[tuple[SharedVariable, Variable]] = []
     if updates is not None:
         items = updates.items() if isinstance(updates, dict) else list(updates)
+        seen_targets = set()
         for k, v in items:
             if not isinstance(k, SharedVariable):
                 raise TypeError(f"update target {k} is not a shared variable")
+            if k in seen_targets:
+                raise ValueError(
+                    f"this shared variable is updated twice: {k}; the "
+                    f"second update would silently win")
+            seen_targets.add(k)
             update_pairs.append((k, k.type.filter_variable(v)))
     for wi in wrapped_inputs:
         if wi.update is not None:

@@ -490,7 +490,9 @@ def cast_op(dtype: str) -> ScalarOp:
 
         def _cast_grad(i, o, gz, _dtype=dtype):
             tm = _tm()
-            if _is_discrete(i[0]):
+            if _is_discrete(i[0]) or _is_discrete(o[0]):
+                # float -> int is piecewise constant: zero gradient
+                # (reference Cast.grad semantics), not identity
                 return [_zero_like(i[0])]
             return [tm.cast(gz[0], i[0].dtype)]
 

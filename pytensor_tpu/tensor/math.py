@@ -414,6 +414,12 @@ class Dot(Op):
                 f"Dot supports 1-d/2-d operands, got {x.type.ndim}-d and {y.type.ndim}-d; "
                 "use matmul/tensordot for higher dims"
             )
+        k_x = x.type.shape[-1]
+        k_y = y.type.shape[0]
+        if k_x is not None and k_y is not None and k_x != k_y:
+            raise ValueError(
+                f"Dot: inner dimensions do not match: "
+                f"{x.type.shape} . {y.type.shape}")
         if x.type.ndim == 1 and y.type.ndim == 1:
             out_shape = ()
         elif x.type.ndim == 2 and y.type.ndim == 1:

@@ -61,6 +61,17 @@ class Subtensor(Op):
         n_dyn = _count_dyn(self.idx_list)
         if len(dyn_inputs) != n_dyn:
             raise ValueError(f"Subtensor expected {n_dyn} dynamic inputs")
+        # static integer indices check against known axis lengths at
+        # graph-build time (numpy/reference semantics; the XLA runtime
+        # clamps, so this is the only place the error CAN surface)
+        for axis, entry in enumerate(self.idx_list):
+            if isinstance(entry, (int, np.integer)) and \
+                    axis < len(x.type.shape):
+                dim = x.type.shape[axis]
+                if dim is not None and not (-dim <= int(entry) < dim):
+                    raise IndexError(
+                        f"index {int(entry)} is out of bounds for axis "
+                        f"{axis} with size {dim}")
         out_shape = _static_out_shape(self.idx_list, x.type.shape, dyn_inputs)
         out = TensorType(x.type.dtype, out_shape)()
         return Apply(self, [x, *dyn_inputs], [out])
