@@ -322,3 +322,7 @@ def values_eq_approx_always_true(a, b):
     """Comparator that accepts anything (reference tensor/type.py:728;
     used to silence DebugMode on intentionally-nondeterministic ops)."""
     return True
+
+from pytensor_tpu.tensor import exceptions, transfer, utils  # noqa: F401,E402
+from pytensor_tpu.tensor import type_other as symbolic  # noqa: F401,E402
+from pytensor_tpu.tensor import random  # noqa: F401,E402
