@@ -99,6 +99,7 @@ from pytensor_tpu.link.xla.ops import JAXOp, wrap_jax  # noqa: E402,F401
 from pytensor_tpu.basic_symbolic import as_symbolic  # noqa: E402,F401
 from pytensor_tpu.compile.builders import OpFromGraph  # noqa: E402,F401
 from pytensor_tpu.compile.ops import wrap_py  # noqa: E402,F401
+from pytensor_tpu.compile.train import train_loop  # noqa: E402,F401
 import pytensor_tpu.basic_symbolic as basic  # noqa: E402,F401  (ref pytensor.basic)
 import pytensor_tpu.misc as misc  # noqa: E402,F401
 import pytensor_tpu.config as configdefaults  # noqa: E402,F401  (ref module-name compat)

@@ -62,3 +62,4 @@ from pytensor_tpu.compile.ops import (  # noqa: F401,E402
 )
 from pytensor_tpu.compile import compilelock, inner_function  # noqa: F401,E402
 from pytensor_tpu.compile.aliasing import add_supervisor_to_fgraph  # noqa: F401,E402
+from pytensor_tpu.compile.train import train_loop  # noqa: F401,E402

@@ -29,7 +29,8 @@ def make_logreg_graphs(n=8192, d=256, dtype="float32", seed=0):
 
 
 def make_logreg_training_step(n=8192, d=256, dtype="float32", lr=0.1, seed=0,
-                              mesh=None, batch_axis="data"):
+                              mesh=None, batch_axis="data",
+                              n_steps_per_call=1):
     """Compiled SGD step with shared params; optionally mesh-sharded
     data-parallel over the batch dimension."""
     rng = np.random.default_rng(seed)
@@ -43,7 +44,15 @@ def make_logreg_training_step(n=8192, d=256, dtype="float32", lr=0.1, seed=0,
     gw, gb = ptt.grad(xent, [w, b])
     updates = {w: w - lr * gw, b: b - lr * gb}
     if mesh is None:
-        f = ptt.function([X, y], xent, updates=updates, name="logreg_step")
+        if n_steps_per_call > 1:
+            # ONE on-device loop per call: the TPU deployment pattern
+            # (compile/train.py train_loop)
+            f = ptt.train_loop([X, y], xent, updates,
+                               n_steps=n_steps_per_call,
+                               name="logreg_loop")
+        else:
+            f = ptt.function([X, y], xent, updates=updates,
+                             name="logreg_step")
     else:
         from pytensor_tpu import parallel
         from jax.sharding import PartitionSpec as P

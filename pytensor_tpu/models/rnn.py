@@ -9,7 +9,7 @@ import pytensor_tpu as ptt
 import pytensor_tpu.tensor as pt
 
 
-def make_elman_rnn_bptt(seq_len=64, n_in=32, n_hidden=128, dtype="float32",
+def make_elman_rnn_bptt(seq_len=64, n_in=32, n_hidden=128, dtype="float32", n_steps_per_call=1,
                         lr=0.01, seed=0, mode=None):
     """Compiled training step of an Elman RNN: scan forward, BPTT, SGD
     updates — the whole loop is one XLA executable."""
@@ -34,7 +34,12 @@ def make_elman_rnn_bptt(seq_len=64, n_in=32, n_hidden=128, dtype="float32",
     loss = pt.mean((pred - y) ** 2)
     gWx, gWh, gWo = ptt.grad(loss, [Wx, Wh, Wo])
     updates = {Wx: Wx - lr * gWx, Wh: Wh - lr * gWh, Wo: Wo - lr * gWo}
-    f = ptt.function([X, y], loss, updates=updates, mode=mode, name="elman_step")
+    if n_steps_per_call > 1:
+        f = ptt.train_loop([X, y], loss, updates, n_steps=n_steps_per_call,
+                           mode=mode, name="elman_loop")
+    else:
+        f = ptt.function([X, y], loss, updates=updates, mode=mode,
+                         name="elman_step")
     Xv = rng.standard_normal((seq_len, 4, n_in)).astype(dtype)
     yv = rng.standard_normal(4).astype(dtype)
     return f, (Xv, yv), (Wx, Wh, Wo)
