@@ -131,12 +131,13 @@ def ours_elman(iters=8, k_inner=16):
     return k_inner / _time_chained(run_iter, iters=iters)
 
 
-def ours_gp(n=256, iters=32):
+def ours_gp(n=256, iters=8, k_inner=16):
     from pytensor_tpu.models.gp import make_gp_sgd_step
 
-    # SGD update compiled INTO the step (updates=) on both sides: at
-    # n=256 a host round-trip per parameter would dominate the timing
-    f, params = make_gp_sgd_step(n=n, dtype="float32")
+    # SGD update compiled INTO the step on both sides; ours additionally
+    # compiles k_inner steps into one on-device loop (train_loop)
+    f, params = make_gp_sgd_step(n=n, dtype="float32",
+                                 n_steps_per_call=k_inner)
 
     def run_iter(k):
         nm = None
@@ -144,7 +145,7 @@ def ours_gp(n=256, iters=32):
             nm = f()
         return nm
 
-    return 1.0 / _time_chained(run_iter, iters=iters)
+    return k_inner / _time_chained(run_iter, iters=iters)
 
 
 def ours_sparse(n=65536, nnz_per_row=10, iters=64):

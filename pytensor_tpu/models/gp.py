@@ -45,7 +45,8 @@ def make_gp_marginal_likelihood(n=256, d=3, dtype="float64", seed=0, mode=None):
     return f, theta0
 
 
-def make_gp_sgd_step(n=256, d=3, dtype="float64", seed=0, lr=1e-3, mode=None):
+def make_gp_sgd_step(n=256, d=3, dtype="float64", seed=0, lr=1e-3, mode=None,
+                     n_steps_per_call=1):
     """One compiled SGD step on the GP hyperparameters: shared params,
     gradient update INSIDE the function (the deployment pattern — a
     device round-trip per parameter per step would dominate at this
@@ -73,6 +74,11 @@ def make_gp_sgd_step(n=256, d=3, dtype="float64", seed=0, lr=1e-3, mode=None):
     grads = ptt.grad(nmll, params)
     updates = [(p, p - np.asarray(lr, dtype) * g)
                for p, g in zip(params, grads)]
-    f = ptt.function([], nmll, updates=updates, mode=mode, name="gp_sgd")
+    if n_steps_per_call > 1:
+        f = ptt.train_loop([], nmll, updates, n_steps=n_steps_per_call,
+                           mode=mode, name="gp_sgd_loop")
+    else:
+        f = ptt.function([], nmll, updates=updates, mode=mode,
+                         name="gp_sgd")
     f.trust_input = True
     return f, params
