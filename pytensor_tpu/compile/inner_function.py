@@ -25,8 +25,7 @@ class HasInnerFunction(HasInnerGraph):
 
             self._inner_fn = function(
                 list(self.fgraph.inputs), list(self.fgraph.outputs),
-                mode=Mode(linker="py", optimizer="None"),
-                accept_inplace=True)
+                mode=Mode(linker="py", optimizer="None"))
         return self._inner_fn
 
     def perform(self, node, inputs, output_storage):

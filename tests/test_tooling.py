@@ -356,3 +356,39 @@ def test_compile_namespace_parity():
     np.testing.assert_allclose(f(np.ones(3)), 2.0)
     f2 = ptt.function([x], x * 2, mode=c.C)
     np.testing.assert_allclose(f2(np.ones(3)), 2.0)
+
+
+def test_inner_function_mixin_and_compilelock():
+    """HasInnerFunction oracle perform + compilelock force_unlock."""
+    import os
+    import tempfile
+
+    from pytensor_tpu.compile.compilelock import force_unlock
+    from pytensor_tpu.compile.inner_function import HasInnerFunction
+    from pytensor_tpu.graph.basic import Apply
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.op import Op
+
+    class Doubler(HasInnerFunction, Op):
+        __props__ = ()
+
+        def __init__(self):
+            x = pt.dvector("x")
+            self.fgraph = FunctionGraph([x], [x * 2.0], clone=True)
+
+        def make_node(self, x):
+            return Apply(self, [x], [x.type()])
+
+    op = Doubler()
+    x = pt.dvector("x")
+    out = op(x)
+    storage = [[None]]
+    op.perform(out.owner, [np.arange(3.0)], storage)
+    np.testing.assert_allclose(storage[0][0], [0.0, 2.0, 4.0])
+
+    # force_unlock removes a free lock file, leaves nothing behind
+    with tempfile.TemporaryDirectory() as d:
+        lock = os.path.join(d, ".lock")
+        open(lock, "w").close()
+        force_unlock(d)
+        assert not os.path.exists(lock)
