@@ -911,3 +911,89 @@ def test_sparse_parity(ref):
         [s_r], rsp.sp_sum(s_r, sparse_grad=False), mode=mode)(A))
     b = float(np.asarray(ptt.function([s_u], usp.sp_sum(s_u))(A)))
     assert abs(a - b) < 1e-12
+
+
+def test_second_order_autodiff_parity(ref):
+    """jacobian / hessian / R-op / L-op / hessian-vector-product parity
+    against the reference on a nonlinear graph."""
+    import pytensor
+    import pytensor.tensor as rt
+    from pytensor.gradient import Lop as rLop, Rop as rRop, hessian as rhess, jacobian as rjac
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.gradient import Lop, Rop, hessian, jacobian
+
+    mode = _ref_mode()
+    v = rng.standard_normal(4)
+    u = rng.standard_normal(4)
+
+    x_r = rt.dvector("x")
+    y_r = rt.exp(x_r).sum() * rt.tanh(x_r)  # vector output
+    c_r = (rt.sin(x_r) * x_r ** 2).sum()    # scalar cost
+
+    x_u = pt.dvector("x")
+    y_u = pt.exp(x_u).sum() * pt.tanh(x_u)
+    c_u = (pt.sin(x_u) * x_u ** 2).sum()
+
+    a = np.asarray(pytensor.function([x_r], rjac(y_r, x_r), mode=mode)(v))
+    b = np.asarray(ptt.function([x_u], jacobian(y_u, x_u))(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+    a = np.asarray(pytensor.function([x_r], rhess(c_r, x_r), mode=mode)(v))
+    b = np.asarray(ptt.function([x_u], hessian(c_u, x_u))(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+    a = np.asarray(pytensor.function(
+        [x_r], rRop(y_r, x_r, rt.as_tensor_variable(u)), mode=mode)(v))
+    b = np.asarray(ptt.function(
+        [x_u], Rop(y_u, x_u, pt.as_tensor_variable(u)))(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+    a = np.asarray(pytensor.function(
+        [x_r], rLop(y_r, x_r, rt.as_tensor_variable(u)), mode=mode)(v))
+    b = np.asarray(ptt.function(
+        [x_u], Lop(y_u, x_u, pt.as_tensor_variable(u)))(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+    # hvp = grad of (grad . u): third-derivative-free second-order core
+    g_r = pytensor.grad(c_r, x_r)
+    hvp_r = pytensor.grad(rt.dot(g_r, rt.as_tensor_variable(u)), x_r)
+    g_u = ptt.grad(c_u, x_u)
+    hvp_u = ptt.grad(pt.dot(g_u, pt.as_tensor_variable(u)), x_u)
+    a = np.asarray(pytensor.function([x_r], hvp_r, mode=mode)(v))
+    b = np.asarray(ptt.function([x_u], hvp_u)(v))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+
+def test_grad_through_scan_parity(ref):
+    """Gradient through a nontrivial scan (second-order recurrence)
+    matches the reference exactly."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    a_v = 0.7
+
+    a_r = rt.dscalar("a")
+    tr_r, _ = pytensor.scan(
+        lambda prev, a: a * prev * (1 - prev),
+        outputs_info=[rt.constant(np.float64(0.3))],
+        non_sequences=[a_r], n_steps=12)
+    g_r = pytensor.grad(tr_r[-1], a_r)
+    fa = pytensor.function([a_r], [tr_r[-1], g_r], mode=mode)
+
+    a_u = pt.dscalar("a")
+    tr_u, _ = ptt.scan(
+        lambda prev, a: a * prev * (1 - prev),
+        outputs_info=[pt.constant(np.float64(0.3))],
+        non_sequences=[a_u], n_steps=12)
+    g_u = ptt.grad(tr_u[-1], a_u)
+    fb = ptt.function([a_u], [tr_u[-1], g_u])
+
+    ra = [float(np.asarray(x)) for x in fa(a_v)]
+    rb = [float(np.asarray(x)) for x in fb(a_v)]
+    np.testing.assert_allclose(rb, ra, rtol=1e-10)
