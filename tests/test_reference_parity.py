@@ -997,3 +997,88 @@ def test_grad_through_scan_parity(ref):
     ra = [float(np.asarray(x)) for x in fa(a_v)]
     rb = [float(np.asarray(x)) for x in fb(a_v)]
     np.testing.assert_allclose(rb, ra, rtol=1e-10)
+
+
+def test_einsum_pad_fft_parity(ref):
+    """einsum contraction paths, pad modes, rfft/irfft roundtrips vs
+    the reference."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    mode = _ref_mode()
+    A = rng.standard_normal((3, 4))
+    B = rng.standard_normal((4, 5))
+    C = rng.standard_normal((5, 3))
+
+    for spec, ops_np in [
+        ("ij,jk->ik", (A, B)),
+        ("ij,jk,ki->", (A, B, C)),
+        ("ij->ji", (A,)),
+        ("ij->i", (A,)),
+        ("ij,ij->ij", (A, A)),
+    ]:
+        ins_r = [rt.dmatrix(f"m{i}") for i in range(len(ops_np))]
+        ins_u = [pt.dmatrix(f"m{i}") for i in range(len(ops_np))]
+        a = np.asarray(pytensor.function(
+            ins_r, rt.einsum(spec, *ins_r), mode=mode)(*ops_np))
+        b = np.asarray(ptt.function(
+            ins_u, pt.einsum(spec, *ins_u))(*ops_np))
+        np.testing.assert_allclose(b, a, rtol=1e-10, err_msg=spec)
+
+    v = rng.standard_normal(16)
+    for pm in ("constant", "edge", "reflect", "wrap"):
+        x_r = rt.dvector("x")
+        x_u = pt.dvector("x")
+        a = np.asarray(pytensor.function(
+            [x_r], rt.pad(x_r, 3, mode=pm), mode=mode)(v))
+        b = np.asarray(ptt.function([x_u], pt.pad(x_u, 3, mode=pm))(v))
+        np.testing.assert_allclose(b, a, err_msg=pm)
+
+    from pytensor.tensor import fft as rfftmod
+
+    M = rng.standard_normal((2, 16))
+    x_r = rt.dmatrix("x")
+    x_u = pt.dmatrix("x")
+    a = np.asarray(pytensor.function(
+        [x_r], rfftmod.rfft(x_r), mode=mode)(M))
+    b = np.asarray(ptt.function([x_u], pt.fft.rfft(x_u))(M))
+    np.testing.assert_allclose(b, a, rtol=1e-10)
+    # irfft roundtrip parity
+    a2 = np.asarray(pytensor.function(
+        [x_r], rfftmod.irfft(rfftmod.rfft(x_r)), mode=mode)(M))
+    b2 = np.asarray(ptt.function(
+        [x_u], pt.fft.irfft(pt.fft.rfft(x_u)))(M))
+    np.testing.assert_allclose(b2, a2, rtol=1e-10)
+
+
+def test_batched_linalg_parity(ref):
+    """Blockwise (batched) cholesky/solve vs the reference."""
+    import pytensor
+    import pytensor.tensor as rt
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.tensor import linalg as pla
+
+    mode = _ref_mode()
+    batch = rng.standard_normal((3, 4, 4))
+    As = np.einsum("bij,bkj->bik", batch, batch) + 4 * np.eye(4)
+    bs = rng.standard_normal((3, 4))
+
+    A_r = rt.dtensor3("A")
+    b_r = rt.dmatrix("b")
+    A_u = pt.tensor("A", dtype="float64", shape=(None,) * 3)
+    b_u = pt.dmatrix("b")
+    a = np.asarray(pytensor.function(
+        [A_r], rt.linalg.cholesky(A_r), mode=mode)(As))
+    b = np.asarray(ptt.function([A_u], pla.cholesky(A_u))(As))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
+
+    a = np.asarray(pytensor.function(
+        [A_r, b_r], rt.linalg.solve(A_r, b_r, b_ndim=1), mode=mode)(As, bs))
+    b = np.asarray(ptt.function(
+        [A_u, b_u], pla.solve(A_u, b_u, b_ndim=1))(As, bs))
+    np.testing.assert_allclose(b, a, rtol=1e-9)
