@@ -579,3 +579,128 @@ def local_constant_scatter_to_onehot_dot(fgraph, node):
 _specialize_db.register("local_constant_scatter_to_onehot_dot",
                         local_constant_scatter_to_onehot_dot,
                         "onehot_gather")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_reduce(fgraph, node):
+    """reduce(x, axis)[idx] -> reduce(x[idx'], axis') — index BEFORE
+    reducing so only the consumed slice is computed (reference
+    subtensor_lift.py:553).  Handles a single leading index entry."""
+    from pytensor_tpu.tensor.elemwise import CAReduce
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, CAReduce):
+        return False
+    if len(fgraph.clients.get(x, ())) > 1:
+        return False  # reduction shared: lifting would recompute
+    red = x.owner.op
+    inner = x.owner.inputs[0]
+    axes = red.axis
+    if axes is None:
+        axes = tuple(range(inner.type.ndim))
+    if not node.op.idx_list or node.op.idx_list[0] == DYN:
+        return False
+    entry = node.op.idx_list[0]
+    # map output dim 0 back to the first NON-reduced input dim
+    non_reduced = [d for d in range(inner.type.ndim) if d not in axes]
+    if not non_reduced:
+        return False
+    d0 = non_reduced[0]
+    dyn = node.inputs[1:]
+    # count dynamic inputs consumed by entry 0
+    def _dyn_count(e):
+        if e == DYN:
+            return 1
+        if isinstance(e, tuple) and e[0] == "slice":
+            return sum(1 for p in e[1:] if p == DYN)
+        return 0
+
+    n0 = _dyn_count(entry)
+    inner_idx = [("slice", None, None, None)] * d0 + [entry]
+    sub_inner = Subtensor(tuple(inner_idx))(inner, *dyn[:n0])
+    dropped = isinstance(entry, (int, np.integer))
+    if dropped:
+        new_axes = tuple(a - 1 if a > d0 else a for a in axes)
+    else:
+        new_axes = axes
+    from pytensor_tpu.tensor.elemwise import CAReduce as _CR
+
+    new_red = _CR(red.scalar_op, new_axes, red.dtype, red.acc_dtype,
+                  red.upcast_discrete_output)(sub_inner)
+    rest = node.op.idx_list[1:]
+    if rest:
+        new_out = Subtensor(tuple(rest))(new_red, *dyn[n0:])
+    else:
+        new_out = new_red
+    if not node.outputs[0].type.is_super(new_out.type):
+        return False
+    copy_stack_trace(node.outputs[0], new_out)
+    return [new_out]
+
+
+register_specialize(local_subtensor_of_reduce,
+                    name="local_subtensor_of_reduce")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_join(fgraph, node):
+    """join(axis, a, b, ...)[idx] with the index on a NON-join axis ->
+    join of the indexed pieces (reference subtensor_lift.py:1198)."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import Join
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, Join):
+        return False
+    if len(fgraph.clients.get(x, ())) > 1:
+        return False
+    axis_var = x.owner.inputs[0]
+    if not isinstance(axis_var, Constant):
+        return False
+    jaxis = int(np.asarray(axis_var.data))
+    if jaxis < 0:
+        jaxis += x.type.ndim
+    idx_list = node.op.idx_list
+    # index entries must leave the join axis untouched (full slice or
+    # not indexed at all)
+    if jaxis < len(idx_list):
+        e = idx_list[jaxis]
+        if not (isinstance(e, tuple) and e[:1] == ("slice",)
+                and e[1:] == (None, None, None)):
+            return False
+    pieces = x.owner.inputs[1:]
+    dyn = node.inputs[1:]
+    new_pieces = [Subtensor(idx_list)(p, *dyn) for p in pieces]
+    # int entries before the join axis shift it left
+    n_dropped = sum(1 for i, e in enumerate(idx_list)
+                    if i < jaxis and isinstance(e, (int, np.integer)))
+    new_out = Join()(jaxis - n_dropped, *new_pieces)
+    if not node.outputs[0].type.is_super(new_out.type):
+        return False
+    copy_stack_trace(node.outputs[0], new_out)
+    return [new_out]
+
+
+register_specialize(local_subtensor_of_join, name="local_subtensor_of_join")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_specify_shape(fgraph, node):
+    """x_specified[idx] -> x[idx] (the SpecifyShape information is
+    already baked into the output type; reference
+    subtensor_lift.py:1077)."""
+    from pytensor_tpu.tensor.shape import SpecifyShape
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, SpecifyShape):
+        return False
+    inner = x.owner.inputs[0]
+    new_out = Subtensor(node.op.idx_list)(inner, *node.inputs[1:])
+    if not node.outputs[0].type.is_super(new_out.type):
+        return False
+    copy_stack_trace(node.outputs[0], new_out)
+    return [new_out]
+
+
+register_specialize(local_subtensor_of_specify_shape,
+                    name="local_subtensor_of_specify_shape")

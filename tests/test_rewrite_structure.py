@@ -310,3 +310,49 @@ class TestUselessRewriteStructure:
         out = Assert("always true")(x, pt.constant(True))
         f = compiled([x], out)
         assert "Assert" not in "".join(op_names(f))
+
+
+class TestSubtensorLiftExtra:
+    """Round-2 lift additions (reference subtensor_lift.py:553,1077,1198)."""
+
+    def test_subtensor_of_reduce(self):
+        x = _x((5, 6, 7))
+        v = np.random.default_rng(0).standard_normal((5, 6, 7))
+        f = compiled([x], pt.sum(x, axis=2)[1])
+        order = [type(n.op).__name__ for n in f.fgraph.toposort()]
+        # index happens BEFORE the reduction
+        assert order.index("Subtensor") < order.index("CAReduce")
+        np.testing.assert_allclose(np.asarray(f(v)), v.sum(2)[1])
+        f2 = compiled([x], pt.max(x, axis=1)[2:4])
+        np.testing.assert_allclose(np.asarray(f2(v)), v.max(1)[2:4])
+
+    def test_subtensor_of_reduce_shared_not_lifted(self):
+        # the reduction has another consumer: lifting would recompute
+        x = _x((5, 6))
+        s = pt.sum(x, axis=1)
+        f = compiled([x], s[1] + s.sum())
+        order = [type(n.op).__name__ for n in f.fgraph.toposort()]
+        assert order.count("CAReduce") == 2  # s and s.sum(), no extra
+
+    def test_subtensor_of_join(self):
+        a = _x((5, 3), "a")
+        b = _x((5, 4), "b")
+        av = np.arange(15.0).reshape(5, 3)
+        bv = np.arange(20.0).reshape(5, 4)
+        f = compiled([a, b], pt.join(1, a, b)[2])
+        np.testing.assert_allclose(np.asarray(f(av, bv)),
+                                   np.concatenate([av, bv], 1)[2])
+        # pieces are indexed before joining
+        join_node = [n for n in f.fgraph.apply_nodes
+                     if type(n.op).__name__ == "Join"][0]
+        assert all(i.type.ndim == 1 for i in join_node.inputs[1:])
+
+    def test_subtensor_of_specify_shape(self):
+        from pytensor_tpu.tensor.shape import specify_shape
+
+        x = pt.tensor("x", dtype="float64", shape=(None,))
+        f = compiled([x], specify_shape(x, (7,))[2:5])
+        assert "SpecifyShape" not in [type(n.op).__name__
+                                      for n in f.fgraph.apply_nodes]
+        np.testing.assert_allclose(np.asarray(f(np.arange(7.0))),
+                                   [2.0, 3.0, 4.0])
