@@ -704,3 +704,43 @@ def local_subtensor_of_specify_shape(fgraph, node):
 
 register_specialize(local_subtensor_of_specify_shape,
                     name="local_subtensor_of_specify_shape")
+
+
+@node_rewriter(None)
+def local_extract_diag_of_eye(fgraph, node):
+    """diagonal(eye(n, m, k)) -> ones/zeros vector (reference
+    subtensor_lift.py:959) — no matrix is ever materialized."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import (ExtractDiag, Eye, NotScalarConstantError,
+                                           get_scalar_constant_value, ones, zeros)
+
+    if not isinstance(node.op, ExtractDiag):
+        return False
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, Eye):
+        return False
+    if (node.op.axis1, node.op.axis2) != (0, 1):
+        return False
+    n_v, m_v, k_v = x.owner.inputs
+    try:
+        n = int(get_scalar_constant_value(n_v))
+        m = int(get_scalar_constant_value(m_v))
+        k_eye = int(get_scalar_constant_value(k_v))
+    except NotScalarConstantError:
+        return False
+    k_extract = node.op.offset
+    # length of the extracted diagonal
+    L = max(0, min(n + min(0, k_extract), m - max(0, k_extract)))
+    dtype = x.type.dtype
+    new_out = (ones((L,), dtype=dtype) if k_extract == k_eye
+               else zeros((L,), dtype=dtype))
+    if not node.outputs[0].type.is_super(new_out.type):
+        return False
+    copy_stack_trace(node.outputs[0], new_out)
+    return [new_out]
+
+
+register_canonicalize(local_extract_diag_of_eye,
+                      name="local_extract_diag_of_eye")
+register_specialize(local_extract_diag_of_eye,
+                    name="local_extract_diag_of_eye")

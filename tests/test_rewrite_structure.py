@@ -356,3 +356,12 @@ class TestSubtensorLiftExtra:
                                       for n in f.fgraph.apply_nodes]
         np.testing.assert_allclose(np.asarray(f(np.arange(7.0))),
                                    [2.0, 3.0, 4.0])
+
+    def test_extract_diag_of_eye(self):
+        f = compiled([], pt.diagonal(pt.eye(5)))
+        assert "ExtractDiag" not in [type(n.op).__name__
+                                     for n in f.fgraph.apply_nodes]
+        np.testing.assert_allclose(np.asarray(f()), np.ones(5))
+        f2 = compiled([], pt.diagonal(pt.eye(5, 7, 0), offset=1))
+        np.testing.assert_allclose(
+            np.asarray(f2()), np.diagonal(np.eye(5, 7), 1))
