@@ -85,7 +85,10 @@ def pallas_scan_eligible(op, node=None) -> bool:
     # VMEM budget: states + constants + whole sequences + one trace row
     total = 0
     for v in op.fgraph.inputs:
-        total += int(np.prod(getattr(v.type, "shape", ()) or (1,), initial=1)) * 4
+        shp = getattr(v.type, "shape", ()) or (1,)
+        if any(s is None for s in shp):
+            return False  # dynamic dims cannot live in a fixed VMEM block
+        total += int(np.prod(shp, initial=1)) * 4
     if node is not None:
         for s in node.inputs[1: 1 + info.n_seqs]:
             total += int(np.prod(s.type.shape, initial=1)) * 4

@@ -666,3 +666,22 @@ class TestScanPallas:
             f2 = ptt.function([x], tr2)
         np.testing.assert_allclose(np.asarray(f2(np.ones(4, "float32"))),
                                    [1, 2, 3, 4])
+
+
+def test_pallas_flag_with_dynamic_shapes_falls_back():
+    """scan__pallas with a dynamic-dim body input must fall back to
+    lax.scan, not crash in the VMEM budget (caught by train_loop under
+    the flag)."""
+    from pytensor_tpu.compile.sharedvalue import shared
+    from pytensor_tpu.config import config
+
+    w = shared(np.zeros(8, "float32"), name="w")
+    x = pt.tensor("x", dtype="float32", shape=(None,))  # dynamic!
+    loss = ((w - x) ** 2).sum()
+    g = ptt.grad(loss, w)
+    with config.change_flags(scan__pallas=True):
+        f = ptt.train_loop([x], loss, [(w, w - np.float32(0.1) * g)],
+                           n_steps=20)
+    l1 = float(np.asarray(f(np.arange(8, dtype="float32"))))
+    assert np.isfinite(l1)
+    assert np.allclose(np.asarray(w.get_value()), np.arange(8), atol=0.2)
