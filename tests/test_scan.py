@@ -668,6 +668,28 @@ class TestScanPallas:
                                    [1, 2, 3, 4])
 
 
+def test_pallas_scan_bptt_matches_lax_path():
+    """Gradient through a pallas-lowered scan (forward AND reverse scans
+    may take the whole-loop kernel) matches the lax.scan path."""
+    from pytensor_tpu.config import config
+
+    v0 = pt.tensor("v0", dtype="float32", shape=(4,))
+    W = pt.as_tensor_variable((np.eye(4) * 0.9 + 0.05).astype("float32"))
+
+    def step(acc):
+        return pt.tanh(pt.dot(W, acc))
+
+    x0 = np.random.default_rng(0).standard_normal(4).astype("float32")
+    with config.change_flags(scan__pallas=False):
+        tr0, _ = ptt.scan(step, outputs_info=[v0], n_steps=6)
+        f0 = ptt.function([v0], ptt.grad(tr0[-1].sum(), v0))
+    with config.change_flags(scan__pallas=True):
+        tr1, _ = ptt.scan(step, outputs_info=[v0], n_steps=6)
+        f1 = ptt.function([v0], ptt.grad(tr1[-1].sum(), v0))
+    np.testing.assert_allclose(np.asarray(f1(x0)), np.asarray(f0(x0)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_flag_with_dynamic_shapes_falls_back():
     """scan__pallas with a dynamic-dim body input must fall back to
     lax.scan, not crash in the VMEM budget (caught by train_loop under
