@@ -412,3 +412,27 @@ class TestXRandomBreadth:
         m = pxr.multinomial(srng, 10, p, core_dims="k", dims={"chain": 100})
         mv = np.asarray(ptt.function([], m.values)())
         assert (mv.sum(-1) == 10).all()
+
+
+def test_grad_through_convolve1d():
+    """Generic XOp pullback flows through the new signal op (verified
+    against central finite differences)."""
+    x = px.xtensor("x", dims=("a", "b"), shape=(2, 6), dtype="float64")
+    k = px.as_xtensor(np.array([1.0, 2.0, 1.0]), dims=("t",))
+    y = px.convolve1d(x, k, mode="valid", dims=("b", "t")).sum().values
+    g = ptt.grad(y, x)
+    f = ptt.function([x], g.values)
+    xv = np.random.default_rng(0).standard_normal((2, 6))
+    r = np.asarray(f(xv))
+    eps = 1e-6
+    fd = np.zeros_like(xv)
+
+    def val(xx):
+        return sum(np.convolve(row, [1, 2, 1], "valid").sum() for row in xx)
+
+    for i in range(2):
+        for j in range(6):
+            d = np.zeros_like(xv)
+            d[i, j] = eps
+            fd[i, j] = (val(xv + d) - val(xv - d)) / (2 * eps)
+    np.testing.assert_allclose(r, fd, atol=1e-6)
