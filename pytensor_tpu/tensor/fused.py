@@ -160,6 +160,11 @@ def _register_fusion_pass():
         def apply(self, fgraph):
             changed = 0
             grouped: set = set()
+            # deterministic member order for input/output collection:
+            # iterating the `group` SET directly orders by id() and makes
+            # the fused op's signature differ run-to-run (caught by the
+            # DebugMode StochasticOrder check)
+            topo_pos = {n: i for i, n in enumerate(fgraph.toposort())}
             for root in reversed(fgraph.toposort()):
                 if root in grouped or root not in fgraph.apply_nodes:
                     continue
@@ -184,15 +189,16 @@ def _register_fusion_pass():
                     frontier.extend(n.inputs)
                 if len(group) < 2:
                     continue
-                # group inputs/outputs
+                # group inputs/outputs (in topological member order)
+                members = sorted(group, key=lambda n: topo_pos.get(n, -1))
                 g_inputs = []
-                for n in group:
+                for n in members:
                     for i in n.inputs:
                         if (i.owner not in group) and i not in g_inputs \
                                 and not isinstance(i, Constant):
                             g_inputs.append(i)
                 g_outputs = []
-                for n in group:
+                for n in members:
                     for o in n.outputs:
                         cl = fgraph.clients.get(o, ())
                         if any(c == "output" or c not in group
