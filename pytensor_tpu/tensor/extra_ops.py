@@ -96,6 +96,9 @@ def cumprod(x, axis=None):
 
 def diff(x, n=1, axis=-1):
     x = as_tensor_variable(x)
+    if x.type.ndim == 0:
+        raise ValueError(
+            "diff requires input that is at least one dimensional")
     for _ in range(n):
         nd = x.type.ndim
         a = axis % nd

@@ -63,3 +63,56 @@ def test_fuzz_program_oracle_vs_xla(seed):
     val, g = (np.asarray(r) for r in f(xv))
     assert np.isfinite(val).all()
     assert np.isfinite(g).all()
+
+
+def _random_program_structural(rng, x, y, depth=5):
+    """Programs mixing matmul/join/cumsum/indexing with elemwise."""
+    pool = [x, y, pt.dot(x, y)]  # x (4,5), y (5,4) -> (4,4)
+    for _ in range(depth):
+        r = rng.random()
+        v = pool[rng.integers(len(pool))]
+        if r < 0.3:
+            f = UNARY[rng.integers(len(UNARY))]
+            pool.append(f(v))
+        elif r < 0.5 and v.type.ndim == 2:
+            pool.append(pt.cumsum(v, axis=int(rng.integers(2))))
+        elif r < 0.65 and v.type.ndim == 2:
+            pool.append(pt.join(int(rng.integers(2)), v, v * 0.5))
+        elif r < 0.8 and v.type.ndim == 2 and v.type.shape[0] ==                 v.type.shape[1] == 4:
+            pool.append(pt.dot(v, pool[2]) * 0.1)
+        elif r < 0.9 and v.type.ndim >= 2:
+            pool.append(pt.diff(pt.sum(v, axis=0)))
+        else:
+            idx = np.array([0, 2, 1])
+            if v.type.ndim >= 1 and (v.type.shape[0] or 4) >= 3:
+                pool.append(v[idx] * 1.0)
+    out = pool[-1]
+    if out.type.ndim > 0:
+        out = pt.sum(pt.tanh(out * 0.1))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_structural_oracle_vs_xla(seed):
+    rng = np.random.default_rng(7000 + seed)
+    x = pt.tensor("x", dtype="float64", shape=(4, 5))
+    y = pt.tensor("y", dtype="float64", shape=(5, 4))
+    out = _random_program_structural(rng, x, y)
+    gx, gy = ptt.grad(out, [x, y], disconnected_inputs="ignore")
+    f = ptt.function([x, y], [out, gx, gy], mode=DebugMode(),
+                     on_unused_input="ignore")
+    xv = rng.standard_normal((4, 5)) * 0.7
+    yv = rng.standard_normal((5, 4)) * 0.7
+    for r in f(xv, yv):
+        assert np.isfinite(np.asarray(r)).all()
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_float32(seed):
+    """Same sweep in float32 (the production dtype) with looser bands."""
+    rng = np.random.default_rng(3000 + seed)
+    x = pt.tensor("x", dtype="float32", shape=(4, 5))
+    out = _random_program(rng, x, depth=4)
+    f = ptt.function([x], out, mode=DebugMode())
+    xv = (rng.standard_normal((4, 5)) * 0.8).astype("float32")
+    assert np.isfinite(np.asarray(f(xv))).all()
