@@ -116,3 +116,51 @@ def test_fuzz_float32(seed):
     f = ptt.function([x], out, mode=DebugMode())
     xv = (rng.standard_normal((4, 5)) * 0.8).astype("float32")
     assert np.isfinite(np.asarray(f(xv))).all()
+
+
+def _random_scan_body(rng):
+    """Random (step_fn, init, n_steps) for a sit-sot f32 vector scan."""
+    ops = [lambda a: pt.tanh(a) * np.float32(0.9),
+           lambda a: a * np.float32(0.8) + np.float32(0.1),
+           lambda a: pt.sigmoid(a) - np.float32(0.5),
+           lambda a: pt.maximum(a * np.float32(0.7), -a),
+           lambda a: pt.sin(a) * np.float32(0.5)]
+    picks = [ops[rng.integers(len(ops))] for _ in range(int(rng.integers(1, 4)))]
+
+    def step(acc):
+        for f in picks:
+            acc = f(acc)
+        return acc
+
+    init = rng.standard_normal(4).astype("float32")
+    return step, init, int(rng.integers(3, 9))
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_scan_paths_agree(seed):
+    """Oracle (FAST_COMPILE), lax.scan, and Pallas whole-loop lowerings
+    of the same random scan agree on trace AND gradient."""
+    from pytensor_tpu.config import config
+
+    rng = np.random.default_rng(5000 + seed)
+    step, init_v, n = _random_scan_body(rng)
+    v0 = pt.tensor("v0", dtype="float32", shape=(4,))
+
+    results = {}
+    for label, flags, mode in (
+        ("oracle", dict(scan__pallas=False), "FAST_COMPILE"),
+        ("lax", dict(scan__pallas=False), None),
+        ("pallas", dict(scan__pallas=True), None),
+    ):
+        with config.change_flags(**flags):
+            tr, _ = ptt.scan(step, outputs_info=[v0], n_steps=n)
+            g = ptt.grad(tr[-1].sum(), v0)
+            f = ptt.function([v0], [tr, g], mode=mode)
+        tr_v, g_v = (np.asarray(r) for r in f(init_v))
+        results[label] = (tr_v, g_v)
+
+    for label in ("lax", "pallas"):
+        np.testing.assert_allclose(results[label][0], results["oracle"][0],
+                                   rtol=2e-5, atol=1e-6, err_msg=label)
+        np.testing.assert_allclose(results[label][1], results["oracle"][1],
+                                   rtol=2e-4, atol=1e-5, err_msg=label)
