@@ -49,17 +49,34 @@ def _unique_value(v):
     return None
 
 
+def _needs_broadcast_fix(res_type, out_type):
+    """True when ``res`` may be narrower than the node output: a static
+    1 where the output is not statically 1 means the dropped operand was
+    the broadcast carrier (e.g. add(sum_keepdims, x*0) -> sum_keepdims
+    silently loses x's shape)."""
+    if res_type.ndim != out_type.ndim:
+        return True
+    return any(r == 1 and o != 1
+               for r, o in zip(res_type.shape, out_type.shape))
+
+
 def _same_type_out(node, result):
     out = node.outputs[0]
     result = as_tensor_variable(result)
     if result.type.dtype != out.type.dtype:
         result = cast(result, out.type.dtype)
-    if result.type.ndim != out.type.ndim or not out.type.is_super(result.type):
-        # broadcast up using an existing input as the shape carrier
+    if result.type.ndim != out.type.ndim \
+            or not out.type.is_super(result.type) \
+            or _needs_broadcast_fix(result.type, out.type):
+        # broadcast up using an existing input as the shape carrier; the
+        # carrier must itself REACH the output shape (an input with a
+        # static-1 dim where the output has more would under-broadcast)
         if result.type.ndim <= out.type.ndim:
             carrier = None
             for i in node.inputs:
-                if i.type.ndim == out.type.ndim and out.type.is_super(i.type):
+                if (i.type.ndim == out.type.ndim
+                        and out.type.is_super(i.type)
+                        and not _needs_broadcast_fix(i.type, out.type)):
                     carrier = i
                     break
             if carrier is not None:
