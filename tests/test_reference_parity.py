@@ -1093,19 +1093,31 @@ def _build_fuzz(mod, grad_fn, names_rng, x):
     """Replay the same random choices against either framework
     (name-based dispatch keeps the two graphs identical)."""
     pool = [x, x * 0.5 + 1.0]
+    extras = []  # shape-changed branches stay out of the elemwise pool
     for kind, a, b, name, axis in names_rng:
         if kind == "u":
             pool.append(getattr(mod, name)(pool[a]))
         elif kind == "b":
             pool.append(getattr(mod, name)(pool[a], pool[b]))
-        else:  # reduce
+        elif kind == "r":
             pool.append(mod.sum(pool[a], axis=axis, keepdims=True)
                         + pool[a] * 0.0)
+        elif kind == "t":
+            extras.append(pool[a].T + pool[b].T)
+        elif kind == "s":
+            sl = ((slice(1, 3), slice(None)) if axis == 0
+                  else (slice(None), slice(0, 4, 2)))
+            extras.append(mod.exp(pool[a][sl]))
+        elif kind == "i":
+            extras.append(mod.inc_subtensor(pool[a][1:3],
+                                            pool[a][1:3] * 0.5))
     out = mod.sum(pool[-1])
+    for e in extras:
+        out = out + mod.sum(e)
     return out, grad_fn(out, x)
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(25))
 def test_fuzz_program_parity_vs_reference(ref, seed):
     """Random elemwise/reduce programs: value AND gradient equal between
     this framework and the actual reference at 1e-9."""
@@ -1127,9 +1139,19 @@ def test_fuzz_program_parity_vs_reference(ref, seed):
             choices.append(("b", int(r.integers(n_pool)),
                             int(r.integers(n_pool)),
                             _FUZZ_BINARY[r.integers(len(_FUZZ_BINARY))], 0))
-        else:
+        elif k < 0.9:
             choices.append(("r", int(r.integers(n_pool)), 0, "",
                             int(r.integers(2))))
+        elif k < 0.94:
+            choices.append(("t", int(r.integers(n_pool)),
+                            int(r.integers(n_pool)), "", 0))
+            continue  # shape-changed: not added to the pool
+        elif k < 0.97:
+            choices.append(("s", 0, 0, "", int(r.integers(2))))
+            continue
+        else:
+            choices.append(("i", 0, 0, "", 0))
+            continue
         n_pool += 1
 
     x_r = rt.dmatrix("x")
