@@ -1120,7 +1120,13 @@ def _build_fuzz(mod, grad_fn, names_rng, x):
 @pytest.mark.parametrize("seed", range(25))
 def test_fuzz_program_parity_vs_reference(ref, seed):
     """Random elemwise/reduce programs: value AND gradient equal between
-    this framework and the actual reference at 1e-9."""
+    this framework and the actual reference at 1e-9.
+
+    Wider sweeps (seeds 8000-8060, depth 7) found two programs where the
+    REFERENCE's own runtime crashes (ValueError in its inc_subtensor
+    gradient path on keepdims-broadcast operands) while this framework
+    evaluates them correctly — kept out of the committed grid since the
+    comparison target itself fails there."""
     import pytensor
     import pytensor.tensor as rt
 
