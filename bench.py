@@ -98,7 +98,7 @@ def build_ours(dtype="float32", n_chains=None):
         f = ptt.function([theta0, m0], [thetas[-1], ms[-1], final_logp],
                          name="leapfrog_chain", mode=mode)
     f.trust_input = True
-    return f, n_params
+    return f, n_params, n_steps
 
 
 def _time_chain(f, theta0, m0, n_repeat=6):
@@ -118,20 +118,20 @@ def _time_chain(f, theta0, m0, n_repeat=6):
 def bench_ours(dtype="float32", n_chains=N_CHAINS):
     import jax
 
-    f, n_params = build_ours(dtype, n_chains=n_chains)
+    f, n_params, n_steps = build_ours(dtype, n_chains=n_chains)
     rng = np.random.default_rng(0)
     if n_chains is None:
         theta0 = np.zeros(n_params, dtype=dtype)
         theta0[N_COUNTIES + 1] = -0.3
         theta0[N_COUNTIES + 3] = -0.3
         m0 = rng.standard_normal(n_params).astype(dtype)
-        per_call = 2 * LEAPFROG_STEPS  # 2 dlogp evals per leapfrog step
+        per_call = 2 * n_steps  # 2 dlogp evals per compiled leapfrog step
     else:
         theta0 = np.zeros((n_chains, n_params), dtype=dtype)
         theta0[:, N_COUNTIES + 1] = -0.3
         theta0[:, N_COUNTIES + 3] = -0.3
         m0 = rng.standard_normal((n_chains, n_params)).astype(dtype)
-        per_call = LEAPFROG_STEPS * n_chains
+        per_call = 2 * n_steps * n_chains
     theta0 = jax.device_put(theta0)
     m0 = jax.device_put(m0)
     best_dt, final_lp = _time_chain(f, theta0, m0)

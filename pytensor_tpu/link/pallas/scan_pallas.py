@@ -72,10 +72,10 @@ def pallas_scan_eligible(op, node=None) -> bool:
     from pytensor_tpu.graph.basic import Constant
     from pytensor_tpu.graph.traversal import ancestors
 
-    for node in op.fgraph.apply_nodes:
-        if type(node.op).__name__ not in _WHITELIST:
+    for inner_node in op.fgraph.apply_nodes:
+        if type(inner_node.op).__name__ not in _WHITELIST:
             return False
-        for o in node.outputs:
+        for o in inner_node.outputs:
             shp = getattr(o.type, "shape", None)
             if shp is None or any(s is None for s in shp):
                 return False

@@ -607,6 +607,10 @@ def scan_reduce_nsteps(fgraph, node):
         for c, idx in clients:
             if c == "output" or not isinstance(c.op, Subtensor):
                 return False
+            if idx != 0:
+                # trace used as a dynamic index operand, not as the
+                # indexed tensor — cannot infer the needed prefix
+                return False
             il = c.op.idx_list
             if not il:
                 return False

@@ -530,6 +530,10 @@ def _to_bcoo(v):
     import scipy.sparse as sp
 
     if sp.issparse(v):
+        if hasattr(v, "sum_duplicates") and not getattr(
+                v, "has_canonical_format", False):
+            v = v.copy()
+            v.sum_duplicates()
         coo = v.tocoo()
         # lexicographic (row, col) order -> sorted/unique flags enable
         # the fast gather/segment paths in the lowerings

@@ -65,6 +65,11 @@ class SparseTensorType(Type, HasDataType, HasShape):
             return value
         if hasattr(value, "sort_indices"):
             value = value.copy()
+            if not getattr(value, "has_canonical_format", False):
+                # csr/csc can legally carry duplicate (row, col) entries;
+                # sort_indices() does NOT merge them, and promising
+                # unique_indices=True to XLA over duplicates is UB
+                value.sum_duplicates()
             value.sort_indices()
         coo = value.tocoo()
         import jax.numpy as jnp

@@ -629,7 +629,13 @@ def local_subtensor_of_reduce(fgraph, node):
                   red.upcast_discrete_output)(sub_inner)
     rest = node.op.idx_list[1:]
     if rest:
-        new_out = Subtensor(tuple(rest))(new_red, *dyn[n0:])
+        if dropped:
+            rest_idx = tuple(rest)
+        else:
+            # leading slice keeps axis 0 of the lifted reduction; the
+            # remaining entries index axes 1.. — prepend a full slice
+            rest_idx = (("slice", None, None, None),) + tuple(rest)
+        new_out = Subtensor(rest_idx)(new_red, *dyn[n0:])
     else:
         new_out = new_red
     if not node.outputs[0].type.is_super(new_out.type):

@@ -326,6 +326,20 @@ class TestSubtensorLiftExtra:
         f2 = compiled([x], pt.max(x, axis=1)[2:4])
         np.testing.assert_allclose(np.asarray(f2(v)), v.max(1)[2:4])
 
+    def test_subtensor_of_reduce_leading_slice_then_index(self):
+        # regression (ADVICE r2): leading slice keeps axis 0, so the
+        # remaining entries must skip it — on a SQUARE reduce output the
+        # type guard cannot catch the axis mixup
+        x = _x((2, 2, 4))
+        v = np.random.default_rng(1).standard_normal((2, 2, 4))
+        f = compiled([x], pt.sum(x, axis=2)[0:2, 1])
+        np.testing.assert_allclose(np.asarray(f(v)), v.sum(2)[0:2, 1])
+        # non-square as well, with a trailing slice
+        y = _x((3, 5, 4), "y")
+        w = np.random.default_rng(2).standard_normal((3, 5, 4))
+        g = compiled([y], pt.sum(y, axis=2)[1:3, 2:5])
+        np.testing.assert_allclose(np.asarray(g(w)), w.sum(2)[1:3, 2:5])
+
     def test_subtensor_of_reduce_shared_not_lifted(self):
         # the reduction has another consumer: lifting would recompute
         x = _x((5, 6))
