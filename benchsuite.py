@@ -175,8 +175,54 @@ def ours_sparse(n=65536, nnz_per_row=10, iters=64):
     return 1.0 / _time_chained(run_iter, iters=iters)
 
 
+# TPU v5e (1 chip) peaks used for MFU / bandwidth accounting.
+V5E_BF16_PEAK = 197e12   # FLOP/s, bf16 MXU
+V5E_HBM_GBPS = 819.0
+
 FUSED_N = 1 << 26  # 64M elements: large enough that HBM bandwidth,
 # not per-call dispatch latency, dominates (the metric is GB/s)
+
+
+def ours_mlp_mfu(k_inner=4, iters=4):
+    """MXU-saturating MLP train step: returns {'value': TFLOP/s, 'mfu_pct'}."""
+    from pytensor_tpu.models.mlp import make_mlp_mfu_step
+
+    f, flops, (Xd, Td) = make_mlp_mfu_step(batch=4096, d=4096, depth=4,
+                                           dtype="bfloat16",
+                                           n_steps_per_call=k_inner)
+
+    def run_iter(k):
+        loss = None
+        for _ in range(k):
+            loss = f(Xd, Td)  # shared weights chain the calls on device
+        return loss
+
+    dt = _time_chained(run_iter, warm_iters=1, iters=iters) / k_inner
+    fs = flops / dt
+    return {"value": round(fs / 1e12, 2),
+            "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
+
+
+def ours_gemm_chain(iters=4):
+    """Raw 8k x 8k bf16 GEMM chain: {'value': TFLOP/s, 'mfu_pct'}."""
+    import jax
+
+    from pytensor_tpu.models.mlp import make_gemm_chain
+
+    f, make_x0, flops = make_gemm_chain(batch=8192, d=8192, nmat=4,
+                                        dtype="bfloat16")
+    xd = make_x0()
+
+    def run_iter(k):
+        v = xd
+        for _ in range(k):
+            v = f(v)
+        return v[0, 0]
+
+    dt = _time_chained(run_iter, warm_iters=1, iters=iters)
+    fs = flops / dt
+    return {"value": round(fs / 1e12, 2),
+            "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
 
 
 def ours_fused(iters=64):
@@ -409,50 +455,355 @@ def ref_fused(iters=8):
 
 
 # --------------------------------------------------------------------------
+# reference JAX backend (same TPU chip) — the compiler-vs-compiler bar
+# --------------------------------------------------------------------------
+#
+# The reference's best backend on this hardware is its own JAXLinker
+# (/root/reference/pytensor/link/jax/linker.py:9).  Each ref_jax_*
+# builder compiles the SAME graph as the C-VM builder with mode="JAX"
+# (float32, matching ours), grabs the raw jitted callable (f.vm.jit_fn)
+# and drives it under an on-device lax.fori_loop chain with the SAME
+# inner-step count as our train_loop/scan chaining — so both sides
+# amortize the axon dispatch/fetch round trips identically and the
+# ratio isolates graph lowering quality, not driver overhead.
+
+def _ref_f32():
+    pytensor, rt = _ref_modules()
+    return pytensor, rt
+
+
+def _ref_jax_fn(f):
+    """Raw jitted callable of a reference mode='JAX' Function."""
+    return f.vm.jit_fn
+
+
+def _time_fori_chain(body, state0, k_inner, iters=8):
+    """steps/s of `body` (state -> state) chained k_inner times on
+    device per call, `iters` chained calls per measurement."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(state):
+        return lax.fori_loop(0, k_inner, lambda i, s: body(s), state)
+
+    def run_iter(n):
+        s = state0
+        for _ in range(n):
+            s = run(s)
+        leaf = jax.tree_util.tree_leaves(s)[0]
+        return leaf.ravel()[0]
+
+    dt = _time_chained(run_iter, warm_iters=1, iters=iters)
+    return k_inner / dt
+
+
+def ref_jax_logreg(n=8192, d=256, k_inner=32, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(SUITE_SEED)
+    with pytensor.config.change_flags(floatX="float32"):
+        X = rt.fmatrix("X")
+        y = rt.fvector("y")
+        w = rt.fvector("w")
+        b = rt.fscalar("b")
+        p = rt.sigmoid(rt.dot(X, w) + b)
+        eps = np.float32(1e-7)
+        xent = -rt.mean(y * rt.log(p + eps) + (1 - y) * rt.log(1 - p + eps))
+        gw, gb = pytensor.grad(xent, [w, b])
+        f = pytensor.function([X, y, w, b],
+                              [w - np.float32(0.1) * gw,
+                               b - np.float32(0.1) * gb], mode="JAX")
+    jit = _ref_jax_fn(f)
+    Xd = jnp.asarray(rng.random((n, d)).astype("float32"))
+    yd = jnp.asarray((rng.random(n) < 0.5).astype("float32"))
+
+    def body(s):
+        w, b = s
+        return tuple(jit(Xd, yd, w, b))
+
+    return _time_fori_chain(body, (jnp.zeros(d, "float32"),
+                                   jnp.zeros((), "float32")),
+                            k_inner, iters)
+
+
+def ref_jax_scan(kind, n=4096, k_inner=16, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    with pytensor.config.change_flags(floatX="float32"):
+        x = rt.fvector("x")
+        if kind == "cumsum":
+            tr, _ = pytensor.scan(lambda xt, acc: acc + xt, sequences=[x],
+                                  outputs_info=[np.float32(0.0)])
+            out = tr / np.float32(n)
+        else:
+            tr, _ = pytensor.scan(lambda xt, acc: np.float32(0.98) * acc
+                                  + np.float32(0.02) * xt,
+                                  sequences=[x],
+                                  outputs_info=[np.float32(0.0)])
+            out = tr
+        f = pytensor.function([x], out, mode="JAX")
+    jit = _ref_jax_fn(f)
+    x0 = jnp.asarray(np.random.default_rng(SUITE_SEED)
+                     .standard_normal(n).astype("float32"))
+    return _time_fori_chain(lambda s: jit(s)[0], x0, k_inner, iters)
+
+
+def ref_jax_elman(k_inner=16, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(SUITE_SEED)
+    seq_len, n_in, n_hidden, batch = 64, 32, 128, 4
+    with pytensor.config.change_flags(floatX="float32"):
+        Wx = rt.fmatrix("Wx")
+        Wh = rt.fmatrix("Wh")
+        Wo = rt.fmatrix("Wo")
+        X = rt.as_tensor_variable(
+            rng.standard_normal((seq_len, batch, n_in)).astype("float32"))
+        y = rt.as_tensor_variable(rng.standard_normal(batch).astype("float32"))
+        h0 = rt.zeros((batch, n_hidden), dtype="float32")
+
+        def step(xt, hprev, Wx, Wh):
+            return rt.tanh(rt.dot(xt, Wx) + rt.dot(hprev, Wh))
+
+        H, _ = pytensor.scan(step, sequences=[X], outputs_info=[h0],
+                             non_sequences=[Wx, Wh])
+        pred = rt.dot(H[-1], Wo)[:, 0]
+        loss = rt.mean((pred - y) ** 2)
+        gWx, gWh, gWo = pytensor.grad(loss, [Wx, Wh, Wo])
+        lr = np.float32(0.01)
+        f = pytensor.function([Wx, Wh, Wo],
+                              [Wx - lr * gWx, Wh - lr * gWh, Wo - lr * gWo],
+                              mode="JAX")
+    jit = _ref_jax_fn(f)
+    s0 = (jnp.asarray(0.1 * rng.standard_normal((n_in, n_hidden))
+                      .astype("float32")),
+          jnp.asarray(0.1 * rng.standard_normal((n_hidden, n_hidden))
+                      .astype("float32")),
+          jnp.asarray(0.1 * rng.standard_normal((n_hidden, 1))
+                      .astype("float32")))
+    return _time_fori_chain(lambda s: tuple(jit(*s)), s0, k_inner, iters)
+
+
+def ref_jax_gp(n=256, k_inner=16, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(SUITE_SEED)
+    Xv = rng.random((n, 3)).astype("float32")
+    yv = (np.sin(Xv.sum(axis=1)) + 0.1 * rng.standard_normal(n)).astype("float32")
+    with pytensor.config.change_flags(floatX="float32"):
+        th = rt.fvector("th")
+        X = rt.as_tensor_variable(Xv)
+        y = rt.as_tensor_variable(yv)
+        ls, amp, noise = rt.exp(th[0]), rt.exp(th[1]), rt.exp(th[2])
+        sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=-1)
+        K = amp ** 2 * rt.exp(-sq / (2 * ls ** 2)) \
+            + (noise ** 2 + np.float32(1e-5)) * rt.eye(n, dtype="float32")
+        L = rt.linalg.cholesky(K)
+        alpha = rt.linalg.solve_triangular(L, y, lower=True)
+        nmll = 0.5 * rt.sum(alpha ** 2) + rt.sum(rt.log(rt.diag(L))) \
+            + np.float32(0.5 * n * np.log(2 * np.pi))
+        g = pytensor.grad(nmll, th)
+        f = pytensor.function([th], [th - np.float32(1e-3) * g], mode="JAX")
+    jit = _ref_jax_fn(f)
+    return _time_fori_chain(lambda s: jit(s)[0],
+                            jnp.zeros(3, "float32"), k_inner, iters)
+
+
+def ref_jax_sparse(n=65536, nnz_per_row=10, k_inner=32, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from pytensor import sparse as psp
+
+    rng = np.random.default_rng(SUITE_SEED)
+    A = sp.random(n, n, density=nnz_per_row / n, format="csr",
+                  random_state=rng, dtype="float32")
+    with pytensor.config.change_flags(floatX="float32"):
+        x = rt.fmatrix("x")
+        y = psp.structured_dot(psp.as_sparse_variable(A), x)
+        f = pytensor.function([x], y, mode="JAX")
+    jit = _ref_jax_fn(f)
+    x0 = jnp.asarray(rng.standard_normal((n, 1)).astype("float32"))
+
+    def body(v):
+        y = jit(v)[0]
+        if hasattr(y, "todense"):
+            y = y.todense()
+        return y / (jnp.max(jnp.abs(y)) + np.float32(1e-9))
+
+    return _time_fori_chain(body, x0, k_inner, iters)
+
+
+def ref_jax_fused(k_inner=16, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    with pytensor.config.change_flags(floatX="float32"):
+        x = rt.fvector("x")
+        y = rt.exp(np.float32(-0.5) * (x - np.float32(0.1)) ** 2) \
+            * np.float32(0.999)
+        f = pytensor.function([x], y, mode="JAX")
+    jit = _ref_jax_fn(f)
+    x0 = jnp.asarray(np.random.default_rng(SUITE_SEED)
+                     .random(FUSED_N).astype("float32"))
+    calls_per_s = _time_fori_chain(lambda s: jit(s)[0], x0, k_inner, iters)
+    return calls_per_s * 2 * 4 * FUSED_N / 1e9  # GB/s (f32 read+write)
+
+
+def ref_jax_mlp_mfu(k_inner=4, iters=4):
+    """Reference mode='JAX' on the same MLP shapes (float32: the
+    reference has no bfloat16 dtype — noted in PARITY.md)."""
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    import jax
+
+    import jax
+
+    B = d = 4096
+    depth = 4
+    with pytensor.config.change_flags(floatX="float32"):
+        Ws = [rt.fmatrix(f"W{i}") for i in range(depth)]
+        X = rt.fmatrix("X")
+        T = rt.fmatrix("T")
+        h = X
+        for W in Ws:
+            h = rt.maximum(rt.dot(h, W), np.float32(0))
+        loss = rt.mean((h - T) ** 2)
+        gs = pytensor.grad(loss, Ws)
+        lr = np.float32(1e-3)
+        f = pytensor.function([X, T, *Ws],
+                              [W - lr * g for W, g in zip(Ws, gs)],
+                              mode="JAX")
+    jit = _ref_jax_fn(f)
+    # data + weight init generated on device (transfer-free, cf. ours);
+    # aranges stay INSIDE the jits so nothing becomes a giant HLO literal
+    Xd = jax.jit(lambda: jnp.sin(
+        jnp.arange(B * d, dtype=jnp.float32) * 0.31).reshape(B, d))()
+    Td = jax.jit(lambda: jnp.sin(
+        jnp.arange(B * d, dtype=jnp.float32) * 0.17).reshape(B, d))()
+    s0 = tuple(
+        jax.jit(lambda i=i: (0.02 * jnp.sin(
+            jnp.arange(d * d, dtype=jnp.float32) * (0.7 + 0.13 * i)))
+            .reshape(d, d))() for i in range(depth))
+    # X/T thread through the loop state: closure-captured device arrays
+    # are lowered as HLO literals and large ones blow the upload cap
+    steps_per_s = _time_fori_chain(
+        lambda s: (s[0], s[1], *jit(s[0], s[1], *s[2:])),
+        (Xd, Td, *s0), k_inner, iters)
+    flops = depth * 3 * 2 * B * d * d
+    fs = steps_per_s * flops
+    return {"value": round(fs / 1e12, 2),
+            "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
+
+
+def ref_jax_gemm_chain(k_inner=2, iters=4):
+    pytensor, rt = _ref_f32()
+    import jax
+    import jax.numpy as jnp
+
+    B = d = 8192
+    nmat = 4
+    with pytensor.config.change_flags(floatX="float32"):
+        x = rt.fmatrix("x")
+        Ws = [rt.fmatrix(f"G{i}") for i in range(nmat)]
+        yv = x
+        for W in Ws:
+            yv = rt.dot(yv, W)
+        scale = rt.sqrt(rt.mean(yv ** 2)) + np.float32(1e-6)
+        f = pytensor.function([x, *Ws], yv / scale, mode="JAX")
+    jit = _ref_jax_fn(f)
+    # weights + input generated on device (transfer-free, cf. ours)
+    Wd = tuple(
+        jax.jit(lambda i=i: (jnp.sin(
+            jnp.arange(d * d, dtype=jnp.float32) * (0.7 + 0.13 * i))
+            / np.sqrt(d)).reshape(d, d))()
+        for i in range(nmat))
+    x0 = jax.jit(lambda: jnp.sin(
+        jnp.arange(B * d, dtype=jnp.float32) * 0.31).reshape(B, d))()
+    # weights thread through the loop state (closure constants become
+    # HLO literals; 4 x 256MB would blow the remote-compile upload cap)
+    calls_per_s = _time_fori_chain(
+        lambda s: (jit(s[0], *s[1:])[0], *s[1:]),
+        (x0, *Wd), k_inner, iters)
+    fs = calls_per_s * nmat * 2 * B * d * d
+    return {"value": round(fs / 1e12, 2),
+            "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
+
+
+# --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
 
 WORKLOADS = [
-    # (name, ours_fn, ref_fn, unit)
-    ("logreg_sgd_step", ours_logreg, ref_logreg, "steps/s"),
+    # (name, ours_fn, ref_cvm_fn, ref_jax_fn, unit)
+    ("logreg_sgd_step", ours_logreg, ref_logreg, ref_jax_logreg, "steps/s"),
     ("scan_cumsum_4096", lambda: ours_scan("cumsum"),
-     lambda: ref_scan("cumsum"), "calls/s"),
+     lambda: ref_scan("cumsum"), lambda: ref_jax_scan("cumsum"), "calls/s"),
     ("scan_ewma_4096", lambda: ours_scan("ewma"),
-     lambda: ref_scan("ewma"), "calls/s"),
-    ("elman_bptt_step", ours_elman, ref_elman, "steps/s"),
-    ("gp_mll_grad_256", ours_gp, ref_gp_shared, "evals/s"),
-    ("sparse_csr_matvec_65536", ours_sparse, ref_sparse, "matvecs/s"),
-    ("fused_elemwise_bandwidth", ours_fused, ref_fused, "GB/s"),
+     lambda: ref_scan("ewma"), lambda: ref_jax_scan("ewma"), "calls/s"),
+    ("elman_bptt_step", ours_elman, ref_elman, ref_jax_elman, "steps/s"),
+    ("gp_mll_grad_256", ours_gp, ref_gp_shared, ref_jax_gp, "evals/s"),
+    ("sparse_csr_matvec_65536", ours_sparse, ref_sparse, ref_jax_sparse,
+     "matvecs/s"),
+    ("fused_elemwise_bandwidth", ours_fused, ref_fused, ref_jax_fused,
+     "GB/s"),
+    ("mlp_train_4x4096_bf16", ours_mlp_mfu, None, ref_jax_mlp_mfu,
+     "TFLOP/s"),
+    ("gemm_chain_8192_bf16", ours_gemm_chain, None, ref_jax_gemm_chain,
+     "TFLOP/s"),
 ]
+
+
+def _run_one(fn, name, side, verbose):
+    import sys
+
+    if fn is None:
+        return None, {}
+    try:
+        r = fn()
+    except Exception as e:
+        if verbose:
+            print(f"suite {name} {side} failed: {e!r}", file=sys.stderr)
+        return None, {}
+    if isinstance(r, dict):
+        extra = {f"{side}_{k}" if side != "ours" else k: v
+                 for k, v in r.items() if k != "value"}
+        return round(float(r["value"]), 2), extra
+    return round(float(r), 2), {}
 
 
 def run_suite(verbose=True):
     import sys
 
     results = {}
-    for name, ours_fn, ref_fn, unit in WORKLOADS:
+    for name, ours_fn, ref_fn, ref_jax_fn, unit in WORKLOADS:
         entry = {"unit": unit}
-        try:
-            entry["ours"] = round(float(ours_fn()), 2)
-        except Exception as e:
-            if verbose:
-                print(f"suite {name} ours failed: {e!r}", file=sys.stderr)
-            entry["ours"] = None
-        try:
-            entry["ref_cvm"] = round(float(ref_fn()), 2)
-        except Exception as e:
-            if verbose:
-                print(f"suite {name} reference failed: {e!r}", file=sys.stderr)
-            entry["ref_cvm"] = None
+        entry["ours"], extra = _run_one(ours_fn, name, "ours", verbose)
+        entry.update(extra)
+        entry["ref_cvm"], _ = _run_one(ref_fn, name, "ref_cvm", verbose)
+        entry["ref_jax"], jextra = _run_one(ref_jax_fn, name, "ref_jax",
+                                            verbose)
+        entry.update(jextra)
         if entry["ours"] and entry["ref_cvm"]:
             entry["vs_baseline"] = round(entry["ours"] / entry["ref_cvm"], 2)
         else:
             entry["vs_baseline"] = None
+        if entry["ours"] and entry["ref_jax"]:
+            entry["vs_ref_jax"] = round(entry["ours"] / entry["ref_jax"], 2)
+        else:
+            entry["vs_ref_jax"] = None
         results[name] = entry
         if verbose:
             print(f"suite {name}: ours={entry['ours']} {unit}, "
-                  f"ref={entry['ref_cvm']} {unit}, "
-                  f"ratio={entry['vs_baseline']}", file=sys.stderr)
+                  f"ref_cvm={entry['ref_cvm']}, ref_jax={entry['ref_jax']}, "
+                  f"vs_cvm={entry['vs_baseline']} "
+                  f"vs_jax={entry['vs_ref_jax']}", file=sys.stderr)
     return results
 
 

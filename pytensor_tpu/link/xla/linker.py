@@ -37,9 +37,16 @@ def ensure_x64():
         _x64_initialized = True
 
 
-def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
+def fgraph_to_jax(fgraph: FunctionGraph, *, carry_device_constants=False):
     """Build a python callable applying each node's XLA lowering in
-    topological order (the trace that jit compiles)."""
+    topological order (the trace that jit compiles).
+
+    With ``carry_device_constants=True`` returns ``(fn, carry_vals)``
+    where device-array constants become extra TRAILING arguments of
+    ``fn`` instead of closure captures: jax lowers closed-over arrays
+    as HLO literals, which for large buffers blows compile memory (and
+    the remote-compile size cap on tunneled TPU backends).
+    """
     ensure_registered()
     order = fgraph.toposort()
     node_fns = []
@@ -52,24 +59,34 @@ def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
         for i in node.inputs:
             if isinstance(i, Constant) and i not in constants:
                 constants.append(i)
-    # constants stay as HOST numpy arrays: they embed directly into the HLO
-    # as literals at trace time (a device_put here would round-trip through
-    # the accelerator on every lowering)
+    # host numpy constants embed directly into the HLO as literals at
+    # trace time; device-array constants stay device-side (np.asarray on
+    # them would be a host round-trip)
     from pytensor_tpu.tensor.type import TensorType
 
     const_vals = {}
+    carry_consts = []
     for c in constants:
-        if isinstance(c.type, TensorType):
-            const_vals[c] = np.asarray(c.data)
+        data = c.data
+        if type(data).__module__.startswith("jax"):
+            if carry_device_constants:
+                carry_consts.append(c)
+            else:
+                const_vals[c] = data
+        elif isinstance(c.type, TensorType):
+            const_vals[c] = np.asarray(data)
         else:
-            const_vals[c] = c.data
+            const_vals[c] = data
 
     inputs = list(fgraph.inputs)
     outputs = list(fgraph.outputs)
+    n_in = len(inputs)
 
     def compiled(*args):
         storage = dict(const_vals)
         for var, val in zip(inputs, args):
+            storage[var] = val
+        for var, val in zip(carry_consts, args[n_in:]):
             storage[var] = val
         for fn, node in node_fns:
             vals = [storage[i] for i in node.inputs]
@@ -86,6 +103,8 @@ def fgraph_to_jax(fgraph: FunctionGraph) -> Callable:
                     storage[o] = r
         return tuple(storage[o] for o in outputs)
 
+    if carry_device_constants:
+        return compiled, [c.data for c in carry_consts]
     return compiled
 
 
@@ -114,8 +133,11 @@ class XlaLinker(Linker):
         import jax
 
         ensure_x64()
-        fn = fgraph_to_jax(self.fgraph)
+        fn, carry = fgraph_to_jax(self.fgraph, carry_device_constants=True)
         if not self.jit:
+            if carry:
+                inner_nojit = fn
+                return lambda *args: inner_nojit(*args, *carry)
             return fn
         donate = donate_argnums if donate_argnums is not None else self.donate_argnums
         kwargs = {}
@@ -138,4 +160,6 @@ class XlaLinker(Linker):
                     return _inner(*args)
 
         jitted = jax.jit(fn, donate_argnums=donate or (), **kwargs)
+        if carry:
+            return lambda *args: jitted(*args, *carry)
         return jitted

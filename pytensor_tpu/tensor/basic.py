@@ -37,6 +37,15 @@ def constant(value, name=None, ndim=None, dtype=None) -> TensorConstant:
         ):
             return value
         value = value.data
+    if type(value).__module__.startswith("jax") and hasattr(value, "dtype"):
+        # device arrays stay on device: np.asarray here would be a
+        # host round-trip (minutes for large buffers on a tunneled
+        # chip), and the XLA lowering passes them straight through
+        if (ndim is None or value.ndim == ndim) and (
+                dtype is None or str(value.dtype) == str(dtype)):
+            ttype = TensorType(str(value.dtype), tuple(value.shape))
+            return TensorConstant(ttype, value, name)
+        value = np.asarray(value)
     arr = np.asarray(value, dtype=_np_dtype(dtype) if dtype is not None else None)
     if dtype is None:
         if arr.dtype == np.float64 and isinstance(value, (float, numbers.Real)) \

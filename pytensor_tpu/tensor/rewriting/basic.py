@@ -31,6 +31,11 @@ def constant_folding(fgraph, node):
         return False
     if not all(isinstance(i, Constant) for i in node.inputs):
         return False
+    if any(type(i.data).__module__.startswith("jax") for i in node.inputs):
+        # device-array constants: folding through the host oracle would
+        # force a device->host fetch (and re-embed the result as an HLO
+        # literal); leave them for XLA to fold on-chip
+        return False
     if not node.op.do_constant_folding(fgraph, node):
         return False
     storage = [[None] for _ in node.outputs]

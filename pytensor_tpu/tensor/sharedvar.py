@@ -20,13 +20,13 @@ def tensor_shared_constructor(value, name=None, strict=False, allow_downcast=Non
     Static shape defaults to fully-unknown dims (matching the reference:
     shared tensors can be resized via set_value) unless ``shape`` is given.
     """
-    try:
-        import jax
-
-        if isinstance(value, jax.Array):
-            value = np.asarray(value)
-    except ImportError:
-        pass
+    if type(value).__module__.startswith("jax") and hasattr(value, "dtype"):
+        # keep device arrays on device (np.asarray = host round-trip);
+        # jax arrays are immutable so borrow semantics are moot
+        static_shape = (None,) * value.ndim if shape is None else tuple(shape)
+        ttype = TensorType(str(value.dtype), static_shape)
+        return TensorSharedVariable(ttype, value, strict=strict,
+                                    allow_downcast=allow_downcast, name=name)
     arr = np.asarray(value)
     if shape is None:
         static_shape = (None,) * arr.ndim

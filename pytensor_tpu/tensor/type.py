@@ -79,6 +79,16 @@ class TensorType(Type, HasDataType, HasShape):
         )
 
     def filter(self, data: Any, strict: bool = False, allow_downcast: bool | None = None):
+        if type(data).__module__.startswith("jax") and hasattr(data, "dtype"):
+            # device arrays are the native runtime format on the XLA
+            # path; np.asarray would force a host round-trip
+            if (str(data.dtype) == self.dtype and data.ndim == self.ndim
+                    and all(s is None or s == d
+                            for s, d in zip(self.shape, data.shape))):
+                return data
+            raise TypeError(
+                f"{self}: device array with dtype {data.dtype} / shape "
+                f"{data.shape} does not match")
         if strict:
             if not isinstance(data, np.ndarray):
                 raise TypeError(f"{self} expected an ndarray, got {type(data)}")
