@@ -250,6 +250,11 @@ config.add(
     BoolParam(False, doc="Emit Pallas kernels for fused elemwise subgraphs (else rely on XLA fusion)."),
 )
 config.add(
+    "sparse__routed_spmv",
+    BoolParam(True, doc="Lower constant-pattern CSR matvec to the routed "
+                        "MXU/lane-gather kernel (sparse/spmv.py)."),
+)
+config.add(
     "matmul_precision",
     EnumStr("default", ("high", "highest", "bfloat16", "float32"),
             doc="Precision for dot_general on the MXU."),

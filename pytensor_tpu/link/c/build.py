@@ -49,13 +49,12 @@ def _source_path() -> Path:
     return Path(__file__).parent / "hostvm.c"
 
 
-def _build() -> Path | None:
-    src = _source_path()
+def _build_module(src: Path, modname: str) -> Path | None:
     code = src.read_bytes()
     key = hashlib.sha256(code).hexdigest()[:16]
     d = cache_dir()
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = d / f"_pytensor_tpu_hostvm_{key}{suffix}"
+    out = d / f"{modname}_{key}{suffix}"
     if out.exists():
         return out
     with lock_ctx(d):
@@ -75,6 +74,28 @@ def _build() -> Path | None:
     return out
 
 
+_native_modules: dict = {}
+
+
+def get_native_module(name: str):
+    """Compile-and-load a C extension from link/c/<name>.c (cached);
+    returns the module or None (callers keep a python fallback)."""
+    if name in _native_modules:
+        return _native_modules[name]
+    modname = f"_pytensor_tpu_{name}"
+    mod = None
+    try:
+        path = _build_module(Path(__file__).parent / f"{name}.c", modname)
+        if path is not None:
+            spec = importlib.util.spec_from_file_location(modname, path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+    except Exception:
+        mod = None
+    _native_modules[name] = mod
+    return mod
+
+
 def get_hostvm():
     """Return the compiled hostvm module, or None (python fallback)."""
     global _hostvm_module, _build_failed
@@ -83,7 +104,7 @@ def get_hostvm():
     if _build_failed:
         return None
     try:
-        path = _build()
+        path = _build_module(_source_path(), "_pytensor_tpu_hostvm")
     except Exception:
         path = None
     if path is None:

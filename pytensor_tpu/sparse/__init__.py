@@ -90,3 +90,4 @@ from pytensor_tpu.sparse.compat import (  # noqa: F401,E402
     structured_dot_grad,
 )
 from pytensor_tpu.sparse import basic as rewriting  # noqa: F401,E402  (rewrites live in basic)
+from pytensor_tpu.sparse import spmv  # noqa: F401,E402  (routed SpMV op + rewrite)
