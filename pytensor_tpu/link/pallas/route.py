@@ -197,6 +197,7 @@ def lane_gather(x, idx):
 
     if jax.default_backend() != "tpu":
         return jnp.take_along_axis(x, idx, axis=1)
+    from jax import lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -207,8 +208,22 @@ def lane_gather(x, idx):
             blk = cand
             break
 
+    # explicit lax.gather in the exact form Mosaic lowers to
+    # tpu.dynamic_gather (jnp.take_along_axis would build an internal
+    # int64 iota under x64, which Mosaic rejects)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+
     def kern(x_ref, i_ref, o_ref):
-        o_ref[...] = jnp.take_along_axis(x_ref[...], i_ref[...], axis=1)
+        o_ref[...] = lax.gather(
+            x_ref[...], i_ref[...].astype(jnp.int32)[..., None], dnums,
+            slice_sizes=(1, 1),
+            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
     return pl.pallas_call(
         kern,

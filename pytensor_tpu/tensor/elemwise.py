@@ -183,8 +183,7 @@ class Elemwise(Op):
         output_storage[0][0] = out
 
     def infer_shape(self, fgraph, node, input_shapes):
-        from pytensor_tpu.tensor.basic import as_tensor_variable, constant
-        from pytensor_tpu.tensor import math as tm
+        from pytensor_tpu.tensor.basic import constant
 
         out_ndim = node.outputs[0].type.ndim
         result = []
@@ -193,8 +192,11 @@ class Elemwise(Op):
             if static is not None:
                 result.append(constant(np.int64(static)))
                 continue
-            # a None input dim may still be 1 at runtime (and broadcast), so
-            # the only sound symbolic value is the max over all candidates
+            # Reference semantics (tensor/elemwise.py infer_shape +
+            # the "Could not broadcast dimensions" runtime assert):
+            # broadcasting requires a STATIC length-1 dim, so every
+            # unknown candidate dim is equal at runtime and any one of
+            # them is the output dim — no runtime max needed.
             candidates = []
             for inp, ishp in zip(node.inputs, input_shapes):
                 offset = out_ndim - inp.type.ndim
@@ -208,13 +210,8 @@ class Elemwise(Op):
                         break
             if not candidates:
                 result.append(constant(np.int64(1)))
-            elif len(candidates) == 1:
-                result.append(candidates[0])
             else:
-                acc = candidates[0]
-                for c in candidates[1:]:
-                    acc = tm.maximum(acc, c)
-                result.append(acc)
+                result.append(candidates[0])
         return [tuple(result)]
 
     def L_op(self, inputs, outputs, output_grads):

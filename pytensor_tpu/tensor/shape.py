@@ -238,22 +238,34 @@ class Reshape(Op):
         from pytensor_tpu.tensor.basic import cast, constant
 
         shp = node.inputs[1]
-        entries = [shp[i] for i in range(self.ndim)]
-        # handle -1: size / prod(others)
+        entries = _try_shape_entries(shp, self.ndim)
+        if entries is None:
+            entries = [shp[i] for i in range(self.ndim)]
+        # handle -1: size / prod(others).  Entries that are provably
+        # non-negative (shape graphs, non-negative constants) skip the
+        # switch so the symbolic entry stays structurally comparable
+        # (ShapeFeature.same_shape on dynamic graphs).
+        from pytensor_tpu.tensor.basic import as_tensor_variable, stack
+
         xshp = input_shapes[0]
-        if xshp:
-            total = tm.prod(
-                tm.stack([cast(s, "int64") for s in xshp])
-            ) if len(xshp) else constant(np.int64(1))
-        else:
-            total = constant(np.int64(1))
+
+        def _prod(items):
+            if not items:
+                return constant(np.int64(1))
+            acc = cast(as_tensor_variable(items[0]), "int64")
+            for it in items[1:]:
+                acc = acc * cast(as_tensor_variable(it), "int64")
+            return acc
+
         out = []
         for i, e in enumerate(entries):
-            others = [entries[j] for j in range(self.ndim) if j != i]
-            if others:
-                prod_others = tm.prod(tm.stack([cast(o, "int64") for o in others]))
-            else:
-                prod_others = constant(np.int64(1))
+            e = as_tensor_variable(e)
+            if _provably_nonneg(e):
+                out.append(e)
+                continue
+            total = _prod(list(xshp) if xshp else [])
+            prod_others = _prod(
+                [entries[j] for j in range(self.ndim) if j != i])
             resolved = tm.switch(tm.lt(e, 0), total // prod_others, e)
             out.append(resolved)
         return [tuple(out)]
@@ -283,6 +295,32 @@ def _try_shape_entries(shp, ndim):
     if shp.type.shape[0] is not None and shp.type.shape[0] == ndim:
         return [shp[i] for i in range(ndim)]
     return None
+
+
+def _provably_nonneg(v, depth=0):
+    """Conservative: True only when the scalar graph is certainly >= 0
+    (shape queries, non-negative constants, and closed arithmetic over
+    them).  Used to skip -1 handling in Reshape.infer_shape."""
+    if depth > 8:
+        return False
+    if isinstance(v, Constant):
+        try:
+            return bool(np.all(np.asarray(v.data) >= 0))
+        except Exception:
+            return False
+    if v.owner is None:
+        return False
+    op = v.owner.op
+    if isinstance(op, (Shape, Shape_i)):
+        return True
+    name = getattr(getattr(op, "scalar_op", None), "name", None)
+    if name in ("add", "mul", "maximum", "minimum", "int_div", "true_div"):
+        return all(_provably_nonneg(i, depth + 1) for i in v.owner.inputs)
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    if isinstance(op, DimShuffle):
+        return _provably_nonneg(v.owner.inputs[0], depth + 1)
+    return False
 
 
 def reshape(x, newshape, ndim=None):
