@@ -10,4 +10,5 @@ import pytensor_tpu.tensor.rewriting.elemwise  # noqa: F401
 import pytensor_tpu.tensor.rewriting.shape  # noqa: F401
 import pytensor_tpu.tensor.rewriting.subtensor  # noqa: F401
 import pytensor_tpu.tensor.rewriting.linalg  # noqa: F401
+import pytensor_tpu.tensor.rewriting.special  # noqa: F401
 import pytensor_tpu.tensor.rewriting.blockwise  # noqa: F401

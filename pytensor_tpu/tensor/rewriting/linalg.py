@@ -329,3 +329,300 @@ def local_diagonal_of_diag(fgraph, node):
 
 
 register_canonicalize(local_diagonal_of_diag, name="local_diagonal_of_diag")
+
+
+# ---------------------------------------------------------------------------
+# round-3 long tail (reference tensor/rewriting/linalg/{inverse,solvers,
+# summary,decomposition}.py — ported where the rule is graph-semantic;
+# XLA-redundant entries are recorded in PARITY.md instead)
+# ---------------------------------------------------------------------------
+
+def _is_matrix_transpose(v):
+    """Return the pre-transpose variable when v = matrix_transpose(u)."""
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    if v.owner is None or not isinstance(v.owner.op, DimShuffle):
+        return None
+    nd = v.type.ndim
+    if nd < 2:
+        return None
+    order = v.owner.op.new_order
+    want = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+    if tuple(order) == want:
+        return v.owner.inputs[0]
+    return None
+
+
+@node_rewriter(None)
+def local_transpose_of_inv(fgraph, node):
+    """inv(A)^T -> inv(A^T): canonical form groups the transpose inward
+    so downstream solve/det rules see the raw operand
+    (reference inverse.py transpose_of_inv)."""
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    if not isinstance(node.op, DimShuffle):
+        return False
+    out = node.outputs[0]
+    inner = _is_matrix_transpose(out)
+    if inner is None or inner.owner is None \
+            or not isinstance(inner.owner.op, MatrixInverse):
+        return False
+    from pytensor_tpu.tensor.linalg import inv
+
+    res = inv(_mT_var(inner.owner.inputs[0]))
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_transpose_of_inv, name="local_transpose_of_inv")
+
+
+@node_rewriter([Det])
+def local_det_of_inv(fgraph, node):
+    """det(inv(A)) -> 1 / det(A): one factorization instead of an inverse
+    plus a factorization (reference summary.py det_of_inv)."""
+    (A,) = node.inputs
+    if A.owner is None or not isinstance(A.owner.op, MatrixInverse):
+        return False
+    from pytensor_tpu.tensor.linalg import det
+
+    res = 1.0 / det(A.owner.inputs[0])
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_det_of_inv, name="local_det_of_inv")
+
+
+@node_rewriter([Solve])
+def local_scalar_solve_to_division(fgraph, node):
+    """solve(A, b) with static (1, 1) A -> b / A[0, 0]
+    (reference solvers.py scalar_solve_to_division)."""
+    A, b = node.inputs
+    if A.type.shape != (1, 1) or node.op.assume_a == "tridiagonal":
+        return False
+    d = A[0, 0]
+    res = b / (d if node.op.b_ndim == 1 else d)
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_scalar_solve_to_division,
+                    name="local_scalar_solve_to_division")
+
+
+@node_rewriter([Solve])
+def local_solve_of_inv_to_matmul(fgraph, node):
+    """solve(inv(A), b) -> A @ b (reference solvers.py
+    solve_of_inv_to_matmul)."""
+    from pytensor_tpu.tensor.math import dot
+
+    A, b = node.inputs
+    if A.owner is None or not isinstance(A.owner.op, MatrixInverse):
+        return False
+    res = dot(A.owner.inputs[0], b)
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_solve_of_inv_to_matmul,
+                    name="local_solve_of_inv_to_matmul")
+
+
+@node_rewriter(None)
+def local_paired_triangular_solves_to_cho_solve(fgraph, node):
+    """solve_triangular(L^T, solve_triangular(L, b, lower=True),
+    lower=False) -> cho_solve((L, True), b) — the hand-written Cholesky
+    solve collapses to one op (reference solvers.py
+    paired_triangular_solves_to_cho_solve)."""
+    from pytensor_tpu.tensor.linalg import CholeskySolve, SolveTriangular
+
+    if not isinstance(node.op, SolveTriangular) or node.op.lower:
+        return False
+    Au, inner_v = node.inputs
+    if inner_v.owner is None \
+            or not isinstance(inner_v.owner.op, SolveTriangular) \
+            or not inner_v.owner.op.lower:
+        return False
+    L, b = inner_v.owner.inputs
+    LT = _is_matrix_transpose(Au)
+    if LT is not L:
+        return False
+    res = CholeskySolve(b_ndim=node.op.b_ndim, lower=True)(L, b)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_paired_triangular_solves_to_cho_solve,
+                    name="local_paired_triangular_solves_to_cho_solve")
+
+
+@node_rewriter([Solve])
+def local_orthogonal_solve_to_transpose_matmul(fgraph, node):
+    """solve(Q, b) with Q orthogonal -> Q^T @ b (reference solvers.py
+    orthogonal_solve_to_transpose_matmul)."""
+    from pytensor_tpu.tensor.math import dot
+
+    A, b = node.inputs
+    if not _holds(A, "orthogonal"):
+        return False
+    res = dot(_mT_var(A), b)
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_orthogonal_solve_to_transpose_matmul,
+                    name="local_orthogonal_solve_to_transpose_matmul")
+
+
+@node_rewriter([MatrixInverse])
+def local_inv_of_diag_to_reciprocal(fgraph, node):
+    """inv(D) for diagonal D -> diag(1/diag(D)): O(n)
+    (reference inverse.py inv_of_diag_to_diag_reciprocal)."""
+    from pytensor_tpu.tensor.basic import alloc_diag, diagonal
+
+    (A,) = node.inputs
+    if not _holds(A, "diagonal"):
+        return False
+    res = alloc_diag(1.0 / diagonal(A))
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_inv_of_diag_to_reciprocal,
+                    name="local_inv_of_diag_to_reciprocal")
+
+
+@node_rewriter(None)
+def local_cholesky_of_gram(fgraph, node):
+    """cholesky(L @ L^T) with L assumed lower triangular (positive
+    diagonal) -> L (reference decomposition.py cholesky_ldotlt)."""
+    from pytensor_tpu.assumptions import gram_factor
+    from pytensor_tpu.tensor.blas import Dot22
+    from pytensor_tpu.tensor.linalg import Cholesky
+    from pytensor_tpu.tensor.math import Dot
+
+    if not isinstance(node.op, Cholesky) or not node.op.lower:
+        return False
+    (A,) = node.inputs
+    if A.owner is None or not isinstance(A.owner.op, (Dot, Dot22)):
+        return False
+    L = gram_factor(A.owner)
+    if L is None or A.owner.inputs[0] is not L:
+        return False
+    # sound only for a factor with a non-negative diagonal: either L
+    # literally comes from a Cholesky, or the user asserted positivity
+    is_chol = L.owner is not None and isinstance(L.owner.op, Cholesky) \
+        and L.owner.op.lower
+    if not is_chol and not (_holds(L, "lower_triangular")
+                            and _holds(L, "positive")):
+        return False
+    out = node.outputs[0]
+    if L.type.dtype != out.type.dtype or not out.type.is_super(L.type):
+        return False
+    copy_stack_trace(out, L)
+    return [L]
+
+
+register_specialize(local_cholesky_of_gram, name="local_cholesky_of_gram")
+
+
+@node_rewriter(None)
+def local_svd_uv_merge(fgraph, node):
+    """Two SVDs of the same operand where one discards U/V: reuse the
+    singular values of the full one (reference decomposition.py
+    svd_uv_merge)."""
+    from pytensor_tpu.tensor.linalg import SVD
+
+    if not isinstance(node.op, SVD) or node.op.compute_uv:
+        return False
+    (A,) = node.inputs
+    for client, _idx in fgraph.clients.get(A, ()):
+        if client == "output" or client is node:
+            continue
+        if isinstance(client.op, SVD) and client.op.compute_uv \
+                and client.op.full_matrices == node.op.full_matrices \
+                and client.inputs[0] is A:
+            s = client.outputs[1]
+            out = node.outputs[0]
+            if out.type.is_super(s.type):
+                copy_stack_trace(out, s)
+                return [s]
+    return False
+
+
+register_specialize(local_svd_uv_merge, name="local_svd_uv_merge")
+
+
+@node_rewriter([Elemwise])
+def local_log_prod_to_sum_log(fgraph, node):
+    """log(prod(x)) with x assumed positive -> sum(log(x)): stable and
+    fusable (reference summary.py local_log_prod_to_sum_log)."""
+    from pytensor_tpu.tensor.elemwise import CAReduce
+    from pytensor_tpu.tensor.math import log, sum as t_sum
+
+    if node.op.scalar_op.name != "log":
+        return False
+    arg = node.inputs[0]
+    if arg.owner is None or not isinstance(arg.owner.op, CAReduce):
+        return False
+    red = arg.owner.op
+    if getattr(red.scalar_op, "name", None) != "mul":
+        return False
+    x = arg.owner.inputs[0]
+    if not _holds(x, "positive"):
+        return False
+    res = t_sum(log(x), axis=red.axis)
+    out = node.outputs[0]
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_stabilize(local_log_prod_to_sum_log,
+                   name="local_log_prod_to_sum_log")

@@ -648,6 +648,38 @@ register_specialize(local_subtensor_of_reduce,
                     name="local_subtensor_of_reduce")
 
 
+@node_rewriter(None)
+def local_advanced_subtensor1_of_dot(fgraph, node):
+    """dot(A, B)[rows] -> dot(A[rows], B): the gather moves to the
+    small operand and the matmul shrinks (reference
+    subtensor_lift.py:351 local_advanced_subtensor_of_dot, the
+    row-vector case)."""
+    from pytensor_tpu.tensor.blas import Dot22
+    from pytensor_tpu.tensor.math import Dot, dot
+    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor1
+
+    if not isinstance(node.op, AdvancedSubtensor1):
+        return False
+    x, ilist = node.inputs
+    if x.owner is None or not isinstance(x.owner.op, (Dot, Dot22)):
+        return False
+    if len(fgraph.clients.get(x, ())) > 1:
+        return False  # product materialized anyway
+    a, b = x.owner.inputs
+    if a.type.ndim != 2 or b.type.ndim != 2:
+        return False
+    res = dot(AdvancedSubtensor1()(a, ilist), b)
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_advanced_subtensor1_of_dot,
+                    name="local_advanced_subtensor1_of_dot")
+
+
 @node_rewriter([Subtensor])
 def local_subtensor_of_join(fgraph, node):
     """join(axis, a, b, ...)[idx] with the index on a NON-join axis ->
