@@ -547,7 +547,12 @@ class TestParallelPPandEP:
 
         n_stages, n_micro, mb, d = 4, 6, 4, 8
         mesh = parallel.make_mesh({"pipe": n_stages})
-        layer = plmod._stage_layer_fn(mb, d)
+        Wv_ = pt.tensor("W", dtype="float32", shape=(d, d))
+        bv_ = pt.tensor("b", dtype="float32", shape=(d,))
+        xv_ = pt.tensor("x", dtype="float32", shape=(mb, d))
+        stage_fn = plmod.as_stage_callable(
+            ([xv_, Wv_, bv_], pt.tanh(pt.dot(xv_, Wv_) + bv_)))
+        layer = lambda Wl, bl, xl: (stage_fn(xl, Wl, bl),)  # noqa: E731
         rng = np.random.default_rng(0)
         W = (rng.standard_normal((n_stages, d, d)) * 0.3).astype("float32")
         b = np.zeros((n_stages, d), "float32")
@@ -588,27 +593,29 @@ class TestParallelPPandEP:
 
     def test_pipeline_train_step_decreases_loss(self):
         from pytensor_tpu import parallel
-        from pytensor_tpu.parallel.pipeline import make_pipeline_train_step
+        from pytensor_tpu.parallel.pipeline import (
+            make_demo_pipeline_train_step,
+        )
 
         mesh = parallel.make_mesh({"pipe": 4})
-        step, (W, b), (xs, ys) = make_pipeline_train_step(
+        step, params, (xs, ys) = make_demo_pipeline_train_step(
             mesh, n_micro=8, mb=4, d=8)
         losses = []
         for _ in range(8):
-            W, b, loss = step(W, b, xs, ys)
+            params, loss = step(params, xs, ys)
             losses.append(float(np.asarray(loss)))
         assert losses[-1] < losses[0]
 
     def test_moe_train_step_decreases_loss(self):
         from pytensor_tpu import parallel
-        from pytensor_tpu.parallel.moe import make_moe_train_step
+        from pytensor_tpu.parallel.moe import make_demo_moe_train_step
 
         mesh = parallel.make_mesh({"expert": 8})
-        step, (Wg, W1, W2), (x, y) = make_moe_train_step(
+        step, (Wg, params), (x, y) = make_demo_moe_train_step(
             mesh, tokens_per_dev=16, d=8, h=16)
         losses = []
         for _ in range(8):
-            Wg, W1, W2, loss = step(Wg, W1, W2, x, y)
+            Wg, params, loss = step(Wg, params, x, y)
             losses.append(float(np.asarray(loss)))
         assert losses[-1] < losses[0]
 
