@@ -1,16 +1,26 @@
 """Assumptions engine: a static-analysis fact lattice over graphs.
 
 Parallels /root/reference/pytensor/assumptions/ (FactState core.py:13,
-AssumptionKey:41, AssumptionFeature:178, register_assumption:127, per-op
-rule modules): facts like symmetric / positive-definite / triangular
-propagate through op-specific inference rules and feed rewrites (e.g.
-generic solve -> triangular solve).
+AssumptionKey:41, AssumptionFeature:178, register_assumption:127, and
+the per-op rule modules): facts like symmetric / positive-definite /
+triangular propagate through op-specific inference rules and feed
+rewrites (generic solve -> triangular/cholesky solve, assert removal,
+eig -> eigh dispatch).
+
+Layout: this module owns the fact vocabulary, the rule registry, the
+recursive ``holds`` query and constant evaluation; the per-op rules
+live in ``assumptions/rules/{elemwise,dot,dimshuffle,structural,linalg,
+blockwise}.py`` (mirroring the reference's module-per-op layout); the
+caching graph feature is ``assumptions/feature.py``.
+
+Rule protocol: ``fn(node, fact, holds_fn) -> FactState`` for the
+node's first output; rules for multi-output ops accept an extra
+``out_index`` keyword and are called with the queried output's index.
 """
 
 from __future__ import annotations
 
 import enum
-from functools import singledispatch
 from typing import Callable
 
 from pytensor_tpu.graph.basic import Constant, Variable
@@ -40,7 +50,8 @@ _rules: dict = {}
 
 
 def register_assumption(op_type, fn: Callable):
-    """fn(node, fact, holds) -> FactState for node.outputs[0]."""
+    """fn(node, fact, holds) -> FactState for node.outputs[0] (rules
+    taking ``out_index=`` serve multi-output ops)."""
     _rules.setdefault(op_type, []).append(fn)
     return fn
 
@@ -66,13 +77,35 @@ def holds(var: Variable, fact: str, depth: int = 16) -> FactState:
             return _constant_fact(var, fact)
         return FactState.UNKNOWN
     node = var.owner
+    out_index = 0
+    if len(node.outputs) > 1:
+        try:
+            out_index = node.outputs.index(var)
+        except ValueError:
+            out_index = 0
+    sub = lambda v, f: holds(v, f, depth - 1)  # noqa: E731
     for op_type, fns in _rules.items():
         if isinstance(node.op, op_type):
             for fn in fns:
-                res = fn(node, fact, lambda v, f: holds(v, f, depth - 1))
+                try:
+                    res = fn(node, fact, sub, out_index=out_index)
+                except TypeError:
+                    if out_index != 0:
+                        continue  # single-output rule, other output asked
+                    res = fn(node, fact, sub)
                 if res != FactState.UNKNOWN:
                     return res
     return FactState.UNKNOWN
+
+
+def holds_in(fgraph, var: Variable, fact: str) -> FactState:
+    """``holds`` through the fgraph's AssumptionFeature cache when one
+    is attached (rewrites should prefer this entry point)."""
+    feat = getattr(fgraph, "assumption_feature", None) if fgraph is not None \
+        else None
+    if feat is not None:
+        return feat.holds(var, fact)
+    return holds(var, fact)
 
 
 def _constant_fact(var, fact):
@@ -110,6 +143,7 @@ def gram_factor(node):
     from pytensor_tpu.tensor.elemwise import DimShuffle
 
     x, y = node.inputs[:2]
+
     def base_of_transpose(v):
         if v.owner is not None and isinstance(v.owner.op, DimShuffle):
             op = v.owner.op
@@ -117,6 +151,7 @@ def gram_factor(node):
                     reversed(range(len(op.shuffle)))):
                 return v.owner.inputs[0]
         return None
+
     if base_of_transpose(y) is x:
         return x
     if base_of_transpose(x) is y:
@@ -124,239 +159,9 @@ def gram_factor(node):
     return None
 
 
-def _register_default_rules():
-    from pytensor_tpu.tensor.linalg import Cholesky, MatrixInverse
-    from pytensor_tpu.tensor.basic import Eye
-    from pytensor_tpu.tensor.elemwise import Elemwise
-    from pytensor_tpu.tensor.math import Dot
-
-    def cholesky_rule(node, fact, holds_fn):
-        op = node.op
-        if fact == "lower_triangular":
-            return FactState.TRUE if op.lower else FactState.FALSE
-        if fact == "upper_triangular":
-            return FactState.FALSE if op.lower else FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(Cholesky, cholesky_rule)
-
-    def eye_rule(node, fact, holds_fn):
-        if fact in ("diagonal", "symmetric", "lower_triangular",
-                    "upper_triangular", "non_negative", "positive_definite",
-                    "orthogonal"):
-            return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(Eye, eye_rule)
-
-    from pytensor_tpu.tensor.basic import Alloc
-
-    def alloc_rule(node, fact, holds_fn):
-        v = node.inputs[0]
-        if fact in ("zero", "non_negative", "positive"):
-            return holds_fn(v, fact)
-        if fact in ("diagonal", "symmetric", "lower_triangular",
-                    "upper_triangular"):
-            if holds_fn(v, "zero") == FactState.TRUE and \
-                    node.outputs[0].type.ndim == 2:
-                return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(Alloc, alloc_rule)
-
-    def dot_rule(node, fact, holds_fn):
-        """Reference assumptions/dot.py: Gram products, triangular and
-        diagonal closure under matmul."""
-        x, y = node.inputs
-        if fact == "diagonal":
-            if holds_fn(x, "diagonal") == FactState.TRUE and \
-                    holds_fn(y, "diagonal") == FactState.TRUE:
-                return FactState.TRUE
-        if fact in ("lower_triangular", "upper_triangular"):
-            if holds_fn(x, fact) == FactState.TRUE and \
-                    holds_fn(y, fact) == FactState.TRUE:
-                return FactState.TRUE
-        if fact == "orthogonal":
-            if holds_fn(x, "orthogonal") == FactState.TRUE and \
-                    holds_fn(y, "orthogonal") == FactState.TRUE:
-                return FactState.TRUE
-        if fact in ("symmetric", "positive_definite"):
-            base = gram_factor(node)
-            if base is not None:
-                if fact == "symmetric":
-                    return FactState.TRUE
-                # A A^T is PD when A is an (invertible) Cholesky factor or
-                # itself assumed PD/orthogonal
-                from pytensor_tpu.tensor.linalg import Cholesky
-
-                if base.owner is not None and isinstance(
-                        base.owner.op, Cholesky):
-                    return FactState.TRUE
-                if holds_fn(base, "positive_definite") == FactState.TRUE or \
-                        holds_fn(base, "orthogonal") == FactState.TRUE:
-                    return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(Dot, dot_rule)
-
-    try:
-        from pytensor_tpu.tensor.blas import Dot22
-
-        register_assumption(Dot22, dot_rule)
-    except ImportError:
-        pass
-
-    def elemwise_rule(node, fact, holds_fn):
-        name = node.op.scalar_op.name
-        if fact == "lower_triangular" or fact == "upper_triangular":
-            # elementwise product with a triangular matrix keeps the zeros
-            if name == "mul":
-                for i in node.inputs:
-                    if i.type.ndim == node.outputs[0].type.ndim and \
-                            holds_fn(i, fact) == FactState.TRUE:
-                        return FactState.TRUE
-            if name in ("add", "sub", "neg"):
-                subs = [holds_fn(i, fact) for i in node.inputs
-                        if i.type.ndim == node.outputs[0].type.ndim]
-                if subs and all(s == FactState.TRUE for s in subs) and \
-                        len(subs) == len(node.inputs):
-                    return FactState.TRUE
-        if fact == "diagonal":
-            if name == "mul":
-                for i in node.inputs:
-                    if i.type.ndim == node.outputs[0].type.ndim and \
-                            holds_fn(i, fact) == FactState.TRUE:
-                        return FactState.TRUE
-            if name in ("add", "sub", "neg"):
-                subs = [holds_fn(i, fact) for i in node.inputs]
-                if all(s == FactState.TRUE for s in subs):
-                    return FactState.TRUE
-        if fact == "symmetric":
-            # any elementwise op of symmetric (or scalar) inputs is symmetric
-            subs = []
-            for i in node.inputs:
-                if i.type.ndim == 0:
-                    continue
-                subs.append(holds_fn(i, "symmetric"))
-            if subs and all(s == FactState.TRUE for s in subs):
-                return FactState.TRUE
-        if fact == "positive":
-            if name == "sqrt" or name == "reciprocal":
-                return holds_fn(node.inputs[0], "positive")
-            if name == "true_div":
-                subs = [holds_fn(i, "positive") for i in node.inputs]
-                if all(s == FactState.TRUE for s in subs):
-                    return FactState.TRUE
-            if name in ("exp", "sigmoid", "softplus", "cosh"):
-                return FactState.TRUE
-            if name == "sqr":
-                return FactState.UNKNOWN  # non_negative, not strictly positive
-            if name in ("add", "mul"):
-                subs = [holds_fn(i, "positive") for i in node.inputs]
-                if all(s == FactState.TRUE for s in subs):
-                    return FactState.TRUE
-        if fact == "non_negative":
-            if name in ("exp", "sigmoid", "softplus", "sqr", "abs", "cosh"):
-                return FactState.TRUE
-            if name in ("add", "mul"):
-                subs = [holds_fn(i, "non_negative") for i in node.inputs]
-                if all(s == FactState.TRUE for s in subs):
-                    return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(Elemwise, elemwise_rule)
-
-    from pytensor_tpu.tensor.elemwise import DimShuffle
-
-    def dimshuffle_rule(node, fact, holds_fn):
-        op = node.op
-        (x,) = node.inputs
-        if op.is_transpose and op.shuffle == tuple(reversed(range(len(op.shuffle)))):
-            if fact == "lower_triangular":
-                return holds_fn(x, "upper_triangular")
-            if fact == "upper_triangular":
-                return holds_fn(x, "lower_triangular")
-            if fact in ("symmetric", "diagonal", "positive_definite",
-                        "orthogonal", "non_negative", "positive", "zero"):
-                return holds_fn(x, fact)
-        if not op.drop and not op.shuffle:
-            # pure expand_dims of a scalar: value facts pass through
-            if fact in ("non_negative", "positive", "zero"):
-                return holds_fn(x, fact)
-        return FactState.UNKNOWN
-
-    register_assumption(DimShuffle, dimshuffle_rule)
-
-    def inverse_rule(node, fact, holds_fn):
-        (x,) = node.inputs
-        if fact in ("positive_definite", "diagonal", "symmetric",
-                    "lower_triangular", "upper_triangular", "orthogonal"):
-            # all preserved under matrix inverse
-            return holds_fn(x, fact)
-        return FactState.UNKNOWN
-
-    register_assumption(MatrixInverse, inverse_rule)
-
-    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor1
-
-    def perm_rows_rule(node, fact, holds_fn):
-        """eye(n)[perm] is a permutation matrix: orthogonal (reference
-        assumptions/permutation.py)."""
-        x, idx = node.inputs
-        if fact != "orthogonal":
-            return FactState.UNKNOWN
-        if holds_fn(x, "orthogonal") != FactState.TRUE:
-            return FactState.UNKNOWN
-        if not isinstance(idx, Constant):
-            return FactState.UNKNOWN
-        import numpy as np
-
-        iv = np.asarray(idx.data)
-        n = x.type.shape[0]
-        if n is None or iv.ndim != 1 or iv.size != n:
-            return FactState.UNKNOWN
-        if np.array_equal(np.sort(iv % n), np.arange(n)):
-            return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(AdvancedSubtensor1, perm_rows_rule)
-
-    from pytensor_tpu.tensor.subtensor import AdvancedIncSubtensor
-
-    def set_diag_rule(node, fact, holds_fn):
-        """set_subtensor(zeros[ar, ar+k], v): how diag(v) is built.
-        k == 0 gives a diagonal (hence symmetric/triangular) matrix."""
-        if fact not in ("diagonal", "symmetric", "lower_triangular",
-                        "upper_triangular"):
-            return FactState.UNKNOWN
-        op = node.op
-        if not getattr(op, "set_instead_of_inc", False):
-            return FactState.UNKNOWN
-        x, y, *indices = node.inputs
-        if holds_fn(x, "zero") != FactState.TRUE:
-            return FactState.UNKNOWN
-        if len(indices) != 2:
-            return FactState.UNKNOWN
-        r, c = indices
-        if r is c:  # literally the same arange: the main diagonal
-            return FactState.TRUE
-        return FactState.UNKNOWN
-
-    register_assumption(AdvancedIncSubtensor, set_diag_rule)
-
-    from pytensor_tpu.tensor.elemwise import CAReduce
-
-    def careduce_rule(node, fact, holds_fn):
-        name = node.op.scalar_op.name
-        if fact in ("non_negative", "positive") and name in ("add", "mul",
-                                                             "maximum"):
-            return holds_fn(node.inputs[0], fact)
-        return FactState.UNKNOWN
-
-    register_assumption(CAReduce, careduce_rule)
-
-
-_register_default_rules()
+# wire the per-op rule modules + the graph feature + rewrites
+import pytensor_tpu.assumptions.rules  # noqa: E402,F401
+from pytensor_tpu.assumptions.feature import AssumptionFeature  # noqa: E402,F401
 
 
 def _register_rewrites():
@@ -365,7 +170,7 @@ def _register_rewrites():
     from pytensor_tpu.compile.mode import register_specialize
     from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
     from pytensor_tpu.raise_op import CheckAndRaise
-    from pytensor_tpu.tensor.linalg import Solve, SolveTriangular
+    from pytensor_tpu.tensor.linalg import Eig, Solve, SolveTriangular
 
     @node_rewriter([Solve])
     def local_solve_to_triangular(fgraph, node):
@@ -373,9 +178,9 @@ def _register_rewrites():
         A, b = node.inputs
         if node.op.assume_a != "gen":
             return False
-        if holds(A, "lower_triangular") == FactState.TRUE:
+        if holds_in(fgraph, A, "lower_triangular") == FactState.TRUE:
             res = SolveTriangular(b_ndim=node.op.b_ndim, lower=True)(A, b)
-        elif holds(A, "upper_triangular") == FactState.TRUE:
+        elif holds_in(fgraph, A, "upper_triangular") == FactState.TRUE:
             res = SolveTriangular(b_ndim=node.op.b_ndim, lower=False)(A, b)
         else:
             return False
@@ -391,7 +196,7 @@ def _register_rewrites():
         A, b = node.inputs
         if node.op.assume_a != "gen":
             return False
-        if holds(A, "positive_definite") != FactState.TRUE:
+        if holds_in(fgraph, A, "positive_definite") != FactState.TRUE:
             return False
         res = Solve(assume_a="pos", b_ndim=node.op.b_ndim)(A, b)
         copy_stack_trace(node.outputs[0], res)
@@ -405,7 +210,7 @@ def _register_rewrites():
         value, *conds = node.inputs
         remaining = []
         for c in conds:
-            if holds(c, "positive") == FactState.TRUE:
+            if holds_in(fgraph, c, "positive") == FactState.TRUE:
                 continue
             remaining.append(c)
         if len(remaining) == len(conds):
@@ -415,6 +220,31 @@ def _register_rewrites():
         return [type(node.op)(node.op.exc_type, node.op.msg)(value, *remaining)]
 
     register_specialize(local_remove_proven_assert, name="local_remove_proven_assert")
+
+    @node_rewriter([Eig])
+    def local_eig_to_eigh(fgraph, node):
+        """eig(A) with A known symmetric -> eigh(A) (cast to the complex
+        output types): the symmetric solver is faster and its
+        eigenvectors are orthogonal (reference decomposition.py
+        eig_to_eigh; symmetric-eig dispatch)."""
+        from pytensor_tpu.tensor.basic import cast
+        from pytensor_tpu.tensor.linalg import eigh
+
+        (A,) = node.inputs
+        if holds_in(fgraph, A, "symmetric") != FactState.TRUE:
+            return False
+        w, v = eigh(A)
+        w_out, v_out = node.outputs
+        w_c = cast(w, w_out.type.dtype)
+        v_c = cast(v, v_out.type.dtype)
+        if not (w_out.type.is_super(w_c.type)
+                and v_out.type.is_super(v_c.type)):
+            return False
+        copy_stack_trace(w_out, w_c)
+        copy_stack_trace(v_out, v_c)
+        return [w_c, v_c]
+
+    register_specialize(local_eig_to_eigh, name="local_eig_to_eigh")
 
 
 _register_rewrites()
