@@ -311,6 +311,9 @@ class CAReduce(Op):
         x = as_tensor_variable(x)
         axis = self.axis
         if axis is not None:
+            for a in axis:
+                if not (-x.type.ndim <= a < x.type.ndim):
+                    raise np.exceptions.AxisError(a, x.type.ndim)
             axis = tuple(a % x.type.ndim for a in axis)
             if axis != self.axis:
                 # normalize negative axes into a new op instance

@@ -221,6 +221,9 @@ def _reduce(make_op, x, axis, keepdims, **kwargs):
     if isinstance(axis, (int, np.integer)):
         axis = (int(axis),)
     if axis is not None:
+        for a in axis:
+            if not (-x.type.ndim <= int(a) < x.type.ndim):
+                raise np.exceptions.AxisError(int(a), x.type.ndim)
         axis = tuple(int(a) % x.type.ndim for a in axis)
     res = make_op(axis, **kwargs)(x)
     if keepdims and x.type.ndim:
