@@ -274,6 +274,14 @@ def main():
     except Exception as e:
         print(f"benchmark suite failed: {e!r}", file=sys.stderr)
         suite = None
+    try:
+        from benchsuite import compile_latency_report
+
+        latency = compile_latency_report()
+        print(f"compile latency: {latency}", file=sys.stderr)
+    except Exception as e:
+        print(f"compile latency bench failed: {e!r}", file=sys.stderr)
+        latency = None
     vs = ours_rate / ref_rate if ref_rate == ref_rate else float("nan")
     payload = {
         "metric": f"radon logp+dlogp leapfrog evals/sec, {N_CHAINS} batched chains on one TPU chip (fetch-synced) vs reference C-VM CPU loop",
@@ -284,6 +292,8 @@ def main():
     }
     if suite:
         payload["suite"] = suite
+    if latency:
+        payload["compile_latency"] = latency
     print(json.dumps(payload))
 
 

@@ -23,6 +23,7 @@ synchronous calls on CPU.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -181,6 +182,72 @@ V5E_HBM_GBPS = 819.0
 
 FUSED_N = 1 << 26  # 64M elements: large enough that HBM bandwidth,
 # not per-call dispatch latency, dominates (the metric is GB/s)
+
+
+def ours_einsum(iters=6, k_inner=8):
+    """Unbalanced einsum contraction chain (VERDICT r2 Weak #7): the
+    reference builds an opt_einsum-style static path
+    (/root/reference/pytensor/tensor/einsum.py:38); ours delegates
+    ordering to XLA/opt_einsum through jnp.einsum.  ij,jk,kl->il with a
+    skinny middle: the wrong order is ~128x more FLOPs."""
+    import jax
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    a = pt.tensor("a", dtype="float32", shape=(32, 4096))
+    bmat = pt.tensor("b", dtype="float32", shape=(4096, 32))
+    c = pt.tensor("c", dtype="float32", shape=(32, 4096))
+    dmat = pt.tensor("d", dtype="float32", shape=(4096, 32))
+    out = pt.einsum("ij,jk,kl,lm->im", a, bmat, c, dmat)
+    # chain: renormalized output feeds a's first rows
+    upd = pt.set_subtensor(a[:32, :32], out / (pt.sum(pt.abs(out)) + 1.0))
+    f = ptt.function([a, bmat, c, dmat], [out.sum(), upd],
+                     name="einsum_chain")
+    f.trust_input = True
+    rng = np.random.default_rng(SUITE_SEED)
+    av = jax.device_put(rng.standard_normal((32, 4096)).astype("f4"))
+    bv = jax.device_put(rng.standard_normal((4096, 32)).astype("f4"))
+    cv = jax.device_put(rng.standard_normal((32, 4096)).astype("f4"))
+    dv = jax.device_put(rng.standard_normal((4096, 32)).astype("f4"))
+
+    def run_iter(k):
+        s = None
+        x = av
+        for _ in range(k * k_inner):
+            s, x = f(x, bv, cv, dv)
+        return s
+
+    return k_inner / _time_chained(run_iter, iters=iters)
+
+
+def ref_jax_einsum(k_inner=8, iters=6):
+    pytensor, rt = _ref_f32()
+    import jax
+    import jax.numpy as jnp
+
+    with pytensor.config.change_flags(floatX="float32"):
+        a = rt.fmatrix("a")
+        bm = rt.fmatrix("b")
+        c = rt.fmatrix("c")
+        dm = rt.fmatrix("d")
+        out = rt.einsum("ij,jk,kl,lm->im", a, bm, c, dm)
+        upd = rt.set_subtensor(a[:32, :32],
+                               out / (rt.sum(rt.abs(out)) + np.float32(1)))
+        f = pytensor.function([a, bm, c, dm], [out.sum(), upd], mode="JAX")
+    jit = _ref_jax_fn(f)
+    rng = np.random.default_rng(SUITE_SEED)
+    av = jnp.asarray(rng.standard_normal((32, 4096)).astype("f4"))
+    bv = jnp.asarray(rng.standard_normal((4096, 32)).astype("f4"))
+    cv = jnp.asarray(rng.standard_normal((32, 4096)).astype("f4"))
+    dv = jnp.asarray(rng.standard_normal((4096, 32)).astype("f4"))
+
+    def body(s):
+        x = s[1]
+        r, x2 = jit(x, bv, cv, dv)
+        return (r, x2)
+
+    return _time_fori_chain(body, (jnp.float32(0), av), k_inner, iters)
 
 
 def ours_mlp_mfu(k_inner=4, iters=4):
@@ -456,6 +523,112 @@ def ref_fused(iters=8):
     dt = _ref_time(call, iters)
     bytes_per_iter = 2 * 8 * FUSED_N  # f64 read + write
     return bytes_per_iter / dt / 1e9
+
+
+# --------------------------------------------------------------------------
+# compile latency + import time + persistent-cache audit
+# (reference tests/benchmarks/test_compilation.py, test_import_time.py)
+# --------------------------------------------------------------------------
+
+_COMPILE_SNIPPET = r"""
+import os, sys, time
+t0 = time.perf_counter()
+import pytensor_tpu as ptt
+import pytensor_tpu.tensor as pt
+import numpy as np
+t_import = time.perf_counter() - t0
+rng = np.random.default_rng(0)
+n, d = 2048, 128
+t0 = time.perf_counter()
+X = pt.tensor("X", dtype="float32", shape=(n, d))
+y = pt.tensor("y", dtype="float32", shape=(n,))
+w = pt.tensor("w", dtype="float32", shape=(d,))
+b = pt.tensor("b", dtype="float32", shape=())
+p = pt.sigmoid(pt.dot(X, w) + b)
+eps = np.float32(1e-7)
+xent = -pt.mean(y * pt.log(p + eps) + (1 - y) * pt.log(1 - p + eps))
+gw, gb = ptt.grad(xent, [w, b])
+f = ptt.function([X, y, w, b], [xent, gw, gb])
+t_build = time.perf_counter() - t0
+Xv = rng.random((n, d)).astype("f4"); yv = (rng.random(n) < .5).astype("f4")
+wv = np.zeros(d, "f4"); bv = np.float32(0)
+t0 = time.perf_counter()
+import jax
+jax.device_get(f(Xv, yv, wv, bv)[0])
+t_first = time.perf_counter() - t0
+print(f"RESULT {t_import:.4f} {t_build:.4f} {t_first:.4f}")
+"""
+
+
+def compile_latency_report():
+    """Wall times for import / graph build+rewrite / first call, run in
+    fresh subprocesses; the second cached run audits the persistent XLA
+    compile cache (config.xla__cache_dir) across processes."""
+    import subprocess
+    import sys
+    import tempfile
+
+    out = {"note": ("first-call times on this backend include the axon "
+                    "remote-compile tunnel round trip (cold starts "
+                    "intermittently stall ~5 min); warm = second process "
+                    "hitting the persistent XLA cache "
+                    "(config.xla__cache_dir)")}
+    with tempfile.TemporaryDirectory(prefix="ptt_cache_") as cache_dir:
+        env = dict(os.environ)
+        env["PYTENSOR_TPU_FLAGS"] = (
+            f"floatX=float32,xla__cache_dir={cache_dir}")
+        for label in ("cold", "warm"):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", _COMPILE_SNIPPET], env=env,
+                    capture_output=True, text=True, timeout=900)
+                line = [ln for ln in r.stdout.splitlines()
+                        if ln.startswith("RESULT")][-1]
+                imp, build, first = (float(x) for x in line.split()[1:])
+                out[f"{label}_import_s"] = round(imp, 3)
+                out[f"{label}_function_build_s"] = round(build, 3)
+                out[f"{label}_first_call_s"] = round(first, 3)
+            except Exception as e:
+                out[f"{label}_error"] = repr(e)[:200]
+                return out
+    # reference C-VM compile latency on the same graph shape (CPU)
+    ref_snippet = r"""
+import os, sys, time
+sys.path.insert(0, "/root/reference")
+os.environ["PYTENSOR_FLAGS"] = "mode=FAST_RUN,linker=cvm,floatX=float32"
+t0 = time.perf_counter()
+import pytensor
+import pytensor.tensor as rt
+import numpy as np
+t_import = time.perf_counter() - t0
+rng = np.random.default_rng(0)
+n, d = 2048, 128
+t0 = time.perf_counter()
+X = rt.fmatrix("X"); y = rt.fvector("y"); w = rt.fvector("w"); b = rt.fscalar("b")
+p = rt.sigmoid(rt.dot(X, w) + b)
+eps = np.float32(1e-7)
+xent = -rt.mean(y * rt.log(p + eps) + (1 - y) * rt.log(1 - p + eps))
+gw, gb = pytensor.grad(xent, [w, b])
+f = pytensor.function([X, y, w, b], [xent, gw, gb])
+t_build = time.perf_counter() - t0
+Xv = rng.random((n, d)).astype("f4"); yv = (rng.random(n) < .5).astype("f4")
+t0 = time.perf_counter()
+f(Xv, yv, np.zeros(d, "f4"), np.float32(0))
+t_first = time.perf_counter() - t0
+print(f"RESULT {t_import:.4f} {t_build:.4f} {t_first:.4f}")
+"""
+    try:
+        r = subprocess.run([sys.executable, "-c", ref_snippet],
+                           capture_output=True, text=True, timeout=900)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("RESULT")][-1]
+        imp, build, first = (float(x) for x in line.split()[1:])
+        out["ref_import_s"] = round(imp, 3)
+        out["ref_function_build_s"] = round(build, 3)
+        out["ref_first_call_s"] = round(first, 3)
+    except Exception as e:
+        out["ref_error"] = repr(e)[:200]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -757,6 +930,8 @@ WORKLOADS = [
      "matvecs/s"),
     ("fused_elemwise_bandwidth", ours_fused, ref_fused, ref_jax_fused,
      "GB/s"),
+    ("einsum_unbalanced_chain", ours_einsum, None, ref_jax_einsum,
+     "calls/s"),
     ("mlp_train_4x4096_bf16", ours_mlp_mfu, None, ref_jax_mlp_mfu,
      "TFLOP/s"),
     ("gemm_chain_8192_bf16", ours_gemm_chain, None, ref_jax_gemm_chain,

@@ -158,7 +158,60 @@ class PerformLinker(Linker):
         except Exception:
             hostvm = None
 
-        if hostvm is not None:
+        # demand-driven plan: producers per node; IfElse nodes become
+        # LAZY — only the condition's producers are unconditional deps,
+        # a chooser picks the taken branch's producers at run time, so
+        # the oracle evaluates ONE branch like the reference CVM
+        # (lazylinker_c.c lazy_rec_eval).
+        from pytensor_tpu.ifelse import IfElse
+
+        node_index = {node: k for k, node in enumerate(order)}
+
+        def producers(vars_):
+            out = []
+            for v in vars_:
+                k = node_index.get(v.owner) if v.owner is not None else None
+                if k is not None:
+                    out.append(k)
+            return tuple(dict.fromkeys(out))
+
+        lazy_present = any(isinstance(node.op, IfElse) for node in order)
+        deps, choosers = [], []
+        for node in order:
+            if isinstance(node.op, IfElse):
+                n_outs = node.op.n_outs
+                cond_cell = storage_map[node.inputs[0]]
+                then_deps = producers(node.inputs[1: 1 + n_outs])
+                else_deps = producers(node.inputs[1 + n_outs:])
+
+                def chooser(cond_cell=cond_cell, then_deps=then_deps,
+                            else_deps=else_deps):
+                    return then_deps if cond_cell[0] else else_deps
+
+                deps.append(producers(node.inputs[:1]))
+                choosers.append(chooser)
+            else:
+                deps.append(producers(node.inputs))
+                choosers.append(None)
+        deps_t = tuple(deps)
+        choosers_t = tuple(choosers)
+        targets_t = producers(fgraph.outputs)
+
+        if hostvm is not None and lazy_present:
+            thunk_tuple = tuple(thunks)
+
+            def run():
+                try:
+                    hostvm.run_lazy(thunk_tuple, deps_t, targets_t,
+                                    choosers_t, free_tuples)
+                except Exception as e:
+                    idx = getattr(e, "__hostvm_node_index__", None)
+                    if idx is not None:
+                        raise_with_op(fgraph, order[int(idx)])
+                    raise
+                return [s[0] for s in output_storage]
+
+        elif hostvm is not None:
             thunk_tuple = tuple(thunks)
 
             def run():
@@ -169,6 +222,38 @@ class PerformLinker(Linker):
                     if idx is not None:
                         raise_with_op(fgraph, order[int(idx)])
                     raise
+                return [s[0] for s in output_storage]
+
+        elif lazy_present:
+            def run():
+                state = [0] * len(order)  # 0 new, 1 expanded, 2 chosen
+                done = [False] * len(order)
+                stack = list(targets_t)
+                while stack:
+                    i = stack[-1]
+                    if done[i]:
+                        stack.pop()
+                        continue
+                    if state[i] == 0:
+                        state[i] = 1
+                        stack.extend(d for d in reversed(deps_t[i])
+                                     if not done[d])
+                        continue
+                    if state[i] == 1:
+                        state[i] = 2
+                        if choosers_t[i] is not None:
+                            stack.extend(d for d in choosers_t[i]()
+                                         if not done[d])
+                            continue
+                    try:
+                        thunks[i]()
+                    except Exception:
+                        raise_with_op(fgraph, thunks[i].node)
+                    if self.allow_gc:
+                        for cell in free_lists[i]:
+                            cell[0] = None
+                    done[i] = True
+                    stack.pop()
                 return [s[0] for s in output_storage]
 
         else:

@@ -392,3 +392,102 @@ def test_inner_function_mixin_and_compilelock():
         open(lock, "w").close()
         force_unlock(d)
         assert not os.path.exists(lock)
+
+
+def test_d3viz_interactive_features(tmp_path):
+    """Round-3 d3viz: self-contained page with inner-graph views,
+    lineage highlighting hooks, search, and profile heat coloring."""
+    import json
+    import re
+
+    import pytensor_tpu as ptt_mod
+    from pytensor_tpu.d3viz.d3viz import d3viz
+
+    x = pt.dvector("x")
+    tr, _ = ptt_mod.scan(lambda a: a * 0.9 + 1.0,
+                         outputs_info=[pt.constant(0.0, dtype="float64")],
+                         n_steps=5)
+    y = pt.exp(x).sum() + tr[-1]
+    out = d3viz(y, tmp_path / "g.html")
+    t = open(out).read()
+    assert "<script" in t and "unpkg" not in t  # self-contained, no CDN
+    m = re.search(r"const VIEWS = (.*?);\n", t, re.S)
+    views = json.loads(m.group(1))
+    assert "main" in views and len(views) >= 2  # scan inner graph view
+    main = views["main"]
+    kinds = {n["kind"] for n in main["nodes"]}
+    assert "inner" in kinds  # the scan node is marked navigable
+    assert main["inner"]  # and mapped to its child view
+    # every node carries a detail tooltip with type info
+    assert all("detail" in n for n in main["nodes"])
+    for feature in ("highlight", "search", "crumbs", "onwheel"):
+        assert feature in t
+
+
+class TestLazyHostVM:
+    """Demand-driven oracle evaluation (hostvm.c run_lazy, the
+    lazylinker_c.c lazy_rec_eval role): IfElse evaluates ONE branch."""
+
+    def _probe(self):
+        from pytensor_tpu.compile.ops import as_op
+
+        calls = {"n": 0}
+
+        @as_op([pt.TensorType("float64", ())], pt.TensorType("float64", ()))
+        def probe(x):
+            calls["n"] += 1
+            return np.asarray(x) * 2.0
+
+        return probe, calls
+
+    def test_ifelse_untaken_branch_not_evaluated(self):
+        from pytensor_tpu.ifelse import ifelse
+
+        probe, calls = self._probe()
+        c = pt.tensor("c", dtype="bool", shape=())
+        x = pt.dscalar("x")
+        out = ifelse(c, x + 1.0, probe(x))
+        f = ptt.function([c, x], out, mode="FAST_COMPILE")
+        assert float(np.asarray(f(np.True_, 3.0))) == 4.0
+        assert calls["n"] == 0  # else branch never ran
+        assert float(np.asarray(f(np.False_, 3.0))) == 6.0
+        assert calls["n"] == 1
+
+    def test_nested_ifelse_lazy(self):
+        from pytensor_tpu.ifelse import ifelse
+
+        probe, calls = self._probe()
+        c1 = pt.tensor("c1", dtype="bool", shape=())
+        c2 = pt.tensor("c2", dtype="bool", shape=())
+        x = pt.dscalar("x")
+        inner = ifelse(c2, probe(x), x - 1.0)
+        out = ifelse(c1, x + 1.0, inner)
+        f = ptt.function([c1, c2, x], out, mode="FAST_COMPILE")
+        assert float(np.asarray(f(np.True_, np.True_, 5.0))) == 6.0
+        assert calls["n"] == 0  # whole inner ifelse skipped
+        assert float(np.asarray(f(np.False_, np.False_, 5.0))) == 4.0
+        assert calls["n"] == 0  # inner else taken
+        assert float(np.asarray(f(np.False_, np.True_, 5.0))) == 10.0
+        assert calls["n"] == 1
+
+    def test_c_run_lazy_available(self):
+        from pytensor_tpu.link.c.build import get_hostvm
+
+        vm = get_hostvm()
+        if vm is None:
+            pytest.skip("no C toolchain")
+        assert hasattr(vm, "run_lazy")
+
+    def test_lazy_matches_xla_numerics(self):
+        from pytensor_tpu.ifelse import ifelse
+
+        c = pt.tensor("c", dtype="bool", shape=())
+        x = pt.dvector("x")
+        out = ifelse(c, pt.exp(x).sum(), pt.log(pt.abs(x) + 1.0).sum())
+        f_or = ptt.function([c, x], out, mode="FAST_COMPILE")
+        f_x = ptt.function([c, x], out)
+        v = np.random.default_rng(0).standard_normal(5)
+        for cv in (np.True_, np.False_):
+            np.testing.assert_allclose(float(np.asarray(f_or(cv, v))),
+                                       float(np.asarray(f_x(cv, v))),
+                                       rtol=1e-12)
