@@ -189,36 +189,32 @@ def ours_einsum(iters=6, k_inner=8):
     reference builds an opt_einsum-style static path
     (/root/reference/pytensor/tensor/einsum.py:38); ours delegates
     ordering to XLA/opt_einsum through jnp.einsum.  ij,jk,kl->il with a
-    skinny middle: the wrong order is ~128x more FLOPs."""
+    skinny middle: the wrong order is ~128x more FLOPs.  k_inner
+    applications compile into one on-device loop (train_loop), matching
+    the ref-jax fori harness."""
     import jax
 
     import pytensor_tpu as ptt
     import pytensor_tpu.tensor as pt
 
-    a = pt.tensor("a", dtype="float32", shape=(32, 4096))
-    bmat = pt.tensor("b", dtype="float32", shape=(4096, 32))
-    c = pt.tensor("c", dtype="float32", shape=(32, 4096))
-    dmat = pt.tensor("d", dtype="float32", shape=(4096, 32))
-    out = pt.einsum("ij,jk,kl,lm->im", a, bmat, c, dmat)
-    # chain: renormalized output feeds a's first rows
-    upd = pt.set_subtensor(a[:32, :32], out / (pt.sum(pt.abs(out)) + 1.0))
-    f = ptt.function([a, bmat, c, dmat], [out.sum(), upd],
-                     name="einsum_chain")
-    f.trust_input = True
     rng = np.random.default_rng(SUITE_SEED)
-    av = jax.device_put(rng.standard_normal((32, 4096)).astype("f4"))
-    bv = jax.device_put(rng.standard_normal((4096, 32)).astype("f4"))
-    cv = jax.device_put(rng.standard_normal((32, 4096)).astype("f4"))
-    dv = jax.device_put(rng.standard_normal((4096, 32)).astype("f4"))
+    a = ptt.shared(rng.standard_normal((32, 4096)).astype("f4"), name="a")
+    bmat = pt.constant(rng.standard_normal((4096, 32)).astype("f4"))
+    c = pt.constant(rng.standard_normal((32, 4096)).astype("f4"))
+    dmat = pt.constant(rng.standard_normal((4096, 32)).astype("f4"))
+    out = pt.einsum("ij,jk,kl,lm->im", a, bmat, c, dmat)
+    upd = pt.set_subtensor(a[:32, :32], out / (pt.sum(pt.abs(out)) + 1.0))
+    f = ptt.train_loop([], out.sum(), {a: upd}, n_steps=k_inner,
+                       name="einsum_loop")
 
     def run_iter(k):
         s = None
-        x = av
-        for _ in range(k * k_inner):
-            s, x = f(x, bv, cv, dv)
+        for _ in range(k):
+            s = f()
         return s
 
-    return k_inner / _time_chained(run_iter, iters=iters)
+    dt = _time_chained(run_iter, warm_iters=1, iters=iters) / k_inner
+    return 1.0 / dt
 
 
 def ref_jax_einsum(k_inner=8, iters=6):
