@@ -266,21 +266,24 @@ def ours_mlp_mfu(k_inner=4, iters=4):
             "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
 
 
-def ours_gemm_chain(iters=4):
-    """Raw 8k x 8k bf16 GEMM chain: {'value': TFLOP/s, 'mfu_pct'}."""
-    import jax
-
+def ours_gemm_chain(iters=4, k_inner=2):
+    """Raw 16k x 4k bf16 GEMM chain: {'value': TFLOP/s, 'mfu_pct'}.
+    d=4096 keeps the reference's f32 remote compile in
+    minutes-not-tens-of-minutes territory; batch=16384 amortizes the
+    inter-call renorm so the MXU stays saturated (81.7% vs 57.7% MFU at
+    batch=4096).  k_inner applications compile into one on-device loop
+    (matching the ref-jax fori harness)."""
     from pytensor_tpu.models.mlp import make_gemm_chain
 
-    f, make_x0, flops = make_gemm_chain(batch=8192, d=8192, nmat=4,
-                                        dtype="bfloat16")
-    xd = make_x0()
+    f, flops = make_gemm_chain(batch=16384, d=4096, nmat=8,
+                               dtype="bfloat16",
+                               n_steps_per_call=k_inner)
 
     def run_iter(k):
-        v = xd
+        s = None
         for _ in range(k):
-            v = f(v)
-        return v[0, 0]
+            s = f()  # shared chain state threads the calls
+        return s
 
     dt = _time_chained(run_iter, warm_iters=1, iters=iters)
     fs = flops / dt
@@ -880,8 +883,8 @@ def ref_jax_gemm_chain(k_inner=2, iters=4):
     import jax
     import jax.numpy as jnp
 
-    B = d = 8192
-    nmat = 4
+    B, d = 16384, 4096
+    nmat = 8
     with pytensor.config.change_flags(floatX="float32"):
         x = rt.fmatrix("x")
         Ws = [rt.fmatrix(f"G{i}") for i in range(nmat)]
@@ -930,7 +933,8 @@ WORKLOADS = [
      "calls/s"),
     ("mlp_train_4x4096_bf16", ours_mlp_mfu, None, ref_jax_mlp_mfu,
      "TFLOP/s"),
-    ("gemm_chain_8192_bf16", ours_gemm_chain, None, ref_jax_gemm_chain,
+    ("gemm_chain_16384x4096_bf16", ours_gemm_chain, None,
+     ref_jax_gemm_chain,
      "TFLOP/s"),
 ]
 

@@ -130,7 +130,8 @@ def make_mlp_mfu_step(batch=4096, d=4096, depth=4, dtype="bfloat16",
     return f, flops_per_step, (Xd, Td)
 
 
-def make_gemm_chain(batch=8192, d=8192, nmat=4, dtype="bfloat16", seed=0):
+def make_gemm_chain(batch=8192, d=8192, nmat=4, dtype="bfloat16", seed=0,
+                    n_steps_per_call=1):
     """Raw GEMM chain: x -> x @ W1 @ ... @ Wn, rescaled for chaining.
 
     Returns ``(f, x0, flops_per_call)``: ``f`` maps a (batch, d) input
@@ -145,28 +146,26 @@ def make_gemm_chain(batch=8192, d=8192, nmat=4, dtype="bfloat16", seed=0):
 
     def dev_w(i):
         # weights generated ON DEVICE (tunnel transfer would dominate);
-        # passed as device-array constants so they reach XLA as runtime
-        # parameters, not HLO literals (remote-compile has a size cap)
+        # held as SHARED device arrays so they reach the executable as
+        # runtime parameters (scan non-sequences), never HLO literals
         return jax.jit(lambda: (jnp.sin(
             jnp.arange(d * d, dtype=jnp.float32) * (0.7 + 0.13 * i))
             / np.sqrt(d)).astype(jdt).reshape(d, d))()
 
-    x = pt.tensor("x", dtype=dtype, shape=(batch, d))
-    y = x
-    for i in range(nmat):
-        y = pt.dot(y, pt.constant(dev_w(i), name=f"G{i}"))
+    Ws = [ptt.shared(dev_w(i), name=f"G{i}") for i in range(nmat)]
+    x0 = jax.jit(
+        lambda: jnp.sin(jnp.arange(batch * d, dtype=jnp.float32)
+                        * 0.31).reshape(batch, d).astype(jdt))()
+    xs = ptt.shared(x0, name="gx", shape=(batch, d))
+    y = xs
+    for W in Ws:
+        y = pt.dot(y, W)
     # renormalize in f32 so repeated application stays finite
     scale = pt.sqrt(pt.mean(pt.cast(y, "float32") ** 2)) + np.float32(1e-6)
     out = pt.cast(pt.cast(y, "float32") / scale, dtype)
-    f = ptt.function([x], out, name="gemm_chain")
-    f.trust_input = True
-
-    def make_x0():
-        # arange stays INSIDE the jit: an eager ramp would be captured
-        # as a closure constant and lowered as a giant HLO literal
-        return jax.jit(
-            lambda: jnp.sin(jnp.arange(batch * d, dtype=jnp.float32)
-                            * 0.31).reshape(batch, d).astype(jdt))()
-
-    flops_per_call = nmat * 2 * batch * d * d
-    return f, make_x0, flops_per_call
+    # n_steps_per_call chain applications compile into ONE on-device
+    # loop (matching the fori harness the ref-jax side gets)
+    f = ptt.train_loop([], pt.cast(scale, "float32"), {xs: out},
+                       n_steps=n_steps_per_call, name="gemm_loop")
+    flops_per_call = n_steps_per_call * nmat * 2 * batch * d * d
+    return f, flops_per_call

@@ -109,8 +109,8 @@ def plan_spmv(A):
     blk_starts = np.searchsorted(blk_of_row, np.arange(nb + 1))
     # lane-selection indices over the K-padded grid (the lane gather
     # runs after padding so its row count is 128-aligned)
-    l_idx = np.zeros((K, LANES), np.int32)
-    l_idx[src_row, src_lane] = (cols % LANES).astype(np.int32)
+    l_idx = np.zeros((K, LANES), np.int8)
+    l_idx[src_row, src_lane] = (cols % LANES).astype(np.int8)
 
     # --- full-grid permutation with pads mapped to pads ---
     full_dst_row = np.empty((K, LANES), np.int64)
@@ -151,6 +151,13 @@ def build_spmv_fn(meta, dtype="float32"):
     blk_starts = meta["blk_starts"]
     route_meta = {"K": K, "r": meta["r"]}
 
+    # default TPU matmul precision rounds f32 operands to bf16 on the
+    # MXU; the one-hot operand is exact either way, but x would lose
+    # ~3 decimal digits — force full precision for f32 data
+    import jax.lax as lax
+    prec = (lax.Precision.HIGHEST if dtype == "float32"
+            else lax.Precision.DEFAULT)
+
     def spmv(x, tables):
         xp = jnp.zeros(S * LANES, dtype=dtype).at[:N].set(
             x.astype(dtype))
@@ -167,7 +174,8 @@ def build_spmv_fn(meta, dtype="float32"):
                     :xb.shape[0]].set(xb)
             parts.append(
                 jnp.dot(tables["onehot"][r0:r1].astype(dtype), xb,
-                        preferred_element_type=dtype))
+                        preferred_element_type=dtype,
+                        precision=prec))
         G = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         if Kg < K:
             G = jnp.zeros((K, LANES), dtype).at[:Kg].set(G)
