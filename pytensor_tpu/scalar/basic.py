@@ -154,14 +154,63 @@ def _disc(op, idx, inp):
 
 _registry: dict[str, ScalarOp] = {}
 
+# Reference-parity class names (reference scalar/basic.py:1835+ defines one
+# class per op; downstream code dispatches with
+# ``isinstance(node.op.scalar_op, Exp)``).  Every kernel registered through
+# ``_op`` gets its own generated ScalarOp subclass so that idiom works;
+# names follow the reference exactly (overrides below, CamelCase default).
+_CLASS_NAME_OVERRIDES = {
+    "and_": "AND", "or_": "OR", "xor": "XOR", "invert": "Invert",
+    "eq": "EQ", "neq": "NEQ", "lt": "LT", "gt": "GT", "le": "LE",
+    "ge": "GE", "true_div": "TrueDiv", "int_div": "IntDiv",
+    "arccos": "ArcCos", "arccosh": "ArcCosh", "arcsin": "ArcSin",
+    "arcsinh": "ArcSinh", "arctan": "ArcTan", "arctan2": "ArcTan2",
+    "arctanh": "ArcTanh", "gammaln": "GammaLn", "gammainc": "GammaInc",
+    "gammaincc": "GammaIncC", "gammaincinv": "GammaIncInv",
+    "gammainccinv": "GammaIncCInv", "betainc": "BetaInc",
+    "betaincinv": "BetaIncInv", "log1mexp": "Log1mexp",
+    "hyp2f1": "Hyp2F1", "owens_t": "Owens_t", "ndtri_exp": "NdtriExp",
+    "psi": "Psi", "tri_gamma": "TriGamma", "polygamma": "PolyGamma",
+    "isnan": "IsNan", "isinf": "IsInf", "i0": "I0", "i1": "I1",
+    "iv": "Iv", "ive": "Ive", "j0": "J0", "j1": "J1", "jv": "Jv",
+    "kv": "Kv", "kve": "Kve", "deg2rad": "Deg2Rad", "rad2deg": "Rad2Deg",
+    "xlogy": "XLogY", "xlog1py": "XLog1PY",
+}
+
+_op_classes: dict[str, type] = {}
+
+
+def _camel(name: str) -> str:
+    return "".join(p[0].upper() + p[1:] if p[0].isalpha() else p
+                   for p in name.split("_") if p)
+
+
+def _op_class(name: str) -> type:
+    """Per-kernel ScalarOp subclass under the reference's class name.
+
+    All cast kernels share one ``Cast`` class (reference Cast:2435)."""
+    key = ("Cast" if name.startswith("cast{")
+           else _CLASS_NAME_OVERRIDES.get(name, _camel(name)))
+    cls = _op_classes.get(key)
+    if cls is None:
+        cls = type(key, (ScalarOp,), {"__module__": __name__})
+        _op_classes[key] = cls
+        globals()[key] = cls
+    return cls
+
 
 def _op(name, nin, np_fn, jax_fn, grad_fn=None, **kw) -> ScalarOp:
-    op = ScalarOp(name, nin, np_fn, jax_fn, grad_fn, **kw)
+    op = _op_class(name)(name, nin, np_fn, jax_fn, grad_fn, **kw)
     _registry[name] = op
     return op
 
 
 def get_scalar_op(name: str) -> ScalarOp:
+    if name not in _registry:
+        if name.startswith("cast{"):
+            return cast_op(name[5:-1])
+        # special-function kernels register on first import of scalar.math
+        import pytensor_tpu.scalar.math  # noqa: F401
     return _registry[name]
 
 
@@ -303,6 +352,16 @@ trunc = _op("trunc", 1, np.trunc, lambda a: _jnp().trunc(a),
             lambda i, o, gz: [_zero_like(i[0])], dtype_rule=_upgrade_to_float)
 round_half_to_even = _op("round_half_to_even", 1, np.round, lambda a: _jnp().round(a),
                          lambda i, o, gz: [_zero_like(i[0])])
+round_half_away_from_zero = _op(
+    # reference RoundHalfAwayFromZero (scalar/basic.py round_half_away_
+    # from_zero_vec): round(2.5) == 3, not numpy's banker's rounding.
+    # sign-based (not copysign): jnp.copysign lowers to a signbit
+    # bitcast that TPU's x64 rewriter rejects for f64
+    "round_half_away_from_zero", 1,
+    lambda a: np.copysign(np.floor(np.abs(a) + 0.5), a),
+    lambda a: _jnp().where(a < 0, -_jnp().floor(_jnp().abs(a) + 0.5),
+                           _jnp().floor(_jnp().abs(a) + 0.5)),
+    lambda i, o, gz: [_zero_like(i[0])])
 sqr = _op("sqr", 1, np.square, lambda a: _jnp().square(a),
           lambda i, o, gz: [gz[0] * 2 * i[0]])
 sqrt = _op("sqrt", 1, np.sqrt, lambda a: _jnp().sqrt(a),

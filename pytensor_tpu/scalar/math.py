@@ -211,6 +211,18 @@ logit = _op("logit", 1, lambda x: _sps().logit(x),
             lambda x: _jnp().log(x / (1.0 - x)),
             lambda i, o, gz: [gz[0] / (i[0] * (1 - i[0]))], dtype_rule="float")
 
+# x*log(y) with the 0*log(0) == 0 convention (reference XLogY,
+# tensor/special.py); grad wrt x is log(y), wrt y is x/y
+xlogy = _op("xlogy", 2, lambda x, y: _sps().xlogy(x, y),
+            lambda x, y: _jsp().xlogy(x, y),
+            lambda i, o, gz: [gz[0] * _tm().log(i[1]),
+                              gz[0] * i[0] / i[1]], dtype_rule="float")
+xlog1py = _op("xlog1py", 2, lambda x, y: _sps().xlog1py(x, y),
+              lambda x, y: _jsp().xlog1py(x, y),
+              lambda i, o, gz: [gz[0] * _tm().log1p(i[1]),
+                                gz[0] * i[0] / (1 + i[1])],
+              dtype_rule="float")
+
 # --- bessel (host fallbacks; XLA has no kernels) ---
 iv = _op("iv", 2, lambda v, x: _sps().iv(v, x), lambda v, x: _host("iv", v, x),
          dtype_rule="float")
@@ -671,3 +683,26 @@ def _kv_grad(i, o, gz):
 kv = _op("kv", 2, lambda v, x: _sps().kv(v, x),
          lambda v, x: _host("kv", v, x), _kv_grad, dtype_rule="float")
 kn = kv  # integer-order alias (scipy kn(n, x) == kv(n, x) for int n)
+
+
+# --- reference class-name surface ------------------------------------------
+# kernels registered above generate per-op classes in scalar.basic
+# (_op_class); re-export under this module like the reference
+# (scalar/math.py Erf:*, BetaInc:1342, Hyp2F1:1638, ...)
+from pytensor_tpu.scalar import basic as _sb  # noqa: E402
+
+for _n in (
+    "Erf", "Erfc", "Erfinv", "Erfcinv", "Erfcx", "Gamma", "GammaLn",
+    "Psi", "TriGamma", "PolyGamma", "GammaInc", "GammaIncC",
+    "GammaIncInv", "GammaIncCInv", "BetaInc", "BetaIncInv", "Betaln",
+    "Sigmoid", "Softplus", "Log1mexp", "Logit", "Hyp2F1", "Owens_t",
+    "NdtriExp", "Ndtr", "Ndtri", "I0", "I1", "Iv", "Ive", "J0", "J1",
+    "Jv", "Kv", "Kve", "Chi2sf", "XLogY", "XLog1PY",
+):
+    globals()[_n] = getattr(_sb, _n)
+del _sb, _n
+
+
+def betainc_grad(p, q, x, wrtp=True):
+    """d/dp (or d/dq) of betainc (reference scalar/math.py betainc_grad)."""
+    return betainc_dda(p, q, x) if wrtp else betainc_ddb(p, q, x)

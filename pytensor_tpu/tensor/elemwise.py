@@ -374,9 +374,26 @@ class CAReduce(Op):
             g = cast(g, x.type.dtype) if x.type.dtype != g.type.dtype else g
             return [g]
         if name == "mul":
-            # d prod/dx = prod / x ; safe only for nonzero x — reference uses
-            # the same formula in the simple case
-            g = gz_b * out_b / x
+            # zero-safe Prod gradient (reference Prod.grad handles zeros
+            # via ProdWithoutZeros, tensor/math.py:3816): a nonzero entry
+            # sees out/x (0 when the product holds a zero); a zero entry
+            # sees the product of the nonzero rest if it is the only zero
+            from pytensor_tpu.tensor.basic import ones_like, zeros_like
+
+            iszero = tm.eq(x, 0)
+            nzeros = tm.sum(cast(iszero, "int64"), axis=list(axis))
+            pnz = tm.prod(tm.switch(iszero, ones_like(x), x),
+                          axis=list(axis))
+            if x.type.ndim:
+                nz_b = DimShuffle(nzeros.type.ndim, order)(nzeros)
+                pnz_b = DimShuffle(pnz.type.ndim, order)(pnz)
+            else:
+                nz_b, pnz_b = nzeros, pnz
+            g = gz_b * tm.switch(
+                iszero,
+                tm.switch(tm.eq(nz_b, 1), pnz_b, zeros_like(pnz_b)),
+                out_b / tm.switch(iszero, ones_like(x), x),
+            )
             return [cast(g, x.type.dtype) if g.type.dtype != x.type.dtype else g]
         if name in ("maximum", "minimum"):
             # each tied extremum receives the full output gradient

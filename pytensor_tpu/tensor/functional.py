@@ -88,18 +88,16 @@ def inverse_permutation(perm):
     return argsort(as_tensor_variable(perm))
 
 
-def iround(x):
+def iround(x, mode=None):
     from pytensor_tpu.tensor import math as tm
-    from pytensor_tpu.tensor.basic import cast
 
-    return cast(tm.round(x), "int64")
+    return tm.iround(x, mode)
 
 
 def round_half_away_from_zero(x):
     from pytensor_tpu.tensor import math as tm
 
-    x = as_tensor_variable(x)
-    return tm.sign(x) * tm.floor(tm.abs(x) + 0.5)
+    return tm.round_half_away_from_zero(x)
 
 
 def is_flat(x, ndim=1):

@@ -50,6 +50,7 @@ ceil = scalar_elemwise(ps.ceil)
 floor = scalar_elemwise(ps.floor)
 trunc = scalar_elemwise(ps.trunc)
 round_half_to_even = scalar_elemwise(ps.round_half_to_even)
+round_half_away_from_zero = scalar_elemwise(ps.round_half_away_from_zero)
 sqr = scalar_elemwise(ps.sqr)
 square = sqr
 sqrt = scalar_elemwise(ps.sqrt)
@@ -151,7 +152,19 @@ ndtri = scalar_elemwise(psm.ndtri)
 
 
 def round(x, mode=None):
-    return round_half_to_even(x)
+    """round(x) with mode in {half_to_even (default), half_away_from_zero}
+    (reference tensor/math.py:1639)."""
+    if mode is None or mode == "half_to_even":
+        return round_half_to_even(x)
+    if mode == "half_away_from_zero":
+        return round_half_away_from_zero(x)
+    raise ValueError(f"round mode must be 'half_to_even' or "
+                     f"'half_away_from_zero', got {mode!r}")
+
+
+def iround(x, mode=None):
+    """cast(round(x, mode), 'int64') (reference tensor/math.py:1634)."""
+    return cast(round(x, mode), "int64")
 
 
 def isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):

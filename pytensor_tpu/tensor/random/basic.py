@@ -459,3 +459,19 @@ def permutation(x, rng=None, **kwargs):
                         str(x.type.dtype),
                         lambda key, shape, xv: _jr().permutation(key, xv))
     return rv(x, rng=rng, **kwargs)
+
+
+# --- reference class-name surface ------------------------------------------
+# Every distribution above instantiates a generated per-name subclass
+# (random/op.py _rv_class); export those classes under the reference's
+# names (NormalRV, UniformRV, ...; tensor/random/basic.py:83-2075) so
+# downstream isinstance dispatch works.
+from pytensor_tpu.tensor.random.op import (  # noqa: E402,F401
+    ScipyRandomVariable,
+    _rv_classes as _generated_rv_classes,
+)
+
+globals().update(_generated_rv_classes)
+# ours supports replace=True/False in one op; the reference's
+# without-replacement class name maps to it
+ChoiceWithoutReplacement = ChoiceRV

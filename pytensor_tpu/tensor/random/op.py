@@ -30,6 +30,61 @@ from pytensor_tpu.tensor.type_other import NoneConst, NoneTypeT
 from pytensor_tpu.tensor.random.type import random_generator_type
 
 
+'''Per-distribution class names (reference tensor/random/basic.py defines
+one ``*RV`` class per distribution; downstream code — PyMC in particular —
+dispatches with ``isinstance(rv.owner.op, NormalRV)``).  Instantiating the
+generic ``RandomVariable`` yields an instance of a generated per-name
+subclass under the reference's class name.'''
+_RV_CLASS_NAME_OVERRIDES = {
+    "multivariate_normal": "MvNormalRV",
+    "negative_binomial": "NegBinomialRV",
+    "t": "StudentTRV",
+    "truncexpon": "TruncExponentialRV",
+    "betabinom": "BetaBinomialRV",
+    "hypergeometric": "HyperGeometricRV",
+    "vonmises": "VonMisesRV",
+    "gengamma": "GenGammaRV",
+    "invgamma": "InvGammaRV",
+    "lognormal": "LogNormalRV",
+    "halfnormal": "HalfNormalRV",
+    "halfcauchy": "HalfCauchyRV",
+    "permutation": "PermutationRV",
+}
+
+# distributions the reference derives from ScipyRandomVariable
+# (tensor/random/basic.py:38 — scipy-frozen-dist-backed samplers)
+_SCIPY_RVS = frozenset({
+    "halfnormal", "pareto", "gumbel", "cauchy", "halfcauchy",
+    "truncexpon", "t", "bernoulli", "negative_binomial", "betabinom",
+    "gengamma",
+})
+
+_rv_classes: dict = {}
+_rv_registry: dict = {}
+
+
+def _rv_class(name: str) -> type:
+    key = _RV_CLASS_NAME_OVERRIDES.get(name)
+    if key is None:
+        key = "".join(p[0].upper() + p[1:] if p[0].isalpha() else p
+                      for p in name.split("_") if p) + "RV"
+    cls = _rv_classes.get(key)
+    if cls is None:
+        base = (ScipyRandomVariable if name in _SCIPY_RVS
+                else RandomVariable)
+        cls = type(key, (base,), {"__module__": __name__})
+        _rv_classes[key] = cls
+        globals()[key] = cls
+    return cls
+
+
+def _get_rv(name: str):
+    """Unpickle hook: distribution singletons by name."""
+    if name not in _rv_registry:
+        import pytensor_tpu.tensor.random.basic  # noqa: F401
+    return _rv_registry[name]
+
+
 class RandomVariable(Op):
     """A sampler op: ``rv(rng, size, *params) -> (next_rng, draws)``.
 
@@ -43,6 +98,19 @@ class RandomVariable(Op):
     default_output = 1
 
     __props__ = ("name", "signature", "dtype")
+
+    def __new__(cls, *args, **kwargs):
+        if cls is RandomVariable:
+            name = kwargs.get("name", args[0] if args else None)
+            if name is not None:
+                cls = _rv_class(str(name))
+        return object.__new__(cls)
+
+    def __reduce__(self):
+        reg = _rv_registry.get(getattr(self, "name", None))
+        if reg is not None and reg == self:
+            return (_get_rv, (self.name,))
+        return super().__reduce__()
 
     def __init__(self, name: str, ndims_params: Sequence[int], ndim_supp: int,
                  dtype: str, jax_sampler: Callable, param_dtypes=None,
@@ -59,6 +127,7 @@ class RandomVariable(Op):
         self.dtype = dtype
         self.jax_sampler = jax_sampler
         self.param_dtypes = param_dtypes
+        _rv_registry.setdefault(self.name, self)
 
     def _resolve_dtype(self):
         return config.floatX if self.dtype == "floatX" else self.dtype
@@ -185,6 +254,11 @@ class RandomVariable(Op):
 
     def __str__(self):
         return f"{self.name}_rv"
+
+
+class ScipyRandomVariable(RandomVariable):
+    """Marker base for scipy-distribution-backed samplers (reference
+    tensor/random/basic.py:38)."""
 
 
 def normalize_size_param(size):

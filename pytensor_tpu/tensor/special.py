@@ -94,3 +94,16 @@ def beta(a, b):
 
 def log_beta(a, b):
     return tm.betaln(a, b)
+
+
+# x*log(y) family with the 0*log(0) == 0 convention (reference
+# tensor/special.py XLogY/XLog1PY scalar ops)
+from pytensor_tpu.scalar import math as _psm
+from pytensor_tpu.tensor.elemwise import scalar_elemwise as _scalar_elemwise
+
+xlogy = _scalar_elemwise(_psm.xlogy)
+xlog1py = _scalar_elemwise(_psm.xlog1py)
+
+
+def logaddexp(*xs):
+    return tm.logaddexp(*xs)
