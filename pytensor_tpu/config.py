@@ -195,7 +195,10 @@ config.add(
 )
 config.add(
     "cast_policy",
-    EnumStr("numpy+floatX", ("numpy",), doc="Autocasting policy for python literals."),
+    EnumStr("custom", ("numpy+floatX", "numpy"),
+            doc="Autocasting policy for python literals (reference "
+                "configdefaults.py:200: custom = smallest representing "
+                "dtype, see scalar.NumpyAutocaster)."),
 )
 config.add(
     "enable_x64",

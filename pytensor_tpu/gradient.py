@@ -200,8 +200,10 @@ def _populate_and_collect(
         for inp, g in zip(node.inputs, igs):
             if g is None:
                 g = DisconnectedType()()
-            if inp in consider_constant:
-                continue
+            # NOTE consider_constant stops propagation THROUGH a variable
+            # (the node-output guard above), but its own accumulated
+            # gradient is still collected — subgraph_grad's end-grads and
+            # the reference's consider_constant semantics rely on this
             if not (var_depends(inp) or inp in wrt_list or inp.owner is not None):
                 # gradient wrt a leaf we don't need — skip accumulation for
                 # leaves unrelated to wrt to keep graphs lean
@@ -613,3 +615,68 @@ def verify_grad(
                 f"abs_err={np.abs(a - n)[idx]}, rel_err={rel[idx]}"
             )
     return True
+
+
+def as_list_or_tuple(use_list, use_tuple, outputs):
+    """Return ``outputs`` as a list, a tuple, or bare (reference
+    gradient.py:51)."""
+    if use_list and use_tuple:
+        raise ValueError("Both flags cannot be simultaneously True")
+    if use_list or use_tuple:
+        if isinstance(outputs, (list, tuple)):
+            return list(outputs) if use_list else tuple(outputs)
+        return [outputs] if use_list else (outputs,)
+    return outputs
+
+
+# the double-pullback Jvp trick IS our pushforward implementation
+# (reference pushforward_through_pullback:163)
+pushforward_through_pullback = pushforward
+
+
+def subgraph_grad(wrt, end, start=None, cost=None, details=False):
+    """Gradients of ``cost`` and/or from ``start`` cotangents, stopping at
+    the ``end`` variables (reference gradient.py:817).
+
+    Returns ``(wrt_grads, end_grads)`` — the gradients with respect to
+    ``wrt`` and, for chaining, with respect to ``end`` (which are treated
+    as constants, so backprop does not continue past them).  With
+    ``details=True`` also returns the separate start/cost contributions.
+    """
+    if cost is None and start is None:
+        raise ValueError("`cost` or `start` must be specified.")
+    if not isinstance(end, list):
+        raise TypeError("`end` must be a list.")
+    if not isinstance(wrt, list):
+        raise TypeError("`wrt` must be a list.")
+    if start is not None and not isinstance(start, dict):
+        raise TypeError("`start` must be a dictionary.")
+
+    params = list(dict.fromkeys(wrt + end))
+
+    start_grads = None
+    cost_grads = None
+    if start is not None:
+        start_grads = list(grad(
+            cost=None, wrt=params, known_grads=dict(start),
+            consider_constant=end, disconnected_inputs="ignore",
+        ))
+    if cost is not None:
+        cost_grads = list(grad(
+            cost=cost, wrt=params,
+            consider_constant=end, disconnected_inputs="ignore",
+        ))
+
+    if start is None:
+        grads = cost_grads
+    else:
+        grads = list(start_grads)
+        if cost_grads is not None:
+            grads = [g + cg for g, cg in zip(grads, cost_grads)]
+
+    pgrads = dict(zip(params, grads))
+    wrt_grads = [pgrads[k] for k in wrt]
+    end_grads = [pgrads[k] for k in end]
+    if details:
+        return wrt_grads, end_grads, start_grads, cost_grads
+    return wrt_grads, end_grads

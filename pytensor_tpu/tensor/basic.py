@@ -46,13 +46,22 @@ def constant(value, name=None, ndim=None, dtype=None) -> TensorConstant:
             ttype = TensorType(str(value.dtype), tuple(value.shape))
             return TensorConstant(ttype, value, name)
         value = np.asarray(value)
-    arr = np.asarray(value, dtype=_np_dtype(dtype) if dtype is not None else None)
+    if dtype is None and isinstance(value, (bool, int, float, complex)) \
+            and not isinstance(value, np.generic):
+        # python literals go through the autocasting policy (reference
+        # TensorConstant creation via scalar.convert; NumpyAutocaster)
+        from pytensor_tpu.scalar.compatnames import convert
+
+        arr = convert(value)
+    else:
+        arr = np.asarray(value,
+                         dtype=_np_dtype(dtype) if dtype is not None else None)
     if dtype is None:
-        if arr.dtype == np.float64 and isinstance(value, (float, numbers.Real)) \
-                and not isinstance(value, (np.ndarray, np.generic, numbers.Integral)):
+        if arr.dtype == np.float64 and isinstance(value, numbers.Real) \
+                and not isinstance(value, (float, np.ndarray, np.generic,
+                                           numbers.Integral)):
+            # non-builtin Real scalars (e.g. fractions) follow floatX
             arr = arr.astype(_np_dtype(config.floatX))
-        elif arr.dtype == np.bool_ and isinstance(value, bool):
-            pass
     if ndim is not None:
         if arr.ndim < ndim:
             arr = arr.reshape((1,) * (ndim - arr.ndim) + arr.shape)
@@ -91,21 +100,24 @@ def as_tensor_variable(x, name=None, ndim=None, dtype=None) -> TensorVariable:
     if isinstance(x, bool):
         return constant(np.bool_(x), name)
     if isinstance(x, int) and not isinstance(x, bool) and dtype is None:
-        # autocast python int literals to the smallest signed dtype
-        # (reference NumpyAutocaster semantics: keeps float32 graphs float32
-        # under expressions like x ** 2)
-        for small in ("int8", "int16", "int32", "int64"):
-            if np.iinfo(small).min <= x <= np.iinfo(small).max:
-                return constant(np.asarray(x, dtype=small), name)
-        return constant(np.asarray(x, dtype="int64"), name)
+        # literal autocasting is delegated to the NumpyAutocaster pair
+        # (scalar.compatnames; reference scalar/basic.py:94): smallest
+        # representing dtype under the 'custom' policy, adjustable via
+        # autocast_float_as
+        from pytensor_tpu.scalar.compatnames import autocast_int
+
+        if x > np.iinfo("int64").max or x < np.iinfo("int64").min:
+            raise OverflowError(f"int literal {x} does not fit int64")
+        return constant(autocast_int(x), name)
     if isinstance(x, np.integer) and dtype is None:
         return constant(np.asarray(x), name)
     if isinstance(x, float) and not isinstance(x, np.floating) \
             and dtype is None:
-        # python float literals autocast to floatX; numpy scalars keep
-        # their dtype (np.float64 subclasses float — exclude it, matching
-        # the reference NumpyAutocaster)
-        return constant(np.asarray(x, dtype=_np_dtype(config.floatX)), name)
+        # numpy scalars keep their dtype (np.float64 subclasses float —
+        # exclude it, matching the reference NumpyAutocaster)
+        from pytensor_tpu.scalar.compatnames import autocast_float
+
+        return constant(autocast_float(x), name)
     if isinstance(x, complex) and dtype is None:
         return constant(np.asarray(x, dtype="complex128"), name)
     try:
