@@ -42,6 +42,21 @@ def train_loop(inputs, outputs=None, updates=None, *, n_steps,
         [outputs] if single else list(outputs))
     n_out = len(out_list)
 
+    # Pin the loop-carried state to the CURRENT shared-value shapes.
+    # lax.scan requires a shape-invariant carry, so this is semantically
+    # free — and it hands shape-gated specializations (routed SpMV,
+    # Pallas eligibility, MXU tiling) static dims inside the loop body.
+    from pytensor_tpu.tensor.shape import specify_shape
+
+    inits = []
+    for s in shareds:
+        dims = tuple(getattr(s.container.value, "shape", ()) or ())
+        if (s.type.ndim == len(dims)
+                and any(d is None for d in s.type.shape)):
+            inits.append(specify_shape(s, dims))
+        else:
+            inits.append(s)
+
     def body(*state):
         mapping = dict(zip(shareds, state))
         outs = [graph_replace(o, mapping) for o in out_list]
@@ -49,7 +64,7 @@ def train_loop(inputs, outputs=None, updates=None, *, n_steps,
         return tuple(new_state) + tuple(outs)
 
     res, inner_updates = ptt.scan(
-        body, outputs_info=list(shareds) + [None] * n_out,
+        body, outputs_info=inits + [None] * n_out,
         n_steps=n_steps, name=name or "train_loop")
     if inner_updates:
         raise NotImplementedError(

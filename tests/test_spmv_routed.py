@@ -182,3 +182,40 @@ class TestRoutedSpmv:
             f = ptt.function([x], structured_dot(as_sparse_variable(A), x))
         ops = [type(nd.op).__name__ for nd in f.fgraph.toposort()]
         assert "RoutedSpMV" not in ops
+
+
+class TestTrainLoopShapeSpecialization:
+    """train_loop pins loop-carried state to the current shared-value
+    shape (compile/train.py), so shape-gated specializations — here the
+    routed SpMV — fire inside the loop body even when the shared
+    variable's declared type has unknown dims."""
+
+    def test_routed_fires_inside_train_loop(self):
+        rng = np.random.default_rng(13)
+        n = 1500
+        A = sp.random(n, n, density=0.005, format="csr", random_state=rng,
+                      dtype="float32")
+        x0 = rng.standard_normal((n, 1)).astype("float32")
+        xsh = ptt.shared(x0, name="x")  # type has shape (?, ?)
+        assert xsh.type.shape == (None, None)
+        y = structured_dot(as_sparse_variable(A), xsh)
+        upd = y / (pt.max(pt.abs(y)) + 1e-9)
+        f = ptt.train_loop([], pt.sum(y), {xsh: upd}, n_steps=3)
+
+        from pytensor_tpu.scan.op import Scan
+
+        inner_ops = []
+        for node in f.fgraph.apply_nodes:
+            if isinstance(node.op, Scan):
+                inner_ops = [type(nd.op).__name__
+                             for nd in node.op.fgraph.apply_nodes]
+        assert "RoutedSpMV" in inner_ops
+
+        # numerics: 3 power-iteration steps equal the numpy loop
+        v = x0
+        for _ in range(3):
+            yv = A @ v
+            v = yv / (np.max(np.abs(yv)) + 1e-9)
+        np.testing.assert_allclose(float(np.asarray(f())), float(yv.sum()),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(xsh.get_value()), v, atol=2e-5)
