@@ -220,5 +220,100 @@ def _register_rewrites():
 
     register_specialize(local_ifelse_merge, name="local_ifelse_merge")
 
+    def acceptable_ops():
+        """Op classes safe to sink into IfElse branches (reference
+        ifelse.py acceptable_ops; lazily resolved to avoid import
+        cycles)."""
+        from pytensor_tpu.tensor.basic import Alloc
+        from pytensor_tpu.tensor.elemwise import CAReduce, DimShuffle, Elemwise
+        from pytensor_tpu.tensor.math import Dot
+        from pytensor_tpu.tensor.shape import Reshape, Shape, SpecifyShape
+        from pytensor_tpu.tensor.subtensor import Subtensor
 
-_register_rewrites()
+        return (Alloc, CAReduce, DimShuffle, Dot, Elemwise, Reshape,
+                Shape, SpecifyShape, Subtensor)
+
+    @node_rewriter(None)
+    def ifelse_lift_single_if_through_acceptable_ops(fgraph, node):
+        """O(ifelse(c, t, f)) -> ifelse(c, O(t), O(f)) when this node is
+        the ONLY client of the conditional outputs it consumes (reference
+        ifelse.py:424): under lax.cond the sunk op executes only in the
+        taken branch instead of unconditionally after it."""
+        from pytensor_tpu.graph.traversal import ancestors
+
+        if isinstance(node.op, IfElse) or not isinstance(
+                node.op, acceptable_ops()):
+            return False
+        ife_nodes = {i.owner for i in node.inputs
+                     if i.owner is not None and isinstance(i.owner.op, IfElse)}
+        if len(ife_nodes) != 1:
+            return False
+        ife = ife_nodes.pop()
+        for i in set(node.inputs):
+            if i.owner is ife:
+                if any(c is not node
+                       for c, _ in fgraph.clients.get(i, ()) if c != "output"):
+                    return False
+                if any(c == "output" for c, _ in fgraph.clients.get(i, ())):
+                    return False
+        cond = ife.inputs[0]
+        n = ife.op.n_outs
+        ts = ife.inputs[1: 1 + n]
+        fs = ife.inputs[1 + n:]
+        other_in = [i for i in node.inputs if i.owner is not ife]
+        ife_out_ids = {id(o) for o in ife.outputs}
+        if any(id(a) in ife_out_ids for a in ancestors(other_in)):
+            return False
+
+        def branch_inputs(branch):
+            return [branch[ife.outputs.index(i)] if i.owner is ife else i
+                    for i in node.inputs]
+
+        t_out = node.op.make_node(*branch_inputs(ts)).outputs
+        f_out = node.op.make_node(*branch_inputs(fs)).outputs
+        new = IfElse(len(node.outputs), name=ife.op.name)(
+            cond, *t_out, *f_out)
+        if not isinstance(new, list):
+            new = [new]
+        for old, nw in zip(node.outputs, new):
+            if not old.type.is_super(nw.type):
+                return False
+        for old, nw in zip(node.outputs, new):
+            copy_stack_trace(old, nw)
+        return list(new)
+
+    register_specialize(ifelse_lift_single_if_through_acceptable_ops,
+                        name="ifelse_lift_single_if_through_acceptable_ops")
+
+    # reference-name surface (ifelse.py:424-691): the two local rewrites
+    # above jointly cover cond_remove_identical + cond_merge_ifs_*;
+    # exported under both naming schemes for downstream tooling
+    return {
+        "local_useless_ifelse": local_useless_ifelse,
+        "local_ifelse_merge": local_ifelse_merge,
+        "ifelse_lift_single_if_through_acceptable_ops":
+            ifelse_lift_single_if_through_acceptable_ops,
+    }
+
+
+_rewrites = _register_rewrites()
+local_useless_ifelse = _rewrites["local_useless_ifelse"]
+local_ifelse_merge = _rewrites["local_ifelse_merge"]
+ifelse_lift_single_if_through_acceptable_ops = _rewrites[
+    "ifelse_lift_single_if_through_acceptable_ops"]
+cond_remove_identical = local_useless_ifelse
+cond_merge_ifs_true = local_ifelse_merge
+cond_merge_ifs_false = local_ifelse_merge
+CondMerge = local_ifelse_merge
+
+
+def apply_depends_on(apply, depends_on):
+    """True when ``apply`` transitively depends on apply node(s)
+    ``depends_on`` (reference ifelse.py:312)."""
+    from pytensor_tpu.graph.traversal import ancestors
+
+    if not isinstance(depends_on, (list, tuple, set)):
+        depends_on = [depends_on]
+    targets = {id(a) for a in depends_on}
+    return any(id(v.owner) in targets
+               for v in ancestors(apply.inputs) if v.owner is not None)

@@ -213,3 +213,145 @@ class Index(Op):
 
 
 index_ = Index()
+
+
+class TypedListVariable(Variable):
+    """Variable sugar for typed lists (reference typed_list/basic.py
+    TypedListVariable): list-style methods build the corresponding ops."""
+
+    def __getitem__(self, index):
+        return getitem(self, index)
+
+    def append(self, elem):
+        return append(self, elem)
+
+    def extend(self, other):
+        return extend(self, other)
+
+    def insert(self, index, elem):
+        return insert(self, index, elem)
+
+    def remove(self, elem):
+        return remove(self, elem)
+
+    def reverse(self):
+        return reverse(self)
+
+    def count(self, elem):
+        return count(self, elem)
+
+    def ind(self, elem):
+        return index_(self, elem)
+
+
+class TypedListConstant(Constant, TypedListVariable):
+    pass
+
+
+TypedListType.variable_type = TypedListVariable
+TypedListType.constant_type = TypedListConstant
+
+
+def _register_xla():
+    """XLA path: a typed list is a trace-time-static python tuple of
+    arrays (a pytree), so jit consumes it natively.  Structure-changing
+    ops with *data-dependent* structure (insert/remove at a traced
+    position) cannot lower — they need the oracle linker (PerformLinker);
+    getitem at a traced index lowers to lax.switch over the elements.
+    Reference executes these in C/py perform (typed_list/basic.py); the
+    static-structure contract is the TPU-native equivalent.
+    """
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    def _static_index(i, what):
+        try:
+            return int(i)
+        except Exception:
+            return None
+
+    # NOTE: list values are python LISTS on the trace (never tuples —
+    # the linker's single-output convention reserves tuples for
+    # multi-output ops); jit treats both as pytrees identically.
+
+    @xla_funcify.register(MakeList)
+    def _make_list(op, node=None, **kw):
+        return lambda *elems: list(elems)
+
+    @xla_funcify.register(GetItem)
+    def _getitem(op, node=None, **kw):
+        def getitem(x, i):
+            k = _static_index(i, "getitem")
+            if k is not None:
+                return x[k]
+            import jax
+
+            i0 = jax.numpy.where(i < 0, i + len(x), i)
+            return jax.lax.switch(i0, [lambda e=e: e for e in x])
+
+        return getitem
+
+    @xla_funcify.register(Append)
+    def _append(op, node=None, **kw):
+        return lambda x, e: list(x) + [e]
+
+    @xla_funcify.register(Extend)
+    def _extend(op, node=None, **kw):
+        return lambda x, y: list(x) + list(y)
+
+    @xla_funcify.register(Insert)
+    def _insert(op, node=None, **kw):
+        def insert(x, i, e):
+            k = _static_index(i, "insert")
+            if k is None:
+                raise NotImplementedError(
+                    "typed_list insert at a traced index changes the pytree "
+                    "structure dynamically; use a constant index or the "
+                    "PY (oracle) mode")
+            x = list(x)
+            return x[:k] + [e] + x[k:]
+
+        return insert
+
+    @xla_funcify.register(Remove)
+    def _remove(op, node=None, **kw):
+        def remove(x, e):
+            raise NotImplementedError(
+                "typed_list remove is data-dependent (list structure would "
+                "depend on runtime values); use the PY (oracle) mode")
+
+        return remove
+
+    @xla_funcify.register(Reverse)
+    def _reverse(op, node=None, **kw):
+        return lambda x: list(reversed(list(x)))
+
+    @xla_funcify.register(Length)
+    def _length(op, node=None, **kw):
+        import numpy as _np
+
+        return lambda x: _np.int64(len(x))
+
+    @xla_funcify.register(Count)
+    def _count(op, node=None, **kw):
+        def count(x, e):
+            import jax.numpy as jnp
+
+            hits = [jnp.all(el == e) for el in list(x)]
+            return jnp.sum(jnp.stack(hits)).astype("int64")
+
+        return count
+
+    @xla_funcify.register(Index)
+    def _index(op, node=None, **kw):
+        def index(x, e):
+            import jax.numpy as jnp
+
+            hits = jnp.stack([jnp.all(el == e) for el in list(x)])
+            # first match; no dynamic raise under jit — unmatched queries
+            # are the caller's contract violation (reference raises)
+            return jnp.argmax(hits).astype("int64")
+
+        return index
+
+
+_register_xla()

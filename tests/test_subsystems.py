@@ -240,6 +240,56 @@ class TestIfElseRewrites:
                                    np.arange(3.0) * 2)
 
 
+class TestIfElseLift:
+    """ifelse_lift_single_if_through_acceptable_ops (reference
+    ifelse.py:424): single-client post-ops sink into the branches so
+    lax.cond executes them only on the taken path."""
+
+    def test_elemwise_sinks_into_branches(self):
+        from pytensor_tpu.ifelse import IfElse, ifelse
+
+        c = pt.scalar("c", dtype="bool")
+        x, y = pt.dvector("x"), pt.dvector("y")
+        out = pt.exp(ifelse(c, x + 1, y * 2)).sum()
+        f = ptt.function([c, x, y], out)
+        order = f.fgraph.toposort()
+        # the conditional must be the LAST node: everything sank inside
+        assert isinstance(order[-1].op, IfElse)
+        xv, yv = np.ones(4), 2 * np.ones(4)
+        np.testing.assert_allclose(float(f(True, xv, yv)),
+                                   np.exp(xv + 1).sum())
+        np.testing.assert_allclose(float(f(False, xv, yv)),
+                                   np.exp(yv * 2).sum())
+
+    def test_no_lift_with_second_client(self):
+        from pytensor_tpu.ifelse import IfElse, ifelse
+
+        c = pt.scalar("c", dtype="bool")
+        x, y = pt.dvector("x"), pt.dvector("y")
+        z = ifelse(c, x + 1, y * 2)
+        # z has TWO clients -> sinking exp would duplicate z's compute
+        f = ptt.function([c, x, y], [pt.exp(z).sum(), z * 3])
+        order = f.fgraph.toposort()
+        assert not isinstance(order[-1].op, IfElse)
+        xv, yv = np.ones(4), 2 * np.ones(4)
+        s, z3 = f(True, xv, yv)
+        np.testing.assert_allclose(float(s), np.exp(xv + 1).sum())
+        np.testing.assert_allclose(np.asarray(z3), (xv + 1) * 3)
+
+    def test_reference_name_surface(self):
+        # NB `import pytensor_tpu.ifelse as ife` binds the top-level
+        # *function* (same shadowing as the reference, __init__.py:32);
+        # the module path works through `from` imports.
+        import importlib
+
+        ife = importlib.import_module("pytensor_tpu.ifelse")
+        for n in ("CondMerge", "cond_remove_identical",
+                  "cond_merge_ifs_true", "cond_merge_ifs_false",
+                  "ifelse_lift_single_if_through_acceptable_ops",
+                  "apply_depends_on"):
+            assert hasattr(ife, n), n
+
+
 class TestAssumptionsExtended:
     def test_transpose_flips_triangularity(self):
         from pytensor_tpu.assumptions import FactState, holds
