@@ -79,12 +79,6 @@ class _LazyScalarTypes:
     )
 
 
-def __getattr__(name):
-    if name in _LazyScalarTypes.DTYPES:
-        t = get_scalar_type(name)
-        globals()[name] = t
-        return t
-    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 int_types = ("int8", "int16", "int32", "int64")
@@ -521,3 +515,158 @@ class Composite:
 
     def __str__(self):
         return self.name
+
+
+# --- reference scalar.basic namespace completion ----------------------------
+# Graph-level names the reference re-exports into its scalar namespace,
+# plus the class surface downstream code dispatches on.
+
+from pytensor_tpu.graph.basic import Apply, Constant, Variable  # noqa: E402,F401
+from pytensor_tpu.graph.replace import clone_replace  # noqa: E402,F401
+from pytensor_tpu.graph.traversal import applys_between  # noqa: E402,F401
+from pytensor_tpu.graph.op import HasInnerGraph, Op  # noqa: E402,F401
+from pytensor_tpu.graph.type import (  # noqa: E402,F401
+    HasDataType,
+    HasShape,
+    Type as CType,  # C-codegen Type role; this build has one Type protocol
+)
+from pytensor_tpu.utils import difference, to_return_values  # noqa: E402,F401
+
+
+class MethodNotDefined(Exception):
+    """Raised by optional Op methods that a given op does not implement
+    (reference link/c/interface.py; kept for except-clause compat)."""
+
+
+class COp(Op):
+    """Reference COp marker.  This build has no C codegen — ops lower
+    through ``xla_funcify``; the class exists so downstream isinstance /
+    subclass declarations keep working (perform() is the oracle)."""
+
+
+class LogicalComparison(BinaryScalarOp):
+    """Base for binary comparisons returning bool (reference
+    scalar/basic.py LogicalComparison)."""
+
+    nout = 1
+
+    def __init__(self, output_types_preference=None, name=None):
+        super().__init__(
+            output_types_preference or specific_out("bool"), name=name)
+
+    def output_dtype(self, *input_dtypes):
+        return "bool"
+
+
+class FixedLogicalComparison(UnaryScalarOp):
+    """Base for unary predicates returning bool (reference
+    scalar/basic.py FixedLogicalComparison)."""
+
+    nout = 1
+
+    def __init__(self, output_types_preference=None, name=None):
+        super().__init__(
+            output_types_preference or specific_out("bool"), name=name)
+
+    def output_dtype(self, *input_dtypes):
+        return "bool"
+
+
+class UnaryBitOp(UnaryScalarOp):
+    """Base for unary bitwise ops: integer/bool in, same type out."""
+
+    def output_dtype(self, *input_dtypes):
+        for d in input_dtypes:
+            if d in continuous_types or d.startswith(("float", "complex")):
+                raise TypeError(
+                    f"{self.name} only works on integer or bool, got {d}")
+        if self.output_types_preference is not None:
+            return super().output_dtype(*input_dtypes)
+        return input_dtypes[0]
+
+
+class BinaryBitOp(BinaryScalarOp):
+    """Base for binary bitwise ops: integer/bool in, upcast int out."""
+
+    def output_dtype(self, *input_dtypes):
+        for d in input_dtypes:
+            if d.startswith(("float", "complex")):
+                raise TypeError(
+                    f"{self.name} only works on integer or bool, got {d}")
+        if self.output_types_preference is not None:
+            return super().output_dtype(*input_dtypes)
+        return upcast(*input_dtypes)
+
+
+def complex(name=None):
+    """0-d complex128 variable ctor (reference scalar complex())."""
+    return get_scalar_type("complex128")(name)
+
+
+def _multi_ctor(dtype):
+    def ctor(*names):
+        vs = [get_scalar_type(dtype)(n) for n in names]
+        return vs[0] if len(vs) == 1 else vs
+
+    ctor.__name__ = dtype + "s"
+    return ctor
+
+
+floats = _multi_ctor("float64")
+ints = _multi_ctor("int64")
+complexs = _multi_ctor("complex128")
+complexs64 = _multi_ctor("complex64")
+complexs128 = _multi_ctor("complex128")
+
+
+# lazy names that would pull tensor/gradient/printing in at import time
+_LAZY_COMPAT = {
+    "Cast", "ScalarVariable", "ScalarConstant", "ScalarConstantSignature",
+    "ScalarInnerGraphOp", "pprint", "grad_undefined", "grad_not_implemented",
+    "disconnected_type",
+} | {f"convert_to_{d}" for d in (
+    "bool", "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32", "uint64",
+    "float16", "float32", "float64", "complex64", "complex128")}
+
+
+def __getattr__(name):
+    if name in _LazyScalarTypes.DTYPES:
+        t = get_scalar_type(name)
+        globals()[name] = t
+        return t
+    if name not in _LAZY_COMPAT:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}")
+    if name.startswith("convert_to_"):
+        from pytensor_tpu.scalar.basic import cast_op
+
+        return cast_op(name[len("convert_to_"):])
+    if name == "Cast":
+        # all cast kernels share one generated class (scalar/basic.py:191)
+        from pytensor_tpu.scalar.basic import cast_op
+
+        return type(cast_op("float64"))
+    if name == "ScalarVariable":
+        from pytensor_tpu.tensor.variable import TensorVariable
+
+        return TensorVariable
+    if name == "ScalarConstant":
+        from pytensor_tpu.tensor.variable import TensorConstant
+
+        return TensorConstant
+    if name == "ScalarConstantSignature":
+        # signatures here are plain (type, hash) tuples (graph/basic.py
+        # Constant.signature); expose tuple for isinstance compat
+        return tuple
+    if name == "ScalarInnerGraphOp":
+        from pytensor_tpu.scalar.loop import ScalarLoop
+
+        return ScalarLoop.__mro__[0].__bases__ and ScalarLoop
+    if name == "pprint":
+        from pytensor_tpu.printing import pprint
+
+        return pprint
+    from pytensor_tpu import gradient as _g
+
+    return getattr(_g, name)

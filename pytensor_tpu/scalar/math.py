@@ -111,21 +111,19 @@ polygamma = _op("polygamma", 2, lambda n, x: _sps().polygamma(np.asarray(n, dtyp
 
 
 def _gammainc_grad(i, o, gz):
-    from pytensor_tpu.gradient import grad_not_implemented
-
     k, x = i
     tm = _tm()
     gx = gz[0] * tm.exp(-x + (k - 1) * tm.log(x) - tm.gammaln(k))
-    return [grad_not_implemented(gammainc, 0, k), gx]
+    # k-grad through the differentiable series kernel (defined below;
+    # late-bound).  Reference gammainc_grad (scalar/math.py).
+    return [gz[0] * gammainc_ddk(k, x), gx]
 
 
 def _gammaincc_grad(i, o, gz):
-    from pytensor_tpu.gradient import grad_not_implemented
-
     k, x = i
     tm = _tm()
     gx = -gz[0] * tm.exp(-x + (k - 1) * tm.log(x) - tm.gammaln(k))
-    return [grad_not_implemented(gammaincc, 0, k), gx]
+    return [gz[0] * gammaincc_ddk(k, x), gx]
 
 
 gammainc = _op("gammainc", 2, lambda k, x: _sps().gammainc(k, x),
@@ -143,14 +141,13 @@ gammainccinv = _op("gammainccinv", 2, lambda k, x: _sps().gammainccinv(k, x),
 
 # --- beta family ---
 def _betainc_grad(i, o, gz):
-    from pytensor_tpu.gradient import grad_not_implemented
-
     a, b, x = i
     tm = _tm()
     gx = gz[0] * tm.exp((a - 1) * tm.log(x) + (b - 1) * tm.log1p(-x) - tm.betaln(a, b))
-    # grads wrt a, b require the series algorithm (reference BetaInc grad via
-    # ScalarLoop, scalar/math.py:1342); deferred.
-    return [grad_not_implemented(betainc, 0, a), grad_not_implemented(betainc, 1, b), gx]
+    # parameter grads via the differentiable continued-fraction kernels
+    # (betainc_dda/ddb below, late-bound; reference BetaInc ScalarLoop
+    # grad, scalar/math.py:1342)
+    return [gz[0] * betainc_dda(a, b, x), gz[0] * betainc_ddb(a, b, x), gx]
 
 
 betainc = _op("betainc", 3, lambda a, b, x: _sps().betainc(a, b, x),
@@ -706,3 +703,35 @@ del _sb, _n
 def betainc_grad(p, q, x, wrtp=True):
     """d/dp (or d/dq) of betainc (reference scalar/math.py betainc_grad)."""
     return betainc_dda(p, q, x) if wrtp else betainc_ddb(p, q, x)
+
+
+def gammainc_grad(k, x):
+    """d/dk of the regularized lower incomplete gamma (reference
+    scalar/math.py gammainc_grad); lowered through the differentiable
+    series kernel ``gammainc_ddk``."""
+    return gammainc_ddk(k, x)
+
+
+def gammaincc_grad(k, x):
+    """d/dk of the regularized upper incomplete gamma (reference
+    scalar/math.py gammaincc_grad)."""
+    return gammaincc_ddk(k, x)
+
+
+def hyp2f1_grad(a, b, c, z, wrt):
+    """Gradient(s) of hyp2f1 wrt parameter indices ``wrt`` (reference
+    scalar/math.py hyp2f1_grad / Grad2F1Loop).  ``wrt`` may be an int or
+    a collection of ints in {0, 1, 2}; returns a single variable or a
+    list respectively."""
+    single = isinstance(wrt, int)
+    idxs = [wrt] if single else list(wrt)
+    kernels = {0: hyp2f1_dda, 1: hyp2f1_ddb, 2: hyp2f1_ddc}
+    outs = [kernels[i](a, b, c, z) for i in idxs]
+    return outs[0] if single else outs
+
+
+# Reference Grad2F1Loop is the fused ScalarLoop computing all requested
+# 2F1 parameter grads; here each parameter grad is its own fixed-bound
+# series kernel and XLA fuses the shared subexpressions.  The class name
+# maps onto the generated kernel class.
+Grad2F1Loop = type(hyp2f1_dda)

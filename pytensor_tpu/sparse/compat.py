@@ -30,6 +30,8 @@ from pytensor_tpu.sparse.basic import (
     structured_dot,
 )
 from pytensor_tpu.sparse.type import SparseTensorType
+from pytensor_tpu.graph.basic import Apply as _Apply
+from pytensor_tpu.graph.op import Op as _Op
 
 sparse_formats = ["csr", "csc"]
 all_dtypes = ("float32", "float64", "int8", "int16", "int32", "int64",
@@ -278,49 +280,49 @@ def col_scale(x, v):
 
 # --- structural cleanups --------------------------------------------------
 
+class Remove0(_Op):
+    """Drop stored zeros (reference sparse/basic.py Remove0:1763).  nnz
+    is value-dependent, so on the static-shape device path this is the
+    identity; the scipy oracle eliminates zeros."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return _Apply(self, [x], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        out = inputs[0].copy()
+        out.eliminate_zeros()
+        output_storage[0][0] = out
+
+    def L_op(self, inputs, outputs, output_grads):
+        return [output_grads[0]]
+
+
+class EnsureSortedIndices(_Op):
+    """Canonicalize index order (reference sparse/basic.py:1467)."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return _Apply(self, [x], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        out = inputs[0].copy()
+        out.sort_indices()
+        output_storage[0][0] = out
+
+    def L_op(self, inputs, outputs, output_grads):
+        return [output_grads[0]]
+
+
 def remove0(x):
-    """Drop stored zeros.  nnz is value-dependent, so on the static-shape
-    device path this is the identity; the scipy oracle eliminates zeros."""
-    from pytensor_tpu.graph.basic import Apply
-    from pytensor_tpu.graph.op import Op
-
-    class Remove0(Op):
-        __props__ = ()
-
-        def make_node(self, x):
-            x = as_sparse_variable(x)
-            return Apply(self, [x], [x.type()])
-
-        def perform(self, node, inputs, output_storage):
-            out = inputs[0].copy()
-            out.eliminate_zeros()
-            output_storage[0][0] = out
-
-        def L_op(self, inputs, outputs, output_grads):
-            return [output_grads[0]]
-
     return Remove0()(x)
 
 
 def ensure_sorted_indices(x):
-    from pytensor_tpu.graph.basic import Apply
-    from pytensor_tpu.graph.op import Op
-
-    class EnsureSortedIndices(Op):
-        __props__ = ()
-
-        def make_node(self, x):
-            x = as_sparse_variable(x)
-            return Apply(self, [x], [x.type()])
-
-        def perform(self, node, inputs, output_storage):
-            out = inputs[0].copy()
-            out.sort_indices()
-            output_storage[0][0] = out
-
-        def L_op(self, inputs, outputs, output_grads):
-            return [output_grads[0]]
-
     return EnsureSortedIndices()(x)
 
 
@@ -411,3 +413,122 @@ def structured_dot_grad(sparse_A, dense_B, grad_on_dense):
 
 sdg_csr = structured_dot_grad
 sdg_csc = structured_dot_grad
+
+
+# --- reference class-name surface ------------------------------------------
+# Ops this build expresses compositionally (structured elemwise /
+# CSM-rebuild graphs; PARITY.md §2.6) keep reference-constructor compat
+# classes: instantiating and calling one builds the same graph as the
+# matching function.
+
+class _SparseCompositionalCtor:
+    _builder = None
+
+    def __init__(self, *args, **kwargs):
+        self._args = args
+        self._kwargs = kwargs
+
+    def __call__(self, *inputs):
+        return type(self)._builder(*inputs, *self._args, **self._kwargs)
+
+
+class Cast(_SparseCompositionalCtor):
+    """Reference sparse/basic.py Cast:595; builds cast(x, out_type)."""
+
+    def __init__(self, out_type):
+        super().__init__(out_type)
+        self.out_type = out_type
+
+    _builder = staticmethod(cast)
+
+
+class ColScaleCSC(_SparseCompositionalCtor):
+    """Reference sparse/basic.py ColScaleCSC:1259 -> col_scale graph."""
+
+    _builder = staticmethod(col_scale)
+
+
+class RowScaleCSC(_SparseCompositionalCtor):
+    """Reference sparse/basic.py RowScaleCSC:1305 -> row_scale graph."""
+
+    _builder = staticmethod(row_scale)
+
+
+class GetItem2d(_SparseCompositionalCtor):
+    """Reference sparse/basic.py GetItem2d:1002 -> get_item_2d graph."""
+
+    _builder = staticmethod(get_item_2d)
+
+
+class TrueDot(_SparseCompositionalCtor):
+    """Reference sparse/math.py TrueDot:1200 -> dot (sparse output)."""
+
+    def __init__(self, grad_preserves_dense=True):
+        super().__init__()
+        self.grad_preserves_dense = grad_preserves_dense
+
+    _builder = staticmethod(dot)
+
+
+class Dot(_SparseCompositionalCtor):
+    """Reference sparse/math.py Dot:1839 -> dot (dense output)."""
+
+    _builder = staticmethod(dot)
+
+
+class AddSSData(_SparseCompositionalCtor):
+    """Reference sparse/math.py AddSSData:416 -> add_s_s_data graph."""
+
+    _builder = staticmethod(add_s_s_data)
+
+
+class StructuredAddSV(_SparseCompositionalCtor):
+    """Reference sparse/math.py StructuredAddSV:519."""
+
+    _builder = staticmethod(structured_add_s_v)
+
+
+class SparseDenseMultiply(_SparseCompositionalCtor):
+    """Reference sparse/math.py SparseDenseMultiply:709 (mul_s_d)."""
+
+    _builder = staticmethod(mul_s_d)
+
+
+def _cmp_ctor(fn, refname):
+    cls = type(refname, (_SparseCompositionalCtor,), {
+        "_builder": staticmethod(fn),
+        "__doc__": f"Reference sparse/math.py {refname} -> {fn.__name__} "
+                   "(densifying comparison graph).",
+    })
+    return cls
+
+
+EqualSS = _cmp_ctor(eq, "EqualSS")
+EqualSD = _cmp_ctor(eq, "EqualSD")
+NotEqualSS = _cmp_ctor(neq, "NotEqualSS")
+NotEqualSD = _cmp_ctor(neq, "NotEqualSD")
+LessThanSS = _cmp_ctor(lt, "LessThanSS")
+LessThanSD = _cmp_ctor(lt, "LessThanSD")
+LessEqualSS = _cmp_ctor(le, "LessEqualSS")
+LessEqualSD = _cmp_ctor(le, "LessEqualSD")
+GreaterThanSS = _cmp_ctor(gt, "GreaterThanSS")
+GreaterThanSD = _cmp_ctor(gt, "GreaterThanSD")
+GreaterEqualSS = _cmp_ctor(ge, "GreaterEqualSS")
+GreaterEqualSD = _cmp_ctor(ge, "GreaterEqualSD")
+
+
+class StructuredDotGradCSC(_SparseCompositionalCtor):
+    """Reference sparse/math.py StructuredDotGradCSC:1471."""
+
+    _builder = staticmethod(sdg_csc)
+
+
+class StructuredDotGradCSR(_SparseCompositionalCtor):
+    """Reference sparse/math.py StructuredDotGradCSR."""
+
+    _builder = staticmethod(sdg_csr)
+
+
+# names the reference re-exports into its sparse namespace
+from pytensor_tpu.sparse.basic import HStack as Stack  # noqa: E402,F401
+from pytensor_tpu.tensor.basic import Split  # noqa: E402,F401

@@ -1143,3 +1143,26 @@ class _Grid:
 
 mgrid = _Grid(sparse=False)
 ogrid = _Grid(sparse=True)
+
+
+# --- reference tensor.basic namespace parity -------------------------------
+# These names live in sibling modules in this build but in tensor/basic.py
+# in the reference (reference tensor/basic.py __all__); resolved lazily
+# from the parent package to stay cycle-free during package init.
+_PARENT_REEXPORTS = frozenset({
+    "choose", "extract_diag", "flatten", "get_vector_length", "identity",
+    "inverse_permutation", "is_flat", "permute_row_elements", "roll",
+    "scalar_from_tensor", "second", "stacklists", "switch",
+    "take_along_axis", "tensor_copy", "tensor_from_scalar", "transfer",
+    "tril_indices", "tril_indices_from", "triu_indices",
+    "triu_indices_from",
+})
+
+
+def __getattr__(name):
+    if name in _PARENT_REEXPORTS:
+        import pytensor_tpu.tensor as _t
+
+        return getattr(_t, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")

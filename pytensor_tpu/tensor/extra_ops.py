@@ -441,3 +441,16 @@ def linspace(start, end, steps, endpoint=True):
 
 def logspace(start, end, steps, base=10.0, endpoint=True):
     return base ** linspace(start, end, steps, endpoint=endpoint)
+
+
+# --- reference tensor.extra_ops namespace parity ---------------------------
+_PARENT_REEXPORTS = frozenset({"broadcast_shape", "concat_with_broadcast"})
+
+
+def __getattr__(name):
+    if name in _PARENT_REEXPORTS:
+        import pytensor_tpu.tensor as _t
+
+        return getattr(_t, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")

@@ -335,13 +335,34 @@ def inv(x):
 matrix_inverse = inv
 
 
-def pinv(x, hermitian=False):
-    """Moore-Penrose pseudoinverse via lstsq normal equations graph."""
+def pinv(x, hermitian=False, rcond=None):
+    """Moore-Penrose pseudoinverse (np.linalg.pinv semantics, incl.
+    rank-deficient inputs): SVD-based with numpy's singular-value
+    cutoff; hermitian=True uses the cheaper eigendecomposition.
+    Reference MatrixPinv (nlinalg.py) wraps np.linalg.pinv; this is the
+    same algorithm composed in-graph (differentiable end to end)."""
+    from pytensor_tpu.tensor.math import maximum
+    from pytensor_tpu.tensor.shape import shape
+
     x = as_tensor_variable(x)
+    if rcond is None:
+        eps = np.finfo(np.dtype(upcast_float(x.type.dtype))).eps
+        m = shape(x)[-2]
+        n = shape(x)[-1]
+        rcond_v = cast(maximum(m, n), upcast_float(x.type.dtype)) * eps
+    else:
+        rcond_v = as_tensor_variable(rcond)
     if hermitian:
-        return inv(x)
-    xt = _mT(x)
-    return matmul(inv(matmul(xt, x)), xt)
+        w, v = eigh(x)
+        cutoff = rcond_v * tm.max(tm.abs(w))
+        keep = tm.abs(w) > cutoff
+        w_inv = tm.switch(keep, 1.0 / w, zeros_like(w))
+        return matmul(v * w_inv[..., None, :], _mT(v))
+    u, s, vt = svd(x, full_matrices=False)
+    cutoff = rcond_v * tm.max(s)
+    keep = s > cutoff
+    s_inv = tm.switch(keep, 1.0 / s, zeros_like(s))
+    return matmul(_mT(vt) * s_inv[..., None, :], _mT(u))
 
 
 class Det(MatrixOp):
@@ -456,7 +477,7 @@ class Eigh(MatrixOp):
 
 
 def eigh(x, UPLO="L"):
-    return Eigh(UPLO)(x)
+    return _core2(Eigh(UPLO), x)
 
 
 class Eig(MatrixOp):
@@ -637,7 +658,7 @@ class SVD(MatrixOp):
 
 
 def svd(x, full_matrices=True, compute_uv=True):
-    return SVD(full_matrices, compute_uv)(x)
+    return _core2(SVD(full_matrices, compute_uv), x)
 
 
 class Lu(MatrixOp):
@@ -1612,3 +1633,90 @@ def _register_xla_longtail2():
 
 
 _register_xla_longtail2()
+
+
+# --- reference class-name surface ------------------------------------------
+# Real-op aliases (the reference uses these class names; ours differ):
+LU = Lu                                  # slinalg.LU
+PivotToPermutations = PivotToPermutation  # slinalg.PivotToPermutations
+Eigvalsh = GeneralizedEigvalsh           # slinalg.Eigvalsh (pencil eigvals)
+
+
+class _CompositionalCtor:
+    """Reference-constructor compat for capabilities this build lowers
+    compositionally instead of as dedicated Ops (PARITY.md §2.5: the
+    compositional graphs expose their structure to the generic rewrite
+    packs, which the monolithic reference Ops cannot).  Instantiating
+    and calling one of these builds exactly the graph of the matching
+    function API."""
+
+    _fn = None
+
+    def __init__(self, **kwargs):
+        self._kwargs = kwargs
+
+    def __call__(self, *args):
+        return type(self)._builder(*args, **self._kwargs)
+
+
+class KroneckerProduct(_CompositionalCtor):
+    """Reference slinalg.KroneckerProduct; builds kron(a, b)."""
+
+    _builder = staticmethod(kron)
+
+
+class BaseBlockDiagonal(_CompositionalCtor):
+    """Reference slinalg.BaseBlockDiagonal."""
+
+    def __init__(self, n_inputs=None, **kwargs):
+        super().__init__(**kwargs)
+        self.n_inputs = n_inputs
+
+
+class BlockDiagonal(BaseBlockDiagonal):
+    """Reference slinalg.BlockDiagonal; builds block_diag(*mats)."""
+
+    _builder = staticmethod(block_diag)
+
+    def __call__(self, *mats):
+        if self.n_inputs is not None and len(mats) != self.n_inputs:
+            raise ValueError(
+                f"BlockDiagonal expected {self.n_inputs} inputs, "
+                f"got {len(mats)}")
+        return block_diag(*mats)
+
+
+class MatrixPinv(_CompositionalCtor):
+    """Reference nlinalg.MatrixPinv; builds the SVD/eigh pinv graph."""
+
+    def __init__(self, hermitian=False):
+        super().__init__(hermitian=hermitian)
+        self.hermitian = hermitian
+
+    _builder = staticmethod(pinv)
+
+
+class Lstsq(_CompositionalCtor):
+    """Reference nlinalg.Lstsq; builds the SVD lstsq graph (4 outputs)."""
+
+    _builder = staticmethod(lstsq)
+
+
+class TensorInv(_CompositionalCtor):
+    """Reference nlinalg.TensorInv; builds the reshape+inv graph."""
+
+    def __init__(self, ind=2):
+        super().__init__(ind=ind)
+        self.ind = ind
+
+    _builder = staticmethod(tensorinv)
+
+
+class TensorSolve(_CompositionalCtor):
+    """Reference nlinalg.TensorSolve; builds the reshape+solve graph."""
+
+    def __init__(self, axes=None):
+        super().__init__(axes=axes)
+        self.axes = axes
+
+    _builder = staticmethod(tensorsolve)

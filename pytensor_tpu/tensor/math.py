@@ -707,3 +707,19 @@ gammaincc_ddk = scalar_elemwise(psm.gammaincc_ddk)
 hyp2f1_dda = scalar_elemwise(psm.hyp2f1_dda)
 hyp2f1_ddb = scalar_elemwise(psm.hyp2f1_ddb)
 hyp2f1_ddc = scalar_elemwise(psm.hyp2f1_ddc)
+
+
+# --- reference tensor.math namespace parity --------------------------------
+_PARENT_REEXPORTS = frozenset({
+    "ceil_intdiv", "complex_from_polar", "conjugate", "isfinite",
+    "isneginf", "isposinf", "median", "nan_to_num", "sgn",
+})
+
+
+def __getattr__(name):
+    if name in _PARENT_REEXPORTS:
+        import pytensor_tpu.tensor as _t
+
+        return getattr(_t, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")
