@@ -43,8 +43,20 @@ FACTS = (
     "positive",
     "non_negative",
     "orthogonal",
+    "permutation",
     "zero",
 )
+
+# fact -> facts that imply it (a DAG; checked when direct inference is
+# UNKNOWN).  Reference per-op modules encode these transitively inside
+# each rule; a single implication table keeps ours in one place.
+_IMPLIED_BY = {
+    "orthogonal": ("permutation",),
+    "symmetric": ("diagonal",),
+    "lower_triangular": ("diagonal",),
+    "upper_triangular": ("diagonal",),
+    "non_negative": ("positive", "permutation"),
+}
 
 _rules: dict = {}
 
@@ -70,6 +82,16 @@ def assume(var: Variable, *facts: str) -> Variable:
 
 def holds(var: Variable, fact: str, depth: int = 16) -> FactState:
     """Infer whether ``fact`` holds for ``var`` (TRUE / FALSE / UNKNOWN)."""
+    res = _holds_direct(var, fact, depth)
+    if res != FactState.UNKNOWN:
+        return res
+    for implicant in _IMPLIED_BY.get(fact, ()):
+        if _holds_direct(var, implicant, depth) == FactState.TRUE:
+            return FactState.TRUE
+    return FactState.UNKNOWN
+
+
+def _holds_direct(var: Variable, fact: str, depth: int = 16) -> FactState:
     if fact in getattr(var.tag, "assumptions", ()):
         return FactState.TRUE
     if depth <= 0 or var.owner is None:
@@ -125,6 +147,11 @@ def _constant_fact(var, fact):
         if fact == "diagonal":
             return FactState.TRUE if np.allclose(data, np.diag(np.diag(data))) \
                 else FactState.FALSE
+        if fact == "permutation":
+            ok = (np.isin(data, (0, 1)).all()
+                  and (data.sum(axis=0) == 1).all()
+                  and (data.sum(axis=1) == 1).all())
+            return FactState.TRUE if ok else FactState.FALSE
     if fact == "positive":
         if data.size and (data > 0).all():
             return FactState.TRUE

@@ -16,7 +16,8 @@ def dimshuffle_rule(node, fact, holds_fn):
         if fact == "upper_triangular":
             return holds_fn(x, "lower_triangular")
         if fact in ("symmetric", "diagonal", "positive_definite",
-                    "orthogonal", "non_negative", "positive", "zero"):
+                    "orthogonal", "permutation", "non_negative",
+                    "positive", "zero"):
             return holds_fn(x, fact)
     if not op.drop and not op.shuffle:
         # pure expand_dims of a scalar: value facts pass through

@@ -17,9 +17,9 @@ def dot_rule(node, fact, holds_fn):
         if holds_fn(x, fact) == FactState.TRUE and \
                 holds_fn(y, fact) == FactState.TRUE:
             return FactState.TRUE
-    if fact == "orthogonal":
-        if holds_fn(x, "orthogonal") == FactState.TRUE and \
-                holds_fn(y, "orthogonal") == FactState.TRUE:
+    if fact in ("orthogonal", "permutation"):
+        if holds_fn(x, fact) == FactState.TRUE and \
+                holds_fn(y, fact) == FactState.TRUE:
             return FactState.TRUE
     if fact in ("symmetric", "positive_definite"):
         base = gram_factor(node)

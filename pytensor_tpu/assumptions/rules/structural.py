@@ -25,6 +25,15 @@ def eye_rule(node, fact, holds_fn):
                 "upper_triangular", "non_negative", "positive_definite",
                 "orthogonal"):
         return FactState.TRUE
+    if fact == "permutation":
+        # eye(n, m, k) is a permutation matrix only for the square
+        # main-diagonal form; k is inputs[2] when constructed by eye().
+        k = node.inputs[2] if len(node.inputs) > 2 else None
+        n, m = node.outputs[0].type.shape
+        if n is not None and m is not None and n == m and \
+                isinstance(k, Constant) and int(k.data) == 0:
+            return FactState.TRUE
+        return FactState.UNKNOWN
     return FactState.UNKNOWN
 
 
@@ -41,11 +50,13 @@ def alloc_rule(node, fact, holds_fn):
 
 
 def perm_rows_rule(node, fact, holds_fn):
-    """eye(n)[perm] is a permutation matrix: orthogonal (reference
+    """P[perm] for a permutation matrix P (e.g. eye(n)[perm]) is again a
+    permutation matrix: permutation + orthogonal (reference
     assumptions/permutation.py)."""
     x, idx = node.inputs
-    if fact == "orthogonal":
-        if holds_fn(x, "orthogonal") != FactState.TRUE:
+    if fact in ("orthogonal", "permutation"):
+        base = "permutation" if fact == "permutation" else "orthogonal"
+        if holds_fn(x, base) != FactState.TRUE:
             return FactState.UNKNOWN
         if not isinstance(idx, Constant):
             return FactState.UNKNOWN

@@ -626,3 +626,290 @@ def local_log_prod_to_sum_log(fgraph, node):
 
 register_stabilize(local_log_prod_to_sum_log,
                    name="local_log_prod_to_sum_log")
+
+
+# ---------------------------------------------------------------------------
+# diagonal-operand closed forms (reference tensor/rewriting/linalg/
+# decomposition.py:136-479 svd/eigh/eigvalsh/lu/lu_factor/qr/schur/qz
+# _of_diag, products.py:194 expm_of_diag, products.py:343
+# det_of_permutation, solvers.py orthogonal rules).  Each replaces an
+# O(n^3) factorization — on this backend usually a host LAPACK callback
+# that leaves the chip — with O(n)/O(n log n) on-device work when the
+# operand is known diagonal / permutation / orthogonal.
+# ---------------------------------------------------------------------------
+
+def _holds_in(fgraph, v, fact):
+    from pytensor_tpu.assumptions import FactState, holds_in
+
+    return holds_in(fgraph, v, fact) == FactState.TRUE
+
+
+def _match_out(res, out):
+    """Cast ``res`` to ``out``'s dtype; None when the type cannot match."""
+    from pytensor_tpu.tensor.basic import cast as t_cast
+
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return None
+    copy_stack_trace(out, res)
+    return res
+
+
+def _replace_all(node, results):
+    matched = [_match_out(r, o) for r, o in zip(results, node.outputs)]
+    if any(m is None for m in matched):
+        return False
+    return matched
+
+
+def _static_n(A):
+    """Symbolic-or-static trailing dim of a square matrix variable."""
+    n = A.type.shape[0]
+    if n is None:
+        n = A.type.shape[1]
+    if n is not None:
+        return n
+    return A.shape[0]
+
+
+@node_rewriter(None)
+def local_eigh_of_diagonal(fgraph, node):
+    """eigh(D) for diagonal D -> (sort(diag(D)), I[:, argsort])."""
+    from pytensor_tpu.tensor.basic import diagonal, eye
+    from pytensor_tpu.tensor.linalg import Eigh
+    from pytensor_tpu.tensor.sort import argsort
+
+    if not isinstance(node.op, Eigh):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    d = diagonal(A)
+    idx = argsort(d)
+    w = d[idx]
+    out_dt = node.outputs[1].type.dtype
+    v = _mT_var(eye(_static_n(A), dtype=out_dt)[idx])
+    return _replace_all(node, [w, v])
+
+
+register_specialize(local_eigh_of_diagonal, name="local_eigh_of_diagonal")
+
+
+@node_rewriter(None)
+def local_generalized_eigvalsh_of_diagonal(fgraph, node):
+    """eigvalsh(A, B) with both diagonal -> sort(diag(A) / diag(B))."""
+    from pytensor_tpu.tensor.basic import diagonal
+    from pytensor_tpu.tensor.linalg import GeneralizedEigvalsh
+    from pytensor_tpu.tensor.sort import sort as t_sort
+
+    if not isinstance(node.op, GeneralizedEigvalsh):
+        return False
+    A, B = node.inputs
+    if not (_holds_in(fgraph, A, "diagonal")
+            and _holds_in(fgraph, B, "diagonal")):
+        return False
+    w = t_sort(diagonal(A) / diagonal(B))
+    return _replace_all(node, [w])
+
+
+register_specialize(local_generalized_eigvalsh_of_diagonal,
+                    name="local_generalized_eigvalsh_of_diagonal")
+
+
+@node_rewriter(None)
+def local_svd_of_diagonal(fgraph, node):
+    """svd(D) for diagonal D: s = |d| sorted descending; U = I[:, idx];
+    Vh rows are sign(d[idx]) * I[idx]."""
+    from pytensor_tpu.tensor.basic import diagonal, eye
+    from pytensor_tpu.tensor.linalg import SVD
+    from pytensor_tpu.tensor.math import abs as t_abs, sign
+    from pytensor_tpu.tensor.sort import argsort
+
+    if not isinstance(node.op, SVD):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    d = diagonal(A)
+    ad = t_abs(d)
+    idx = argsort(-ad)
+    s = ad[idx]
+    if not node.op.compute_uv:
+        return _replace_all(node, [s])
+    out_dt = node.outputs[0].type.dtype
+    I = eye(_static_n(A), dtype=out_dt)
+    U = _mT_var(I[idx])
+    Vh = sign(d[idx])[:, None] * I[idx]
+    return _replace_all(node, [U, s, Vh])
+
+
+register_specialize(local_svd_of_diagonal, name="local_svd_of_diagonal")
+
+
+@node_rewriter(None)
+def local_lu_of_diagonal(fgraph, node):
+    """lu(D) for diagonal D -> (I, I, D) (or (I, D) with permute_l)."""
+    from pytensor_tpu.tensor.basic import eye
+    from pytensor_tpu.tensor.linalg import Lu
+
+    if not isinstance(node.op, Lu) or getattr(node.op, "p_indices", False):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    out_dt = node.outputs[-1].type.dtype
+    I = eye(_static_n(A), dtype=out_dt)
+    if node.op.permute_l:
+        return _replace_all(node, [I, A])
+    return _replace_all(node, [I, I, A])
+
+
+register_specialize(local_lu_of_diagonal, name="local_lu_of_diagonal")
+
+
+@node_rewriter(None)
+def local_lu_factor_of_diagonal(fgraph, node):
+    """lu_factor(D) for diagonal D -> (D, arange(n)): getrf never pivots
+    on a diagonal operand (column k's only nonzero is row k)."""
+    from pytensor_tpu.tensor.basic import arange
+    from pytensor_tpu.tensor.linalg import LUFactor
+
+    if not isinstance(node.op, LUFactor):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    piv = arange(_static_n(A), dtype="int32")
+    return _replace_all(node, [A, piv])
+
+
+register_specialize(local_lu_factor_of_diagonal,
+                    name="local_lu_factor_of_diagonal")
+
+
+@node_rewriter(None)
+def local_qr_of_diagonal(fgraph, node):
+    """qr(D) for diagonal D -> Q = diag(sign(d)), R = diag(|d|)."""
+    from pytensor_tpu.tensor.basic import alloc_diag, diagonal
+    from pytensor_tpu.tensor.linalg import QR
+    from pytensor_tpu.tensor.math import abs as t_abs, sign
+
+    if not isinstance(node.op, QR):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    d = diagonal(A)
+    R = alloc_diag(t_abs(d))
+    if node.op.mode == "r":
+        return _replace_all(node, [R])
+    if node.op.mode not in ("reduced", "complete"):
+        return False
+    Q = alloc_diag(sign(d))
+    return _replace_all(node, [Q, R])
+
+
+register_specialize(local_qr_of_diagonal, name="local_qr_of_diagonal")
+
+
+@node_rewriter(None)
+def local_schur_of_diagonal(fgraph, node):
+    """schur(D) for diagonal D -> (D, I): already quasi-triangular."""
+    from pytensor_tpu.tensor.basic import eye
+    from pytensor_tpu.tensor.linalg import Schur
+
+    if not isinstance(node.op, Schur) or node.op.output != "real":
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    out_dt = node.outputs[0].type.dtype
+    return _replace_all(node, [A, eye(_static_n(A), dtype=out_dt)])
+
+
+register_specialize(local_schur_of_diagonal, name="local_schur_of_diagonal")
+
+
+@node_rewriter(None)
+def local_qz_of_diagonal(fgraph, node):
+    """qz(A, B) with both diagonal -> (A, B, I, I)."""
+    from pytensor_tpu.tensor.basic import eye
+    from pytensor_tpu.tensor.linalg import QZ
+
+    if type(node.op) is not QZ or node.op.output != "real":
+        return False
+    A, B = node.inputs
+    if not (_holds_in(fgraph, A, "diagonal")
+            and _holds_in(fgraph, B, "diagonal")):
+        return False
+    out_dt = node.outputs[0].type.dtype
+    I = eye(_static_n(A), dtype=out_dt)
+    return _replace_all(node, [A, B, I, I])
+
+
+register_specialize(local_qz_of_diagonal, name="local_qz_of_diagonal")
+
+
+@node_rewriter(None)
+def local_expm_of_diagonal(fgraph, node):
+    """expm(D) for diagonal D -> diag(exp(diag(D)))."""
+    from pytensor_tpu.tensor.basic import alloc_diag, diagonal
+    from pytensor_tpu.tensor.linalg import Expm
+    from pytensor_tpu.tensor.math import exp as t_exp
+
+    if not isinstance(node.op, Expm):
+        return False
+    (A,) = node.inputs
+    if not _holds_in(fgraph, A, "diagonal"):
+        return False
+    return _replace_all(node, [alloc_diag(t_exp(diagonal(A)))])
+
+
+register_specialize(local_expm_of_diagonal, name="local_expm_of_diagonal")
+
+
+@node_rewriter([Det])
+def local_det_of_permutation(fgraph, node):
+    """det(P) for a permutation matrix P -> the permutation's sign,
+    recovered from the column index vector argmax(P, axis=0): (-1)^k
+    with k the number of inversions (reference products.py
+    det_of_permutation)."""
+    from pytensor_tpu.tensor.basic import triu
+    from pytensor_tpu.tensor.math import argmax, sum as t_sum
+
+    (A,) = node.inputs
+    if A.type.ndim != 2 or not _holds_in(fgraph, A, "permutation"):
+        return False
+    idx = argmax(A, axis=0)
+    inversions = t_sum(
+        triu((idx[:, None] > idx[None, :]).astype("int64"), 1))
+    sign = 1 - 2 * (inversions % 2)
+    return _replace_all(node, [sign])
+
+
+register_specialize(local_det_of_permutation,
+                    name="local_det_of_permutation")
+
+
+@node_rewriter([Dot])
+def local_orthogonal_gram_to_eye(fgraph, node):
+    """Q @ Q^T (or Q^T @ Q) for orthogonal square Q -> I (reference
+    products.py orthogonal_dot_transpose_to_eye)."""
+    from pytensor_tpu.assumptions import gram_factor
+    from pytensor_tpu.tensor.basic import eye
+
+    base = gram_factor(node)
+    if base is None or base.type.ndim != 2:
+        return False
+    if base.type.shape[0] != base.type.shape[1] and None not in (
+            base.type.shape[0], base.type.shape[1]):
+        return False
+    if not _holds_in(fgraph, base, "orthogonal"):
+        return False
+    out = node.outputs[0]
+    return _replace_all(node, [eye(_static_n(base), dtype=out.type.dtype)])
+
+
+register_specialize(local_orthogonal_gram_to_eye,
+                    name="local_orthogonal_gram_to_eye")

@@ -139,3 +139,182 @@ class TestSummaryRules:
         # the naive prod overflows; sum-of-logs does not
         np.testing.assert_allclose(float(np.asarray(f(v))),
                                    np.sum(np.log(v)), rtol=1e-12)
+
+class TestDiagonalClosedForms:
+    """Round-3 batch 2: diag-operand closed forms (reference
+    decomposition.py svd/eigh/eigvalsh/lu/lu_factor/qr/schur/qz _of_diag,
+    products.py expm_of_diag / det_of_permutation)."""
+
+    def _dmat(self, name="A"):
+        A = pt.dmatrix(name)
+        assume(A, "diagonal")
+        return A
+
+    def test_eigh_of_diag(self):
+        A = self._dmat()
+        w, v = ptl.eigh(A)
+        f = ptt.function([A], [w, v])
+        assert "Eigh" not in _ops(f)
+        D = np.diag(np.array([3.0, -1.0, 2.0]))
+        wv, vv = (np.asarray(r) for r in f(D))
+        np.testing.assert_allclose(wv, np.array([-1.0, 2.0, 3.0]))
+        # columns are an orthonormal eigenbasis: D v_k = w_k v_k
+        np.testing.assert_allclose(vv.T @ vv, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(D @ vv, vv @ np.diag(wv), atol=1e-12)
+
+    def test_generalized_eigvalsh_of_diag(self):
+        A = self._dmat("A")
+        B = self._dmat("B")
+        f = ptt.function([A, B], ptl.eigvalsh(A, B))
+        assert "GeneralizedEigvalsh" not in _ops(f)
+        Av = np.diag(np.array([6.0, -2.0, 3.0]))
+        Bv = np.diag(np.array([2.0, 1.0, 3.0]))
+        import scipy.linalg as sla
+        np.testing.assert_allclose(
+            np.asarray(f(Av, Bv)),
+            sla.eigh(Av, Bv, eigvals_only=True), atol=1e-12)
+
+    @pytest.mark.parametrize("compute_uv", [False, True])
+    def test_svd_of_diag(self, compute_uv):
+        A = self._dmat()
+        outs = ptl.svd(A, compute_uv=compute_uv)
+        f = ptt.function([A], outs if compute_uv else [outs])
+        assert "SVD" not in _ops(f)
+        D = np.diag(np.array([-3.0, 1.0, 2.0]))
+        if compute_uv:
+            U, s, Vh = (np.asarray(r) for r in f(D))
+            np.testing.assert_allclose(s, np.array([3.0, 2.0, 1.0]))
+            np.testing.assert_allclose(U @ np.diag(s) @ Vh, D, atol=1e-12)
+            np.testing.assert_allclose(U.T @ U, np.eye(3), atol=1e-12)
+            np.testing.assert_allclose(Vh @ Vh.T, np.eye(3), atol=1e-12)
+        else:
+            np.testing.assert_allclose(np.asarray(f(D)[0]),
+                                       np.array([3.0, 2.0, 1.0]))
+
+    @pytest.mark.parametrize("permute_l", [False, True])
+    def test_lu_of_diag(self, permute_l):
+        A = self._dmat()
+        outs = ptl.lu(A, permute_l=permute_l)
+        f = ptt.function([A], list(outs))
+        assert "Lu" not in _ops(f)
+        D = np.diag(np.array([2.0, 5.0, -1.0]))
+        res = [np.asarray(r) for r in f(D)]
+        if permute_l:
+            PL, U = res
+            np.testing.assert_allclose(PL @ U, D, atol=1e-12)
+            np.testing.assert_allclose(PL, np.eye(3))
+        else:
+            P, L, U = res
+            np.testing.assert_allclose(P @ L @ U, D, atol=1e-12)
+            np.testing.assert_allclose(L, np.eye(3))
+
+    def test_lu_factor_of_diag(self):
+        A = self._dmat()
+        lu_, piv = ptl.lu_factor(A)
+        f = ptt.function([A], [lu_, piv])
+        assert "LUFactor" not in _ops(f)
+        D = np.diag(np.array([2.0, 5.0, -1.0]))
+        import scipy.linalg as sla
+        ref_lu, ref_piv = sla.lu_factor(D)
+        got_lu, got_piv = (np.asarray(r) for r in f(D))
+        np.testing.assert_allclose(got_lu, ref_lu, atol=1e-12)
+        np.testing.assert_array_equal(got_piv, ref_piv)
+
+    @pytest.mark.parametrize("mode", ["reduced", "r", "complete"])
+    def test_qr_of_diag(self, mode):
+        A = self._dmat()
+        outs = ptl.qr(A, mode=mode)
+        f = ptt.function([A], list(outs) if mode != "r" else [outs])
+        assert "QR" not in _ops(f)
+        D = np.diag(np.array([-4.0, 9.0, 1.0]))
+        res = [np.asarray(r) for r in f(D)]
+        if mode == "r":
+            (R,) = res
+            np.testing.assert_allclose(np.abs(np.diag(R)),
+                                       np.abs(np.diag(D)), atol=1e-12)
+            np.testing.assert_allclose(R, np.triu(R))
+        else:
+            Q, R = res
+            np.testing.assert_allclose(Q @ R, D, atol=1e-12)
+            np.testing.assert_allclose(Q.T @ Q, np.eye(3), atol=1e-12)
+            np.testing.assert_allclose(R, np.triu(R))
+
+    def test_schur_of_diag(self):
+        A = self._dmat()
+        T, Z = ptl.schur(A)
+        f = ptt.function([A], [T, Z])
+        assert "Schur" not in _ops(f)
+        D = np.diag(np.array([1.0, -2.0, 3.0]))
+        Tv, Zv = (np.asarray(r) for r in f(D))
+        np.testing.assert_allclose(Zv @ Tv @ Zv.T, D, atol=1e-12)
+
+    def test_qz_of_diag(self):
+        A = self._dmat("A")
+        B = self._dmat("B")
+        AA, BB, Q, Z = ptl.qz(A, B)
+        f = ptt.function([A, B], [AA, BB, Q, Z])
+        assert "QZ" not in _ops(f)
+        Av = np.diag(np.array([1.0, -2.0, 3.0]))
+        Bv = np.diag(np.array([2.0, 1.0, 5.0]))
+        AAv, BBv, Qv, Zv = (np.asarray(r) for r in f(Av, Bv))
+        np.testing.assert_allclose(Qv @ AAv @ Zv.T, Av, atol=1e-12)
+        np.testing.assert_allclose(Qv @ BBv @ Zv.T, Bv, atol=1e-12)
+
+    def test_expm_of_diag(self):
+        A = self._dmat()
+        f = ptt.function([A], ptl.expm(A))
+        assert "Expm" not in _ops(f)
+        D = np.diag(np.array([0.0, 1.0, -2.0]))
+        import scipy.linalg as sla
+        np.testing.assert_allclose(np.asarray(f(D)), sla.expm(D),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_det_of_permutation_constant(self):
+        # odd permutation as a graph constant: sign inferred, no Det
+        P = np.eye(4)[[1, 0, 2, 3]]
+        x = pt.dscalar("x")
+        f = ptt.function([x], x * ptl.det(pt.as_tensor_variable(P)))
+        assert "Det" not in _ops(f)
+        assert float(np.asarray(f(1.0))) == -1.0
+
+    def test_det_of_permutation_assumed(self):
+        P = pt.dmatrix("P")
+        assume(P, "permutation")
+        f = ptt.function([P], ptl.det(P))
+        assert "Det" not in _ops(f)
+        rng = np.random.default_rng(3)
+        for _ in range(4):
+            perm = rng.permutation(5)
+            Pv = np.eye(5)[perm]
+            np.testing.assert_allclose(float(np.asarray(f(Pv))),
+                                       np.linalg.det(Pv), atol=1e-12)
+
+    def test_permutation_inferred_from_eye_rows(self):
+        # eye(n)[const_perm] is recognized structurally -> det folds
+        idx = pt.as_tensor_variable(np.array([2, 0, 1]))
+        P = pt.eye(3)[idx]
+        x = pt.dscalar("x")
+        f = ptt.function([x], x * ptl.det(P))
+        assert "Det" not in _ops(f)
+        np.testing.assert_allclose(float(np.asarray(f(1.0))),
+                                   np.linalg.det(np.eye(3)[[2, 0, 1]]))
+
+    def test_orthogonal_gram_to_eye(self):
+        Q = pt.dmatrix("Q")
+        assume(Q, "orthogonal")
+        f = ptt.function([Q], pt.dot(Q, pt.matrix_transpose(Q)))
+        assert "Dot" not in _ops(f) and "Dot22" not in _ops(f)
+        rng = np.random.default_rng(4)
+        Qv, _ = np.linalg.qr(rng.standard_normal((4, 4)))
+        np.testing.assert_allclose(np.asarray(f(Qv)), np.eye(4), atol=1e-12)
+
+    def test_permutation_implies_orthogonal(self):
+        from pytensor_tpu.assumptions import FactState, holds
+        P = pt.dmatrix("P")
+        assume(P, "permutation")
+        assert holds(P, "orthogonal") == FactState.TRUE
+        # inv(P) -> P^T via the orthogonal rule
+        f = ptt.function([P], ptl.inv(P))
+        assert "MatrixInverse" not in _ops(f)
+        Pv = np.eye(4)[[3, 1, 0, 2]]
+        np.testing.assert_allclose(np.asarray(f(Pv)), np.linalg.inv(Pv))
