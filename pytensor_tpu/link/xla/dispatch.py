@@ -526,6 +526,17 @@ def register_all():
     @xla_funcify.register(AdvancedSubtensor)
     def _adv_sub(op, node=None, **kw):
         idx_list = op.idx_list
+        if node is not None and any(
+                i.type.dtype == "bool" for i in node.inputs[1:]):
+            raise NotImplementedError(
+                "x[mask] with a data-dependent boolean mask has a dynamic "
+                "output shape, which a TPU executable cannot express. "
+                "Reductions of x[mask] and set/inc_subtensor(x[mask], "
+                "scalar) are rewritten to where() automatically "
+                "(specialize pass); for other patterns use where/switch "
+                "masking, a graph-time-constant mask, or the oracle "
+                "(FAST_COMPILE) backend."
+            )
 
         def adv_sub(x, *ind):
             return x[_adv_index(idx_list, ind)]

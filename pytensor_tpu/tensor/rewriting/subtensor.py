@@ -782,3 +782,130 @@ register_canonicalize(local_extract_diag_of_eye,
                       name="local_extract_diag_of_eye")
 register_specialize(local_extract_diag_of_eye,
                     name="local_extract_diag_of_eye")
+
+
+# ---------------------------------------------------------------------------
+# data-dependent boolean masks -> where() (reference tensor/rewriting/
+# jax.py:12 boolean_indexing_set_or_inc, :56 boolean_indexing_sum).
+# x[mask] has a dynamic (nnz) shape a TPU executable cannot express;
+# these rewrites convert the two size-preserving consumption patterns
+# (reduce-over-everything, and set/inc with a broadcast scalar) into
+# switch(), which also makes grad-of-masked-sum compile: the pullback's
+# inc_subtensor(zeros[mask], broadcast(g)) matches the scalar-y form.
+# ---------------------------------------------------------------------------
+
+def _sole_bool_mask(node, n_lead):
+    """The mask variable when node indexes with exactly one boolean
+    mask (inputs = leading data inputs + the mask), else None."""
+    idx_inputs = node.inputs[n_lead:]
+    if len(idx_inputs) != 1 or idx_inputs[0].type.dtype != "bool":
+        return None
+    if tuple(node.op.idx_list) != (DYN,):
+        return None
+    return idx_inputs[0]
+
+
+def _broadcast_scalar_of(y, depth=4):
+    """The 0-d variable that ``y`` broadcasts, or None.  Recognizes the
+    forms the gradient builder emits: DimShuffle-expand, fill/second,
+    Alloc, plus a literal 0-d y."""
+    from pytensor_tpu.tensor.basic import Alloc
+    from pytensor_tpu.tensor.elemwise import DimShuffle, Elemwise
+
+    if y.type.ndim == 0:
+        return y
+    if all(s == 1 for s in y.type.shape):
+        # size-1 broadcast (e.g. the [1.] pullback seed): squeeze to 0-d
+        return DimShuffle(y.type.ndim, [])(y)
+    if depth <= 0 or y.owner is None:
+        return None
+    op = y.owner.op
+    if isinstance(op, DimShuffle) and not op.drop \
+            and y.owner.inputs[0].type.ndim == 0:
+        return y.owner.inputs[0]
+    if isinstance(op, Elemwise) and getattr(op.scalar_op, "name", "") == "second":
+        return _broadcast_scalar_of(y.owner.inputs[1], depth - 1)
+    if isinstance(op, Alloc):
+        return _broadcast_scalar_of(y.owner.inputs[0], depth - 1)
+    return None
+
+
+def _expand_mask(mask, ndim):
+    """DimShuffle a k-d mask up to ndim by appending broadcast axes."""
+    from pytensor_tpu.tensor.elemwise import DimShuffle
+
+    k = mask.type.ndim
+    if k == ndim:
+        return mask
+    return DimShuffle(k, list(range(k)) + ["x"] * (ndim - k))(mask)
+
+
+@node_rewriter([AdvancedIncSubtensor])
+def local_bool_set_or_inc_to_where(fgraph, node):
+    """set/inc_subtensor(x[mask], broadcast-scalar y) ->
+    switch(mask, y | x+y, x): size-preserving, XLA-compilable."""
+    from pytensor_tpu.tensor.basic import cast as t_cast
+    from pytensor_tpu.tensor.math import switch
+
+    mask = _sole_bool_mask(node, 2)
+    if mask is None:
+        return False
+    x, y = node.inputs[:2]
+    scalar = _broadcast_scalar_of(y)
+    if scalar is None:
+        return False
+    m = _expand_mask(mask, x.type.ndim)
+    if node.op.set_instead_of_inc:
+        res = switch(m, scalar, x)
+    else:
+        res = switch(m, x + scalar, x)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = t_cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_bool_set_or_inc_to_where,
+                    name="local_bool_set_or_inc_to_where")
+
+
+@node_rewriter(None)
+def local_reduce_of_bool_mask_to_where(fgraph, node):
+    """sum(x[mask]) / prod(x[mask]) reduced to a scalar ->
+    reduce(switch(mask, x, neutral)) over all of x."""
+    from pytensor_tpu.tensor.elemwise import CAReduce
+    from pytensor_tpu.tensor.math import switch
+    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor
+
+    if not isinstance(node.op, CAReduce):
+        return False
+    if node.outputs[0].type.ndim != 0:
+        return False
+    name = getattr(node.op.scalar_op, "name", "")
+    if name not in ("add", "mul"):
+        return False
+    arg = node.inputs[0]
+    if arg.owner is None or not isinstance(arg.owner.op, AdvancedSubtensor):
+        return False
+    mask = _sole_bool_mask(arg.owner, 1)
+    if mask is None:
+        return False
+    x = arg.owner.inputs[0]
+    m = _expand_mask(mask, x.type.ndim)
+    neutral = np.asarray(0 if name == "add" else 1, dtype=x.type.dtype)
+    filled = switch(m, x, neutral)
+    res = CAReduce(node.op.scalar_op, axis=None, dtype=node.op.dtype,
+                   acc_dtype=node.op.acc_dtype,
+                   upcast_discrete_output=node.op.upcast_discrete_output)(filled)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_reduce_of_bool_mask_to_where,
+                    name="local_reduce_of_bool_mask_to_where")

@@ -396,7 +396,30 @@ class AdvancedSubtensor(Op):
         out_shape = self._static_shape(x, indices)
         return Apply(self, [x, *indices], [TensorType(x.type.dtype, out_shape)()])
 
+    @staticmethod
+    def _bool_mask_shape(x, indices):
+        """Static shape for the sole-boolean-mask form x[mask]:
+        (nnz=None, *x.shape[mask.ndim:]), validating known dims."""
+        if len(indices) != 1 or indices[0].type.dtype != "bool":
+            return None
+        mask = indices[0]
+        k = mask.type.ndim
+        if k < 1 or k > x.type.ndim:
+            raise IndexError(
+                f"boolean mask of rank {k} cannot index a rank-"
+                f"{x.type.ndim} tensor")
+        for d in range(k):
+            md, xd = mask.type.shape[d], x.type.shape[d]
+            if md is not None and xd is not None and md != xd:
+                raise IndexError(
+                    f"boolean index did not match indexed tensor along "
+                    f"axis {d}; dimension is {xd} but mask dimension is {md}")
+        return (None,) + tuple(x.type.shape[k:])
+
     def _static_shape(self, x, indices):
+        bool_shape = self._bool_mask_shape(x, indices)
+        if bool_shape is not None:
+            return bool_shape
         # emulate numpy advanced-indexing shape rules: unknown dims get
         # unique marker sizes so known/1 dims survive in the output type
         try:
@@ -652,13 +675,13 @@ def _resolve_static_bool_masks(x, args):
             return np.asarray(a.data)
         if isinstance(a, Variable) and getattr(a.type, "dtype", "") == "bool" \
                 and getattr(a.type, "ndim", 0) >= 1:
-            raise TypeError(
-                "boolean-mask indexing with a symbolic mask has a "
-                "data-dependent output shape, which TPU executables cannot "
-                "express. Use a graph-time-constant mask, or express the "
-                "computation with where/switch (size-preserving), or "
-                "nonzero() on the host."
-            )
+            # symbolic mask: kept as a graph-level index (dynamic output
+            # shape).  The oracle executes it directly; the XLA path
+            # supports the where-convertible patterns via rewrites
+            # (local_bool_* in tensor/rewriting/subtensor.py, the
+            # reference's tensor/rewriting/jax.py:12,56 recipe) and
+            # rejects the rest at lowering with guidance.
+            return None
         return None
 
     masks = [as_mask(a) for a in args]
@@ -793,10 +816,15 @@ def _getitem(x, args):
         ):
             av = as_tensor_variable(a)
             if av.type.dtype == "bool":
-                raise NotImplementedError(
-                    "boolean mask indexing has data-dependent shape; "
-                    "use pt.where/switch masking instead on TPU"
-                )
+                if len(args) != 1:
+                    raise NotImplementedError(
+                        "a symbolic boolean mask is only supported as the "
+                        "sole index (x[mask]); mix with other indices by "
+                        "composing subtensors, or use a graph-time-constant "
+                        "mask / where-style masking"
+                    )
+                # x[mask]: dynamic (nnz, *x.shape[mask.ndim:]) output —
+                # oracle-executable; XLA-supported via where rewrites
             idx_list.append(DYN)
             tensors.append(av)
             n_adv += 1
@@ -807,7 +835,8 @@ def _getitem(x, args):
     if n_adv == 1 and len(tensors) == 1 and tensors[0].type.ndim == 1 and all(
         (e == DYN or (isinstance(e, tuple) and e == ("slice", None, None, None)))
         for e in idx_list
-    ) and idx_list[0] == DYN and "none" not in idx_list:
+    ) and idx_list[0] == DYN and "none" not in idx_list \
+            and tensors[0].type.dtype != "bool":
         return advanced_subtensor1(x, tensors[0])
     return AdvancedSubtensor(idx_list)(x, *tensors)
 

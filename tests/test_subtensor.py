@@ -151,11 +151,13 @@ class TestStaticBoolMask:
             np.arange(4.0).reshape(2, 2)))
         np.testing.assert_allclose(r, np.arange(4.0).reshape(2, 2)[mask2])
 
-    def test_symbolic_mask_rejected(self):
+    def test_symbolic_mask_builds_dynamic_graph(self):
+        # symbolic masks are graph-legal as of round 3 (dynamic nnz dim);
+        # XLA-lowerability is governed by the where rewrites
+        # (tests/test_bool_mask.py)
         x = pt.dvector("x")
         bm = pt.tensor("bm", dtype="bool", shape=(5,))
-        with pytest.raises(TypeError):
-            x[bm]
+        assert x[bm].type.shape == (None,)
 
 
 def test_bool_list_mask_lowers():
