@@ -223,7 +223,26 @@ def register_all():
         }
         fn = fns[name]
 
+        np_fns = {
+            "add": np.sum, "mul": np.prod, "maximum": np.max,
+            "minimum": np.min, "and_": np.all, "or_": np.any,
+        }
+        np_fn = np_fns[name]
+
         def careduce(x):
+            if not isinstance(x, _jax_types):
+                # host-concrete operand (shape arithmetic, e.g.
+                # prod(shape(x))): stay numpy so downstream reshape/alloc
+                # args remain concrete under jit
+                if name in ("add", "mul"):
+                    r = np_fn(x, axis=axis,
+                              dtype=out_dtype if out_dtype != "bool" else None)
+                else:
+                    r = np_fn(x, axis=axis)
+                r = np.asarray(r)
+                if str(r.dtype) != out_dtype:
+                    r = r.astype(out_dtype)
+                return r
             if name in ("add", "mul"):
                 r = fn(x, axis=axis, dtype=out_dtype if out_dtype != "bool" else None)
             else:
@@ -539,6 +558,10 @@ def register_all():
             )
 
         def adv_sub(x, *ind):
+            if any(isinstance(i, _jax_types) for i in ind):
+                # traced indices + numpy-constant operand: numpy fancy
+                # indexing would try to concretize the tracer
+                x = jnp.asarray(x)
             return x[_adv_index(idx_list, ind)]
 
         return adv_sub
@@ -733,7 +756,11 @@ def register_all():
         def ravel_multi_index(*inp):
             *multi, dims = inp
             d = tuple(int(x) for x in _concrete(dims, "dims"))
-            return jnp.ravel_multi_index(tuple(multi), d, mode=op.mode).astype("int64")
+            # mode='raise' needs concrete indices under jit; XLA-path
+            # semantics clamp out-of-bounds (documented backend divergence,
+            # README) — the oracle keeps numpy's raise behavior
+            mode = "clip" if op.mode == "raise" else op.mode
+            return jnp.ravel_multi_index(tuple(multi), d, mode=mode).astype("int64")
 
         return ravel_multi_index
 

@@ -119,6 +119,47 @@ class Einsum(Op):
         return grads
 
 
+def _expand_ellipsis(subscripts, operands):
+    """Rewrite '...' into explicit right-aligned index letters (numpy
+    ellipsis-broadcast semantics for the common equal/absent-dims case)."""
+    import string
+
+    if "->" in subscripts:
+        ins, out = subscripts.split("->")
+    else:
+        ins, out = subscripts, None
+    in_specs = ins.split(",")
+    used = set(subscripts) - {".", ",", "-", ">"}
+    fresh = [c for c in string.ascii_letters if c not in used]
+    ell_ndims = []
+    for spec, opd in zip(in_specs, operands):
+        if "..." in spec:
+            named = len(spec.replace("...", ""))
+            ell_ndims.append(opd.type.ndim - named)
+        else:
+            ell_ndims.append(0)
+    max_ell = max(ell_ndims)
+    letters = "".join(fresh[:max_ell])
+    new_specs = []
+    for spec, k in zip(in_specs, ell_ndims):
+        if "..." in spec:
+            # right-aligned: an operand with fewer ellipsis dims matches
+            # the trailing batch letters (numpy broadcast alignment)
+            new_specs.append(spec.replace("...", letters[max_ell - k:]))
+        else:
+            new_specs.append(spec)
+    if out is None:
+        counts = {}
+        for c in ",".join(new_specs).replace(",", ""):
+            counts[c] = counts.get(c, 0) + 1
+        named_out = "".join(sorted(c for c, n in counts.items()
+                                   if n == 1 and c not in letters))
+        out = letters + named_out
+    else:
+        out = out.replace("...", letters)
+    return ",".join(new_specs) + "->" + out
+
+
 def einsum(subscripts, *operands, optimize=None):
     from pytensor_tpu.tensor.basic import as_tensor_variable, diagonal
 
@@ -127,6 +168,9 @@ def einsum(subscripts, *operands, optimize=None):
     # only ever sees unique labels per operand (its pullback then covers
     # every case, including 'ii->' trace gradients)
     subscripts = subscripts.replace(" ", "")
+    operands = tuple(as_tensor_variable(o) for o in operands)
+    if "..." in subscripts:
+        subscripts = _expand_ellipsis(subscripts, operands)
     if "->" in subscripts:
         ins, out = subscripts.split("->")
     else:

@@ -385,9 +385,11 @@ def bartlett(M):
     M = as_tensor_variable(M)
     n = arange(0, M, dtype="float64")
     m = cast(M, "float64")
-    left = 2.0 * n / (m - 1)
-    right = 2.0 - 2.0 * n / (m - 1)
-    return tm.switch(tm.le(n, (m - 1) / 2.0), left, right)
+    den = tm.maximum(m - 1.0, 1.0)  # M == 1: numpy returns [1.], not 0/0
+    left = 2.0 * n / den
+    right = 2.0 - 2.0 * n / den
+    win = tm.switch(tm.le(n, (m - 1) / 2.0), left, right)
+    return tm.switch(tm.eq(m, 1.0), win + 1.0, win)
 
 
 def fill_diagonal(a, val):

@@ -180,6 +180,19 @@ def roll(x, shift, axis=None):
         flat = x.flatten()
         return roll(flat, shift, axis=0).reshape(x.shape)
     shift = int(shift)
+    dim = x.type.shape[axis]
+    if dim is not None:
+        # np.roll wraps: a shift beyond the axis length is modular
+        shift = shift % dim if dim > 0 else 0
+    elif shift != 0:
+        from pytensor_tpu.tensor.basic import arange
+        from pytensor_tpu.tensor.shape import shape
+        from pytensor_tpu.tensor.subtensor import take as _take
+
+        # unknown length: modular gather keeps numpy's wrapping semantics
+        n = shape(x)[axis]
+        idx = (arange(0, n) - shift) % n
+        return _take(x, idx, axis=axis)
     if shift == 0:
         return x
     # np.roll: result = concat(x[-shift:], x[:-shift]) along axis — the

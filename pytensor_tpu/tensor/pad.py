@@ -86,6 +86,77 @@ def pad(x, pad_width, mode="constant", constant_values=0, **kwargs):
             if hi:
                 parts.append(out[tuple(idx_hi)])
             out = concatenate(parts, axis=axis)
+        elif mode in ("maximum", "minimum", "mean"):
+            from pytensor_tpu.tensor import math as tm
+            from pytensor_tpu.tensor.basic import cast
+
+            stat_length = kwargs.get("stat_length")
+            if stat_length is None:
+                sl_lo = sl_hi = None
+            else:
+                sls = _norm_pad_width(stat_length, x.type.ndim)
+                sl_lo, sl_hi = sls[axis]
+            fn = {"maximum": tm.max, "minimum": tm.min, "mean": tm.mean}[mode]
+
+            def _stat(region_slice):
+                idx = [slice(None)] * out.type.ndim
+                idx[axis] = region_slice
+                st = fn(out[tuple(idx)], axis=axis, keepdims=True)
+                if st.type.dtype != out.type.dtype:
+                    if out.type.dtype.startswith(("int", "uint")):
+                        st = tm.round(st)  # numpy rounds integer means
+                    st = cast(st, out.type.dtype)
+                return st
+
+            lo_stat = _stat(slice(None) if sl_lo is None else slice(0, sl_lo))
+            hi_stat = _stat(slice(None) if sl_hi is None else slice(-sl_hi, None))
+            parts = []
+            if lo:
+                lo_shape = list(shp)
+                lo_shape[axis] = lo
+                parts.append(alloc(lo_stat, *lo_shape))
+            parts.append(out)
+            if hi:
+                hi_shape = list(shp)
+                hi_shape[axis] = hi
+                parts.append(alloc(hi_stat, *hi_shape))
+            out = concatenate(parts, axis=axis)
+        elif mode == "linear_ramp":
+            from pytensor_tpu.tensor.basic import arange, cast
+            from pytensor_tpu.tensor.elemwise import DimShuffle
+
+            end_values = kwargs.get("end_values", 0)
+            if isinstance(end_values, (int, float, np.integer, np.floating)):
+                end_lo = end_hi = float(end_values)
+            else:
+                evs = _norm_pad_width(end_values, x.type.ndim)
+                end_lo, end_hi = evs[axis]
+
+            def _axis_ramp(n):
+                # fractions along the pad axis, broadcast over the rest
+                r = arange(0, n, dtype="float64") / float(n)
+                pat = ["x"] * out.type.ndim
+                pat[axis] = 0
+                return DimShuffle(1, pat)(r)
+
+            idx_first = [slice(None)] * out.type.ndim
+            idx_first[axis] = slice(0, 1)
+            idx_last = [slice(None)] * out.type.ndim
+            idx_last[axis] = slice(-1, None)
+            parts = []
+            if lo:
+                # outermost element is exactly end_lo; linear to the edge
+                edge = out[tuple(idx_first)]
+                ramp = end_lo + (edge - end_lo) * _axis_ramp(lo)
+                parts.append(cast(ramp, out.type.dtype))
+            parts.append(out)
+            if hi:
+                edge = out[tuple(idx_last)]
+                # innermost->outermost: edge + (end-edge) * (j+1)/hi
+                frac = (_axis_ramp(hi) * hi + 1.0) / float(hi)
+                ramp = edge + (end_hi - edge) * frac
+                parts.append(cast(ramp, out.type.dtype))
+            out = concatenate(parts, axis=axis)
         else:
             raise NotImplementedError(f"pad mode {mode!r}")
     return out

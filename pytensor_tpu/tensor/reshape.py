@@ -12,12 +12,16 @@ from __future__ import annotations
 from pytensor_tpu.tensor.basic import as_tensor_variable
 
 
-def join_dims(x, start: int, n: int = 2):
-    """Merge ``n`` consecutive dims of ``x`` starting at ``start`` into one."""
+def join_dims(x, start_axis: int = 0, n_axes: int | None = None):
+    """Merge ``n_axes`` consecutive dims of ``x`` starting at
+    ``start_axis`` into one; ``n_axes=None`` joins through the last dim
+    (reference tensor/reshape.py:100 signature)."""
     x = as_tensor_variable(x)
     ndim = x.type.ndim
+    start = start_axis
     if start < 0:
         start += ndim
+    n = (ndim - start) if n_axes is None else n_axes
     if not (0 <= start and start + n <= ndim):
         raise ValueError(f"join_dims: dims [{start}, {start + n}) out of range "
                          f"for ndim={ndim}")
