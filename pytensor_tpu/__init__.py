@@ -88,6 +88,10 @@ def __getattr__(name):
         import pytensor_tpu.parallel as parallel
 
         return parallel
+    if name == "breakpoint":
+        import pytensor_tpu.breakpoint as breakpoint
+
+        return breakpoint
     raise AttributeError(f"module pytensor_tpu has no attribute {name}")
 
 

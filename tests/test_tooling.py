@@ -491,3 +491,58 @@ class TestLazyHostVM:
             np.testing.assert_allclose(float(np.asarray(f_or(cv, v))),
                                        float(np.asarray(f_x(cv, v))),
                                        rtol=1e-12)
+
+
+class TestPdbBreakpoint:
+    """Conditional breakpoint op (reference breakpoint.py:9)."""
+
+    def _capture(self, monkeypatch):
+        from pytensor_tpu.breakpoint import PdbBreakpoint
+        calls = []
+
+        def fake_debugger(name, monitored):
+            calls.append((name, [np.asarray(m).copy() for m in monitored]))
+            return monitored
+
+        monkeypatch.setattr(PdbBreakpoint, "debugger",
+                            staticmethod(fake_debugger))
+        return calls
+
+    def test_oracle_fires_on_condition(self, monkeypatch):
+        from pytensor_tpu.breakpoint import PdbBreakpoint
+        calls = self._capture(monkeypatch)
+        x = pt.dvector("x")
+        bp = PdbBreakpoint("mse high")
+        out = bp(pt.gt(pt.sum(x ** 2), 100.0), x)
+        f = ptt.function([x], out * 2.0, mode="FAST_COMPILE")
+        low = np.array([1.0, 2.0])
+        np.testing.assert_allclose(np.asarray(f(low)), low * 2)
+        assert calls == []  # condition false: no breakpoint
+        high = np.array([20.0, 20.0])
+        np.testing.assert_allclose(np.asarray(f(high)), high * 2)
+        assert len(calls) == 1 and calls[0][0] == "mse high"
+        np.testing.assert_array_equal(calls[0][1][0], high)
+
+    def test_xla_identity_and_callback(self, monkeypatch):
+        from pytensor_tpu.breakpoint import PdbBreakpoint
+        calls = self._capture(monkeypatch)
+        x = pt.dvector("x")
+        y = pt.dvector("y")
+        bp = PdbBreakpoint("watch")
+        mon_x, mon_y = bp(pt.gt(pt.sum(x), 10.0), x, y)
+        f = ptt.function([x, y], mon_x + mon_y)
+        a, b = np.array([20.0, 1.0]), np.array([3.0, 4.0])
+        res = np.asarray(f(a, b))
+        np.testing.assert_allclose(res, a + b)
+        import jax
+        jax.effects_barrier()
+        assert len(calls) == 1 and calls[0][0] == "watch"
+
+    def test_gradient_is_identity(self):
+        from pytensor_tpu.breakpoint import PdbBreakpoint
+        x = pt.dvector("x")
+        mon = PdbBreakpoint("g")(pt.constant(np.False_), x)
+        g = ptt.grad(pt.sum(mon ** 2), x)
+        f = ptt.function([x], g)
+        v = np.array([1.0, -2.0])
+        np.testing.assert_allclose(np.asarray(f(v)), 2 * v)
