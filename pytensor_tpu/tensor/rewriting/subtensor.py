@@ -598,16 +598,22 @@ def local_subtensor_of_reduce(fgraph, node):
     axes = red.axis
     if axes is None:
         axes = tuple(range(inner.type.ndim))
-    if not node.op.idx_list or node.op.idx_list[0] == DYN:
+    idx_list = node.op.idx_list
+    if not idx_list:
         return False
-    entry = node.op.idx_list[0]
-    # map output dim 0 back to the first NON-reduced input dim
+    # lift the FIRST NON-TRIVIAL entry (a leading full slice would
+    # reproduce the same pattern and ping-pong the equilibrium pass)
+    k = next((i for i, e in enumerate(idx_list) if not _full_slice(e)), None)
+    if k is None or idx_list[k] == DYN:
+        return False
+    entry = idx_list[k]
+    # map output dim k back to the k-th NON-reduced input dim
     non_reduced = [d for d in range(inner.type.ndim) if d not in axes]
-    if not non_reduced:
+    if k >= len(non_reduced):
         return False
-    d0 = non_reduced[0]
+    dk = non_reduced[k]
     dyn = node.inputs[1:]
-    # count dynamic inputs consumed by entry 0
+    # count dynamic inputs consumed by one entry (full slices take none)
     def _dyn_count(e):
         if e == DYN:
             return 1
@@ -616,26 +622,28 @@ def local_subtensor_of_reduce(fgraph, node):
         return 0
 
     n0 = _dyn_count(entry)
-    inner_idx = [("slice", None, None, None)] * d0 + [entry]
+    inner_idx = [("slice", None, None, None)] * dk + [entry]
     sub_inner = Subtensor(tuple(inner_idx))(inner, *dyn[:n0])
     dropped = isinstance(entry, (int, np.integer))
     if dropped:
-        new_axes = tuple(a - 1 if a > d0 else a for a in axes)
+        new_axes = tuple(a - 1 if a > dk else a for a in axes)
     else:
         new_axes = axes
     from pytensor_tpu.tensor.elemwise import CAReduce as _CR
 
     new_red = _CR(red.scalar_op, new_axes, red.dtype, red.acc_dtype,
                   red.upcast_discrete_output)(sub_inner)
-    rest = node.op.idx_list[1:]
-    if rest:
-        if dropped:
-            rest_idx = tuple(rest)
-        else:
-            # leading slice keeps axis 0 of the lifted reduction; the
-            # remaining entries index axes 1.. — prepend a full slice
-            rest_idx = (("slice", None, None, None),) + tuple(rest)
-        new_out = Subtensor(rest_idx)(new_red, *dyn[n0:])
+    # remaining outer index: leading full slices kept, position k either
+    # dropped (int) or turned into a full slice, tail unchanged
+    full = ("slice", None, None, None)
+    rest_idx = list(idx_list[:k])
+    if not dropped:
+        rest_idx.append(full)
+    rest_idx.extend(idx_list[k + 1:])
+    while rest_idx and _full_slice(rest_idx[-1]):
+        rest_idx.pop()
+    if rest_idx:
+        new_out = Subtensor(tuple(rest_idx))(new_red, *dyn[n0:])
     else:
         new_out = new_red
     if not node.outputs[0].type.is_super(new_out.type):
