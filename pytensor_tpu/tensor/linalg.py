@@ -599,7 +599,8 @@ def _conj_r(r):
 
 
 def qr(x, mode="reduced"):
-    return QR(mode)(x)
+    out_ndims = (2,) if mode == "r" else (2, 2)
+    return _core2(QR(mode), x, out_ndims=out_ndims)
 
 
 class SVD(MatrixOp):
@@ -665,7 +666,12 @@ class Lu(MatrixOp):
     """PLU decomposition (scipy.linalg.lu with permute_l=False)."""
 
     __props__ = ("permute_l", "p_indices")
-    gufunc_signature = "(n,n)->(n,n),(n,n),(n,n)"
+
+    @property
+    def gufunc_signature(self):
+        if self.permute_l:
+            return "(n,n)->(n,n),(n,n)"
+        return "(n,n)->(n,n),(n,n),(n,n)"
 
     def __init__(self, permute_l=False, p_indices=False):
         self.permute_l = bool(permute_l)
@@ -715,7 +721,8 @@ class Lu(MatrixOp):
 
 
 def lu(x, permute_l=False, **kwargs):
-    return Lu(permute_l=permute_l)(x)
+    out_ndims = (2, 2) if permute_l else (2, 2, 2)
+    return _core2(Lu(permute_l=permute_l), x, out_ndims=out_ndims)
 
 
 class Expm(MatrixOp):
