@@ -914,6 +914,80 @@ def ref_jax_gemm_chain(k_inner=2, iters=4):
             "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
 
 
+
+
+def ours_blockwise_chol(batch=128, n=64, iters=8, k_inner=32):
+    """Batched (Blockwise) Cholesky + BPTT grad: the reference's
+    tests/benchmarks/test_blockwise.py workload at TPU scale.  State
+    update multiplies the SPD operand by a scalar near 1 derived from
+    the gradient, so every chained step re-runs factorization + grad."""
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.compile.sharedvalue import shared
+    from pytensor_tpu.tensor import linalg as ptl
+
+    rng = np.random.default_rng(SUITE_SEED)
+    a = rng.standard_normal((batch, n, n)).astype("float32")
+    Av = (a @ a.transpose(0, 2, 1) + n * np.eye(n, dtype="float32")).astype("float32")
+    A = shared(Av, name="A")
+    L = ptl.cholesky(A)
+    loss = pt.sum(L ** 2)
+    g = ptt.grad(loss, A)
+    scale = np.float32(1.0) + np.float32(1e-7) * pt.tanh(pt.mean(g))
+    f = ptt.train_loop([], loss, [(A, A * scale)], n_steps=k_inner,
+                       name="blockwise_chol_loop")
+    f.trust_input = True
+
+    def run_iter(k):
+        r = None
+        for _ in range(k):
+            r = f()
+        return r
+
+    return k_inner / _time_chained(run_iter, iters=iters)
+
+
+def ref_blockwise_chol(batch=128, n=64, iters=4):
+    pytensor, rt = _ref_f32()
+    import pytensor as pyt
+
+    rng = np.random.default_rng(SUITE_SEED)
+    a = rng.standard_normal((batch, n, n)).astype("float32")
+    Av = (a @ a.transpose(0, 2, 1) + n * np.eye(n, dtype="float32")).astype("float32")
+    with pytensor.config.change_flags(floatX="float32"):
+        A = pyt.shared(Av, name="A")
+        L = rt.linalg.cholesky(A)
+        loss = rt.sum(L ** 2)
+        g = pyt.grad(loss, A)
+        scale = np.float32(1.0) + np.float32(1e-7) * rt.tanh(rt.mean(g))
+        f = pyt.function([], loss, updates=[(A, A * scale)])
+    f.trust_input = True
+
+    def call():
+        f()
+
+    return 1.0 / _ref_time(call, iters)
+
+
+def ref_jax_blockwise_chol(batch=128, n=64, k_inner=32, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(SUITE_SEED)
+    a = rng.standard_normal((batch, n, n)).astype("float32")
+    Av = (a @ a.transpose(0, 2, 1) + n * np.eye(n, dtype="float32")).astype("float32")
+    with pytensor.config.change_flags(floatX="float32"):
+        A = rt.tensor("A", dtype="float32", shape=(batch, n, n))
+        L = rt.linalg.cholesky(A)
+        loss = rt.sum(L ** 2)
+        g = pytensor.grad(loss, A)
+        scale = np.float32(1.0) + np.float32(1e-7) * rt.tanh(rt.mean(g))
+        f = pytensor.function([A], [A * scale], mode="JAX")
+    jit = _ref_jax_fn(f)
+    return _time_fori_chain(lambda s: jit(s)[0], jnp.asarray(Av),
+                            k_inner, iters)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
@@ -938,6 +1012,8 @@ WORKLOADS = [
     ("gemm_chain_16384x4096_bf16", ours_gemm_chain, None,
      ref_jax_gemm_chain,
      "TFLOP/s"),
+    ("blockwise_cholesky_grad_128x64", ours_blockwise_chol,
+     ref_blockwise_chol, ref_jax_blockwise_chol, "steps/s"),
 ]
 
 

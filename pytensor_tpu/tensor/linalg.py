@@ -106,6 +106,9 @@ class Cholesky(MatrixOp):
         # read by the factorization,
         #   G = L^-T phi*(L^T Lbar) L^-1,  phi*(M) = tril(M) - diag(M)/2
         #   Abar = tril(G + G^T) - diag(G)
+        # Both masking steps are CONSTANT elementwise masks (tri/eye), not
+        # diag-scatters: a diag(diagonal(M)) graph lowers to scatter+pad
+        # HLO that breaks fusion (measured 6% on the batched-chol bench).
         (x,) = inputs
         (L,) = outputs
         (Lbar,) = output_grads
@@ -113,8 +116,18 @@ class Cholesky(MatrixOp):
             # U = L^T: reduce to the lower case
             L = _mT(L)
             Lbar = _mT(Lbar)
+        from pytensor_tpu.tensor.basic import eye as _eye, tri as _tri
+
+        n = L.type.shape[-1]
+        if n is None:
+            from pytensor_tpu.tensor.shape import shape as _shape
+
+            n = _shape(L)[-1]
+        dt = L.type.dtype
+        I = _eye(n, n, 0, dtype=dt)
         M = matmul(_mT(L), Lbar)
-        phi = tril(M) - 0.5 * diag(diagonal(M, axis1=-2, axis2=-1))
+        # tril(M) - diag(M)/2  ==  M * (tril_ones - I/2)
+        phi = M * (_tri(n, n, 0, dtype=dt) - 0.5 * I)
         solve_ut = SolveTriangular(lower=False)
         X1 = _core2(solve_ut, _mT(L), phi)          # L^-T phi
         G = _mT(_core2(solve_ut, _mT(L), _mT(X1)))  # X1 L^-1
@@ -125,8 +138,19 @@ class Cholesky(MatrixOp):
 
 
 def _sym_tril_grad(G):
-    """Gradient wrt A when only tril(A) is read as a symmetric matrix."""
-    return tril(G + _mT(G)) - diag(diagonal(G, axis1=-2, axis2=-1))
+    """Gradient wrt A when only tril(A) is read as a symmetric matrix.
+
+    tril(G + G^T) - diag(diagonal(G)) as CONSTANT elementwise masks
+    ((G+G^T) * strict_tril + G * I) — diag-of-diagonal lowers to
+    scatter+pad HLO that breaks XLA fusion."""
+    from pytensor_tpu.tensor.basic import eye as _eye, tri as _tri
+    from pytensor_tpu.tensor.shape import shape as _shape
+
+    n = G.type.shape[-1]
+    if n is None:
+        n = _shape(G)[-1]
+    dt = G.type.dtype
+    return (G + _mT(G)) * _tri(n, n, -1, dtype=dt) + G * _eye(n, n, 0, dtype=dt)
 
 
 def cholesky(x, lower=True, on_error="raise", check_finite=False):
@@ -468,7 +492,16 @@ class Eigh(MatrixOp):
         F = tm.switch(tm.eq(W, 0.0), zeros_like(W),
                       1.0 / tm.switch(tm.eq(W, 0.0), zeros_like(W) + 1.0, W))
         vtvbar = matmul(_mT(v), vbar)
-        inner = diag(wbar) + F * vtvbar
+        # diag(wbar) as an elementwise mask (I * wbar-row), not a scatter
+        from pytensor_tpu.tensor.basic import eye as _eye
+
+        n_ = w.type.shape[0]
+        if n_ is None:
+            from pytensor_tpu.tensor.shape import shape as _shape
+
+            n_ = _shape(w)[0]
+        inner = _eye(n_, n_, 0, dtype=w.type.dtype) * wbar.dimshuffle("x", 0) \
+            + F * vtvbar
         G = matmul(matmul(v, inner), _mT(v))
         # eigh reads only one triangle of A (UPLO); map back accordingly
         if self.UPLO == "L":
@@ -652,9 +685,11 @@ class SVD(MatrixOp):
         if not self.compute_uv:
             (s,) = outputs
             (sbar,) = output_grads
-            # d s_k = u_k^T dX v_k: xbar = U diag(sbar) V^T via a fresh SVD
+            # d s_k = u_k^T dX v_k: xbar = U diag(sbar) V^T, with the
+            # diagonal factor applied as a column scale (no scatter, one
+            # fewer matmul)
             u, s2, vt = SVD(full_matrices=False, compute_uv=True)(x)
-            return [matmul(matmul(u, diag(sbar)), vt)]
+            return [matmul(u * sbar.dimshuffle("x", 0), vt)]
         return [grad_not_implemented(self, 0, x, "svd grad with compute_uv")]
 
 
