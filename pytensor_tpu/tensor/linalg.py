@@ -601,8 +601,18 @@ class QR(MatrixOp):
                 "m>=n / m<n formula (TPU graphs are static-shape)")]
 
         def copyltu(M):
-            return (tril(M, -1) + _mT(tril(M, -1))
-                    + diag(diagonal(M, axis1=-2, axis2=-1)))
+            # tril(M,-1) + tril(M,-1)^T + diag(diagonal(M)) as constant
+            # elementwise masks (diag-of-diagonal lowers to scatter+pad)
+            from pytensor_tpu.tensor.basic import eye as _eye, tri as _tri
+
+            n_ = M.type.shape[-1]
+            if n_ is None:
+                from pytensor_tpu.tensor.shape import shape as _shape
+
+                n_ = _shape(M)[-1]
+            dt = M.type.dtype
+            low = M * _tri(n_, n_, -1, dtype=dt)
+            return low + _mT(low) + M * _eye(n_, n_, 0, dtype=dt)
 
         solve_ut = SolveTriangular(lower=False)
         if self.mode == "complete" and m_s > n_s:
