@@ -967,15 +967,24 @@ def diagonal(x, offset=0, axis1=0, axis2=1):
 def diag(v, k=0):
     v = as_tensor_variable(v)
     if v.type.ndim == 1:
-        from pytensor_tpu.tensor.subtensor import set_subtensor
+        # eye-mask * broadcast: pure elemwise and fully fusable — the
+        # scatter form (set_subtensor(zeros[ar, ar+k], v)) lowers to
+        # scatter+pad HLO that breaks XLA fusion around it
         from pytensor_tpu.tensor.shape import shape
 
-        n = shape(v)[0] + int(np.abs(k))
-        z = zeros((n, n), dtype=v.type.dtype)
-        ar = arange(shape(v)[0])
+        m = v.type.shape[0]
+        n = m + abs(int(k)) if m is not None \
+            else shape(v)[0] + int(np.abs(k))
+        mask = eye(n, n, k, dtype=v.type.dtype)
+        if k == 0:
+            w = v
+        else:
+            w = join(0, zeros((abs(int(k)),), dtype=v.type.dtype), v)
         if k >= 0:
-            return set_subtensor(z[ar, ar + k], v)
-        return set_subtensor(z[ar - k, ar], v)
+            # value sits at column j = i + k: broadcast along rows
+            return mask * w.dimshuffle("x", 0)
+        # k < 0: value sits at row i = j - k: broadcast along columns
+        return mask * w.dimshuffle(0, "x")
     elif v.type.ndim >= 2:
         return diagonal(v, offset=k, axis1=-2, axis2=-1)
     raise ValueError("diag needs ndim >= 1")

@@ -12,7 +12,10 @@ def dft_matrices(n, dtype="float64"):
     """Return (cos, -sin) DFT basis matrices of size n x n (real form)."""
     k = shape_padright(cast(arange(n), dtype), 1)
     t = shape_padleft(cast(arange(n), dtype), 1)
-    ang = 2.0 * np.pi * k * t / cast(as_tensor_variable(n), dtype)
+    # keep the angle constant at the REQUESTED dtype: a bare python float
+    # would autocast to floatX and silently degrade an f64 basis
+    two_pi = np.asarray(2.0 * np.pi, dtype=dtype)
+    ang = two_pi * k * t / cast(as_tensor_variable(n), dtype)
     return tm.cos(ang), -tm.sin(ang)
 
 

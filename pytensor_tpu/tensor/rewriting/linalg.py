@@ -302,14 +302,47 @@ register_specialize(local_slogdet_of_gram, name="local_slogdet_of_gram")
 
 @node_rewriter(None)
 def local_diagonal_of_diag(fgraph, node):
-    """diagonal(diag(v)) -> v (diag is built as set_subtensor(zeros[ar,ar], v))."""
-    from pytensor_tpu.tensor.basic import ExtractDiag
+    """diagonal(diag(v)) -> v.
+
+    Matches both diag constructions: the eye-mask elemwise form
+    (eye(n) * v broadcast — the current ctor) and the legacy
+    set_subtensor(zeros[ar, ar], v) scatter form."""
+    from pytensor_tpu.tensor.basic import ExtractDiag, Eye, NotScalarConstantError, get_scalar_constant_value
+    from pytensor_tpu.tensor.elemwise import DimShuffle, Elemwise
     from pytensor_tpu.tensor.subtensor import AdvancedIncSubtensor
 
     if not isinstance(node.op, ExtractDiag) or node.op.offset != 0:
         return False
     (A,) = node.inputs
-    if A.owner is None or not isinstance(A.owner.op, AdvancedIncSubtensor):
+    if A.owner is None:
+        return False
+    out = node.outputs[0]
+
+    def _accept(y):
+        if y.type.dtype != out.type.dtype or not out.type.is_super(y.type):
+            return False
+        copy_stack_trace(out, y)
+        return [y]
+
+    if isinstance(A.owner.op, Elemwise) \
+            and getattr(A.owner.op.scalar_op, "name", "") == "mul" \
+            and len(A.owner.inputs) == 2:
+        for a, b in (A.owner.inputs, A.owner.inputs[::-1]):
+            if a.owner is None or not isinstance(a.owner.op, Eye):
+                continue
+            try:
+                if int(get_scalar_constant_value(a.owner.inputs[2])) != 0:
+                    continue
+            except NotScalarConstantError:
+                continue
+            if b.owner is not None and isinstance(b.owner.op, DimShuffle) \
+                    and not b.owner.op.drop \
+                    and b.owner.op.shuffle in ((0,),) \
+                    and b.owner.inputs[0].type.ndim == 1:
+                return _accept(b.owner.inputs[0])
+        return False
+
+    if not isinstance(A.owner.op, AdvancedIncSubtensor):
         return False
     if not A.owner.op.set_instead_of_inc:
         return False
@@ -321,11 +354,7 @@ def local_diagonal_of_diag(fgraph, node):
     r, c = indices
     if r is not c:
         return False
-    out = node.outputs[0]
-    if y.type.dtype != out.type.dtype or not out.type.is_super(y.type):
-        return False
-    copy_stack_trace(out, y)
-    return [y]
+    return _accept(y)
 
 
 register_canonicalize(local_diagonal_of_diag, name="local_diagonal_of_diag")
