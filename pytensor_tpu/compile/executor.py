@@ -102,12 +102,21 @@ class Function:
     def __call__(self, *args, **kwargs):
         t0 = time.perf_counter() if self.profile else 0.0
         n_expected = len(self.explicit_inputs)
-        if kwargs:
+        if kwargs or len(args) < n_expected:
             args = list(args) + [None] * (n_expected - len(args))
             for k, v in kwargs.items():
                 if k not in self._input_names:
                     raise TypeError(f"unknown input name {k!r}")
                 args[self._input_names[k]] = v
+            # unset positions fall back to In(value=...) defaults
+            for i, (a, wi) in enumerate(zip(args, self.explicit_inputs)):
+                if a is None and getattr(wi, "value", None) is not None:
+                    args[i] = wi.value
+            if any(a is None for a in args):
+                missing = [self.explicit_inputs[i].variable
+                           for i, a in enumerate(args) if a is None]
+                raise TypeError(
+                    f"missing input value(s) for {missing} (no default)")
         if len(args) != n_expected:
             raise TypeError(f"expected {n_expected} inputs, got {len(args)}")
         if self.trust_input:
@@ -164,6 +173,20 @@ class Function:
         spec = self._spec
         outputs = list(spec["outputs"])
         updates = {k: v for k, v in spec["updates"]} if not delete_updates else None
+        if not share_memory and self.shared_vars:
+            # the copy gets its OWN shared containers (value snapshots);
+            # share_memory=True keeps aliasing the originals
+            import copy as _copy
+
+            from pytensor_tpu.compile.sharedvalue import shared as _shared
+
+            auto = {}
+            for sv in self.shared_vars:
+                if swap and sv in swap:
+                    continue
+                auto[sv] = _shared(_copy.deepcopy(sv.get_value()),
+                                   name=sv.name)
+            swap = {**auto, **(swap or {})}
         if swap:
             exprs = outputs + (list(updates.values()) if updates else [])
             exprs = graph_replace(exprs, swap, strict=False) if exprs else exprs
