@@ -555,20 +555,38 @@ def _register_xla():
 
     @xla_funcify.register(CSMProperties)
     def _csm_props(op, node=None, **kw):
+        # properties follow the VARIABLE's format: csr = (row-major data,
+        # col indices, row indptr); csc = (col-major data, row indices,
+        # col indptr).  Emitting csr-layout for a csc input silently
+        # corrupted every data-only rebuild (CSM('csc')) on the XLA path.
+        fmt = "csr"
+        if node is not None and getattr(node.inputs[0].type, "format", None):
+            fmt = node.inputs[0].type.format
+
         def props(x):
             b = _to_bcoo(x)
             b = jsp.bcoo_sort_indices(b) if hasattr(jsp, "bcoo_sort_indices") else b
             rows = b.indices[:, 0]
-            cols = b.indices[:, 1].astype("int32")
-            nrows = b.shape[0]
-            counts = jnp.bincount(rows, length=nrows)
+            cols = b.indices[:, 1]
+            if fmt == "csc":
+                order = jnp.lexsort((rows, cols))
+                data = b.data[order]
+                idx = rows[order].astype("int32")
+                comp = cols[order]
+                n_comp = b.shape[1]
+            else:
+                data = b.data
+                idx = cols.astype("int32")
+                comp = rows
+                n_comp = b.shape[0]
+            counts = jnp.bincount(comp, length=n_comp)
             indptr = jnp.concatenate(
                 [jnp.zeros(1, "int32"),
                  jnp.cumsum(counts).astype("int32")])
             # BCOO.shape is static python ints: keep the shape output
             # host-concrete (like Shape) so CSM can rebuild statically
             shape = np.asarray(b.shape, dtype="int64")
-            return b.data, cols, indptr, shape
+            return data, idx, indptr, shape
 
         return props
 
@@ -906,23 +924,41 @@ def _register_xla_extra():
 
         return gis
 
+    def _bcoo_concat(mats, axis):
+        """Concatenate BCOOs along axis by shifting coordinates — static
+        nse (sum of inputs), no densify round trip, jit-safe
+        (BCOO.fromdense needs a concrete nse)."""
+        bs = [_to_bcoo2(m) for m in mats]
+        datas, idxs = [], []
+        off = 0
+        for b in bs:
+            ind = b.indices
+            if off:
+                shift = jnp.asarray([off if a == axis else 0 for a in (0, 1)],
+                                    dtype=ind.dtype)
+                ind = ind + shift
+            idxs.append(ind)
+            datas.append(b.data)
+            off += b.shape[axis]
+        shape = list(bs[0].shape)
+        shape[axis] = off
+        return jsp.BCOO((jnp.concatenate(datas), jnp.concatenate(idxs)),
+                        shape=tuple(shape))
+
     @xla_funcify.register(HStack)
     def _hs(op, node=None, **kw):
         def hs(*mats):
-            return jsp.BCOO.fromdense(
-                jnp.concatenate([_to_bcoo2(m).todense() for m in mats], axis=1)
-            )
+            return _bcoo_concat(mats, axis=1)
 
         return hs
 
     @xla_funcify.register(VStack)
     def _vs(op, node=None, **kw):
         def vs(*mats):
-            return jsp.BCOO.fromdense(
-                jnp.concatenate([_to_bcoo2(m).todense() for m in mats], axis=0)
-            )
+            return _bcoo_concat(mats, axis=0)
 
         return vs
+
 
 
 _register_xla_extra()

@@ -251,6 +251,21 @@ class _MajorIds:
                 return [grad_undefined(self, k, inputs[k], "integer op")
                         for k in range(2)]
 
+        from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+        @xla_funcify.register(MajorIds)
+        def _major_ids(op, node=None, **kw):
+            import jax.numpy as jnp
+
+            def major_ids(indptr, data):
+                nse = data.shape[0]
+                return (jnp.searchsorted(
+                    indptr.astype("int32"),
+                    jnp.arange(nse, dtype="int32"), side="right") - 1
+                ).astype("int32")
+
+            return major_ids
+
         cls._op = MajorIds()
         return cls._op
 
@@ -532,3 +547,23 @@ class StructuredDotGradCSR(_SparseCompositionalCtor):
 # names the reference re-exports into its sparse namespace
 from pytensor_tpu.sparse.basic import HStack as Stack  # noqa: E402,F401
 from pytensor_tpu.tensor.basic import Split  # noqa: E402,F401
+
+
+def _register_xla_compat():
+    from pytensor_tpu.link.xla.dispatch import xla_funcify
+
+    @xla_funcify.register(Remove0)
+    @xla_funcify.register(EnsureSortedIndices)
+    def _sparse_identity(op, node=None, **kw):
+        # nnz / index order are value-dependent notions a static-shape
+        # executable cannot act on; explicit zeros and unsorted BCOO
+        # indices are both inert for every downstream lowering, so these
+        # canonicalizers are identities on device (the scipy oracle does
+        # the real prune/sort).
+        def ident(x):
+            return x
+
+        return ident
+
+
+_register_xla_compat()
