@@ -205,3 +205,55 @@ def test_fuzz_while_scan_agree(seed):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(results["lax"][1], results["oracle"][1],
                                rtol=2e-4, atol=1e-5)
+
+
+def _random_program_masks(rng, x, depth=6):
+    """Programs over the round-3 session-2 surfaces: pad modes (+crop
+    back), roll/flip, tril/triu/diag masks, einsum contractions, and
+    boolean-mask reductions — the paths rewritten to constant-mask /
+    where() forms.  All shapes stay (5, 5)."""
+    pool = [x, pt.einsum("ij,jk->ik", x, x) * 0.1]
+    scalars = []
+    for _ in range(depth):
+        r = rng.random()
+        v = pool[rng.integers(len(pool))]
+        if r < 0.2:
+            mode = ["constant", "edge", "reflect", "wrap", "maximum",
+                    "mean", "linear_ramp"][rng.integers(7)]
+            pool.append(pt.pad(v, 1, mode=mode)[1:-1, 1:-1])
+        elif r < 0.35:
+            shift = int(rng.integers(-7, 8))
+            pool.append(pt.roll(v, shift, axis=int(rng.integers(2))))
+        elif r < 0.45:
+            pool.append(pt.flip(v, int(rng.integers(2))))
+        elif r < 0.6:
+            k = int(rng.integers(-2, 3))
+            f = [pt.tril, pt.triu][rng.integers(2)]
+            pool.append(f(v, k))
+        elif r < 0.7:
+            pool.append(pt.diag(pt.diagonal(v)) + v * 0.5)
+        elif r < 0.8:
+            w = pool[rng.integers(len(pool))]
+            spec = ["ij,jk->ik", "ij,kj->ik", "ij,ij->ij"][rng.integers(3)]
+            pool.append(pt.einsum(spec, v, w) * 0.1)
+        elif r < 0.9:
+            scalars.append(pt.sum(v[v > 0.0]))
+        else:
+            scalars.append(pt.prod(pt.clip(v, 0.5, 2.0)[v < 0.0]))
+    out = pt.sum(pt.tanh(pool[-1] * 0.1))
+    for s in scalars:
+        out = out + pt.tanh(s * 0.01)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_mask_surfaces(seed):
+    rng = np.random.default_rng(11000 + seed)
+    x = pt.tensor("x", dtype="float64", shape=(5, 5))
+    out = _random_program_masks(rng, x)
+    g = ptt.grad(out, x)
+    f = ptt.function([x], [out, g], mode=DebugMode())
+    xv = rng.standard_normal((5, 5)) * 0.9
+    val, gv = (np.asarray(r) for r in f(xv))
+    assert np.isfinite(val).all()
+    assert np.isfinite(gv).all()
