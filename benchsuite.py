@@ -988,6 +988,119 @@ def ref_jax_blockwise_chol(batch=128, n=64, k_inner=32, iters=8):
                             k_inner, iters)
 
 
+
+
+def _kalman_sim(n_steps=64, k=4, p=2, dtype="float32"):
+    rng = np.random.default_rng(SUITE_SEED)
+    T_true = (np.eye(k) * 0.9 + 0.05 * rng.standard_normal((k, k))).astype(dtype)
+    Z_np = rng.standard_normal((p, k)).astype(dtype)
+    x = np.zeros(k)
+    ys = np.empty((n_steps, p), dtype=dtype)
+    for t in range(n_steps):
+        x = T_true @ x + 0.3 * rng.standard_normal(k)
+        ys[t] = Z_np @ x + 0.2 * rng.standard_normal(p)
+    return ys, T_true, Z_np
+
+
+def ours_kalman(n_steps=64, k=4, p=2, iters=8, k_inner=16):
+    """Kalman-filter loglike+grad (scan over cholesky/triangular-solve
+    steps) iterated as an SGD-on-T loop: the PyMC statespace shape."""
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+    from pytensor_tpu.compile.sharedvalue import shared
+    from pytensor_tpu.models.kalman import kalman_loglike
+
+    ys, T_true, Z_np = _kalman_sim(n_steps, k, p)
+    ys_c = pt.as_tensor_variable(ys)
+    Z = pt.as_tensor_variable(Z_np)
+    T = shared(T_true.copy(), name="T")
+    Q = pt.as_tensor_variable((0.09 * np.eye(k)).astype("float32"))
+    H = pt.as_tensor_variable((0.04 * np.eye(p)).astype("float32"))
+    x0 = pt.as_tensor_variable(np.zeros(k, dtype="float32"))
+    P0 = pt.as_tensor_variable(np.eye(k, dtype="float32"))
+    ll = kalman_loglike(ys_c, T, Z, Q, H, x0, P0)
+    g = ptt.grad(ll, T)
+    f = ptt.train_loop([], ll, [(T, T + np.float32(1e-5) * g)],
+                       n_steps=k_inner, name="kalman_loop")
+    f.trust_input = True
+
+    def run_iter(n):
+        r = None
+        for _ in range(n):
+            r = f()
+        return r
+
+    return k_inner / _time_chained(run_iter, iters=iters)
+
+
+def _ref_kalman_graph(pytensor, rt, n_steps=64, k=4, p=2):
+    import pytensor as pyt
+
+    ys, T_true, Z_np = _kalman_sim(n_steps, k, p)
+    ys_c = rt.as_tensor_variable(ys)
+    Z = rt.as_tensor_variable(Z_np)
+    T = pyt.shared(T_true.copy(), name="T")
+    Q = rt.as_tensor_variable((0.09 * np.eye(k)).astype("float32"))
+    H = rt.as_tensor_variable((0.04 * np.eye(p)).astype("float32"))
+    x0 = rt.as_tensor_variable(np.zeros(k, dtype="float32"))
+    P0 = rt.as_tensor_variable(np.eye(k, dtype="float32"))
+    LOG_2PI = float(np.log(2 * np.pi))
+
+    def step(y_t, x_pred, P_pred, T_, Z_, Q_, H_):
+        v = y_t - rt.dot(Z_, x_pred)
+        F = rt.dot(Z_, rt.dot(P_pred, Z_.T)) + H_
+        L = rt.linalg.cholesky(F)
+        alpha = rt.linalg.solve_triangular(L, v, lower=True)
+        ll_t = -0.5 * (rt.sum(alpha ** 2)
+                       + 2.0 * rt.sum(rt.log(rt.diag(L))) + p * LOG_2PI)
+        PZt = rt.dot(P_pred, Z_.T)
+        W = rt.linalg.solve_triangular(L, PZt.T, lower=True)
+        K = rt.linalg.solve_triangular(L.T, W, lower=False).T
+        x_filt = x_pred + rt.dot(K, v)
+        P_filt = P_pred - rt.dot(K, rt.dot(Z_, P_pred))
+        return rt.dot(T_, x_filt), rt.dot(T_, rt.dot(P_filt, T_.T)) + Q_, ll_t
+
+    (xs, Ps, lls), _ = pyt.scan(step, sequences=[ys_c],
+                                outputs_info=[x0, P0, None],
+                                non_sequences=[T, Z, Q, H])
+    ll = rt.sum(lls)
+    g = pyt.grad(ll, T)
+    return T, ll, g
+
+
+def ref_kalman(n_steps=64, k=4, p=2, iters=4):
+    pytensor, rt = _ref_f32()
+    import pytensor as pyt
+
+    with pytensor.config.change_flags(floatX="float32"):
+        T, ll, g = _ref_kalman_graph(pytensor, rt, n_steps, k, p)
+        f = pyt.function([], ll, updates=[(T, T + np.float32(1e-5) * g)])
+    f.trust_input = True
+
+    def call():
+        f()
+
+    return 1.0 / _ref_time(call, iters)
+
+
+def ref_jax_kalman(n_steps=64, k=4, p=2, k_inner=16, iters=8):
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+    import pytensor as pyt
+
+    with pytensor.config.change_flags(floatX="float32"):
+        T, ll, g = _ref_kalman_graph(pytensor, rt, n_steps, k, p)
+        Tin = rt.tensor("Tin", dtype="float32", shape=(k, k))
+        from pytensor.graph.replace import graph_replace
+
+        ll2, g2 = graph_replace([ll, g], {T: Tin})
+        f = pyt.function([Tin], [Tin + np.float32(1e-5) * g2], mode="JAX")
+    jit = _ref_jax_fn(f)
+    _, T_true, _ = _kalman_sim(n_steps, k, p)
+    return _time_fori_chain(lambda s: jit(s)[0], jnp.asarray(T_true),
+                            k_inner, iters)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
@@ -1014,6 +1127,8 @@ WORKLOADS = [
      "TFLOP/s"),
     ("blockwise_cholesky_grad_128x64", ours_blockwise_chol,
      ref_blockwise_chol, ref_jax_blockwise_chol, "steps/s"),
+    ("kalman_filter_grad_64x4", ours_kalman, ref_kalman,
+     ref_jax_kalman, "steps/s"),
 ]
 
 
