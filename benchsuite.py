@@ -186,7 +186,7 @@ FUSED_N = 1 << 26  # 64M elements: large enough that HBM bandwidth,
 # not per-call dispatch latency, dominates (the metric is GB/s)
 
 
-def ours_einsum(iters=6, k_inner=8):
+def ours_einsum(iters=24, k_inner=8):
     """Unbalanced einsum contraction chain (VERDICT r2 Weak #7): the
     reference builds an opt_einsum-style static path
     (/root/reference/pytensor/tensor/einsum.py:38); ours delegates
@@ -215,11 +215,11 @@ def ours_einsum(iters=6, k_inner=8):
             s = f()
         return s
 
-    dt = _time_chained(run_iter, warm_iters=1, iters=iters) / k_inner
+    dt = _time_chained(run_iter, warm_iters=2, iters=iters) / k_inner
     return 1.0 / dt
 
 
-def ref_jax_einsum(k_inner=8, iters=6):
+def ref_jax_einsum(k_inner=8, iters=24):
     pytensor, rt = _ref_f32()
     import jax
     import jax.numpy as jnp
