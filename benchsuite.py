@@ -53,7 +53,7 @@ def _time_chained(run_iter, warm_iters=2, iters=32, repeats=3):
     return best / iters
 
 
-def ours_logreg(n=8192, d=256, iters=8, k_inner=32):
+def ours_logreg(n=8192, d=256, iters=24, k_inner=32):
     from pytensor_tpu.models.logreg import make_logreg_training_step
 
     # K steps compiled into ONE on-device loop (compile/train.py
@@ -76,7 +76,7 @@ def ours_logreg(n=8192, d=256, iters=8, k_inner=32):
     return k_inner / _time_chained(run_iter, iters=iters)
 
 
-def ours_scan(kind, n=4096, iters=16):
+def ours_scan(kind, n=4096, iters=48):
     import jax
 
     import pytensor_tpu as ptt
@@ -110,7 +110,7 @@ def ours_scan(kind, n=4096, iters=16):
     return 1.0 / _time_chained(run_iter, iters=iters)
 
 
-def ours_elman(iters=8, k_inner=16):
+def ours_elman(iters=24, k_inner=16):
     import jax
 
     from pytensor_tpu.models.rnn import make_elman_rnn_bptt
@@ -132,7 +132,7 @@ def ours_elman(iters=8, k_inner=16):
     return k_inner / _time_chained(run_iter, iters=iters)
 
 
-def ours_gp(n=256, iters=8, k_inner=64):
+def ours_gp(n=256, iters=24, k_inner=64):
     from pytensor_tpu.models.gp import make_gp_sgd_step
 
     # SGD update compiled INTO the step on both sides; ours additionally
@@ -149,7 +149,7 @@ def ours_gp(n=256, iters=8, k_inner=64):
     return k_inner / _time_chained(run_iter, iters=iters)
 
 
-def ours_sparse(n=65536, nnz_per_row=10, iters=4, k_inner=64):
+def ours_sparse(n=65536, nnz_per_row=10, iters=16, k_inner=64):
     """Power-iteration CSR matvec chain, compiled into ONE on-device loop
     (train_loop) like every other workload — the per-matvec rate is the
     routed-SpMV kernel rate, not the dispatch round-trip."""
@@ -293,7 +293,7 @@ def ours_gemm_chain(iters=4, k_inner=2):
             "mfu_pct": round(100.0 * fs / V5E_BF16_PEAK, 1)}
 
 
-def ours_fused(iters=8, k_inner=16):
+def ours_fused(iters=24, k_inner=16):
     import jax
     import jax.numpy as jnp
 
@@ -676,7 +676,7 @@ def _time_fori_chain(body, state0, k_inner, iters=8):
     return k_inner / dt
 
 
-def ref_jax_logreg(n=8192, d=256, k_inner=32, iters=8):
+def ref_jax_logreg(n=8192, d=256, k_inner=32, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -706,7 +706,7 @@ def ref_jax_logreg(n=8192, d=256, k_inner=32, iters=8):
                             k_inner, iters)
 
 
-def ref_jax_scan(kind, n=4096, k_inner=16, iters=8):
+def ref_jax_scan(kind, n=4096, k_inner=16, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -729,7 +729,7 @@ def ref_jax_scan(kind, n=4096, k_inner=16, iters=8):
     return _time_fori_chain(lambda s: jit(s)[0], x0, k_inner, iters)
 
 
-def ref_jax_elman(k_inner=16, iters=8):
+def ref_jax_elman(k_inner=16, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -766,7 +766,7 @@ def ref_jax_elman(k_inner=16, iters=8):
     return _time_fori_chain(lambda s: tuple(jit(*s)), s0, k_inner, iters)
 
 
-def ref_jax_gp(n=256, k_inner=64, iters=8):
+def ref_jax_gp(n=256, k_inner=64, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -792,7 +792,7 @@ def ref_jax_gp(n=256, k_inner=64, iters=8):
                             jnp.zeros(3, "float32"), k_inner, iters)
 
 
-def ref_jax_sparse(n=65536, nnz_per_row=10, k_inner=32, iters=8):
+def ref_jax_sparse(n=65536, nnz_per_row=10, k_inner=32, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -817,7 +817,7 @@ def ref_jax_sparse(n=65536, nnz_per_row=10, k_inner=32, iters=8):
     return _time_fori_chain(body, x0, k_inner, iters)
 
 
-def ref_jax_fused(k_inner=16, iters=8):
+def ref_jax_fused(k_inner=16, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -916,7 +916,7 @@ def ref_jax_gemm_chain(k_inner=2, iters=4):
 
 
 
-def ours_blockwise_chol(batch=128, n=64, iters=8, k_inner=32):
+def ours_blockwise_chol(batch=128, n=64, iters=24, k_inner=32):
     """Batched (Blockwise) Cholesky + BPTT grad: the reference's
     tests/benchmarks/test_blockwise.py workload at TPU scale.  State
     update multiplies the SPD operand by a scalar near 1 derived from
@@ -969,7 +969,7 @@ def ref_blockwise_chol(batch=128, n=64, iters=4):
     return 1.0 / _ref_time(call, iters)
 
 
-def ref_jax_blockwise_chol(batch=128, n=64, k_inner=32, iters=8):
+def ref_jax_blockwise_chol(batch=128, n=64, k_inner=32, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
 
@@ -1002,7 +1002,7 @@ def _kalman_sim(n_steps=64, k=4, p=2, dtype="float32"):
     return ys, T_true, Z_np
 
 
-def ours_kalman(n_steps=64, k=4, p=2, iters=8, k_inner=16):
+def ours_kalman(n_steps=64, k=4, p=2, iters=24, k_inner=16):
     """Kalman-filter loglike+grad (scan over cholesky/triangular-solve
     steps) iterated as an SGD-on-T loop: the PyMC statespace shape."""
     import pytensor_tpu as ptt
@@ -1083,7 +1083,7 @@ def ref_kalman(n_steps=64, k=4, p=2, iters=4):
     return 1.0 / _ref_time(call, iters)
 
 
-def ref_jax_kalman(n_steps=64, k=4, p=2, k_inner=16, iters=8):
+def ref_jax_kalman(n_steps=64, k=4, p=2, k_inner=16, iters=24):
     pytensor, rt = _ref_f32()
     import jax.numpy as jnp
     import pytensor as pyt
