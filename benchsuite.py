@@ -1133,11 +1133,22 @@ WORKLOADS = [
 
 
 def _run_one(fn, name, side, verbose):
+    import gc
     import sys
 
     if fn is None:
         return None, {}
     try:
+        # isolate rows: dead executables/buffers from earlier workloads
+        # fragment device memory and skewed in-suite rates by up to 25%
+        # (fused row measured 443 GB/s in-suite vs a stable 598 isolated)
+        gc.collect()
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:
+            pass
         r = fn()
     except Exception as e:
         if verbose:
