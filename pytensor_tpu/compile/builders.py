@@ -50,6 +50,22 @@ class OpFromGraph(Op, HasInnerGraph):
     def __hash__(self):
         return id(self)
 
+    def __getstate__(self):
+        # the inner FunctionGraph may carry Feature-injected local
+        # lambdas (History checkpoints, validators) and the compiled
+        # oracle closure — neither pickles.  Persist the inner graph as
+        # (inputs, outputs) and rebuild a fresh fgraph on load (rewrites
+        # re-run at the next compile anyway).
+        d = self.__dict__.copy()
+        d["_oracle_fn"] = None
+        d["fgraph"] = (list(self.fgraph.inputs), list(self.fgraph.outputs))
+        return d
+
+    def __setstate__(self, d):
+        ins, outs = d.pop("fgraph")
+        self.__dict__.update(d)
+        self.fgraph = FunctionGraph(ins, outs, clone=False)
+
     @property
     def fn(self):
         return self._make_oracle()
