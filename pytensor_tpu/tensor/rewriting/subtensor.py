@@ -917,3 +917,49 @@ def local_reduce_of_bool_mask_to_where(fgraph, node):
 
 register_specialize(local_reduce_of_bool_mask_to_where,
                     name="local_reduce_of_bool_mask_to_where")
+
+
+@node_rewriter(None)
+def local_shape_of_bool_mask(fgraph, node):
+    """shape(x[mask]) without the gather: nnz(mask) = sum(mask), and the
+    trailing dims are x's own.  Unlocks mean/var of masked values
+    (sum(where)/nnz) and any size query on a masked result."""
+    from pytensor_tpu.tensor.basic import cast as t_cast
+    from pytensor_tpu.tensor.math import sum as t_sum
+    from pytensor_tpu.tensor.shape import Shape, Shape_i, shape as t_shape
+    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor
+
+    if not isinstance(node.op, (Shape, Shape_i)):
+        return False
+    arg = node.inputs[0]
+    if arg.owner is None or not isinstance(arg.owner.op, AdvancedSubtensor):
+        return False
+    mask = _sole_bool_mask(arg.owner, 1)
+    if mask is None:
+        return False
+    x = arg.owner.inputs[0]
+    k = mask.type.ndim
+    nnz = t_cast(t_sum(t_cast(mask, "int64")), "int64")
+    if isinstance(node.op, Shape_i):
+        if node.op.i == 0:
+            res = nnz
+        else:
+            res = t_shape(x)[k + node.op.i - 1]
+            res = t_cast(res, node.outputs[0].type.dtype) \
+                if res.type.dtype != node.outputs[0].type.dtype else res
+    else:
+        from pytensor_tpu.tensor.basic import MakeVector
+
+        rest = [t_shape(x)[d] for d in range(k, x.type.ndim)]
+        res = MakeVector(dtype="int64")(nnz, *rest)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_shape_of_bool_mask,
+                      name="local_shape_of_bool_mask")
+register_specialize(local_shape_of_bool_mask,
+                    name="local_shape_of_bool_mask")

@@ -198,3 +198,38 @@ class TestOracleXlaParity:
         exp = xv.copy()
         exp[mv] += 1.5
         np.testing.assert_array_equal(np.asarray(f(xv, mv)), exp)
+
+
+class TestMaskedShapeQueries:
+    """shape(x[mask]) folds to sum(mask) without the gather — unlocks
+    mean/size of masked values under XLA."""
+
+    def test_mean_and_grad(self):
+        x, m, xv, mv = _v()
+        s = pt.mean(x[m])
+        g = ptt.grad(s, x)
+        f = ptt.function([x, m], [s, g])
+        sv, gv = f(xv, mv)
+        assert float(np.asarray(sv)) == pytest.approx(xv[mv].mean())
+        np.testing.assert_allclose(np.asarray(gv), mv / mv.sum())
+
+    def test_mean_3d_leading_mask(self):
+        X = pt.dtensor3("X")
+        M = pt.vector("M", dtype="bool")
+        f = ptt.function([X, M], pt.mean(X[M]))
+        Xv = np.arange(24.0).reshape(4, 3, 2)
+        Mv = np.array([True, False, True, False])
+        assert float(np.asarray(f(Xv, Mv))) == pytest.approx(Xv[Mv].mean())
+
+    def test_nnz_query(self):
+        x, m, xv, mv = _v()
+        f = ptt.function([x, m], x[m].shape[0], on_unused_input="ignore")
+        assert int(np.asarray(f(xv, mv))) == int(mv.sum())
+
+    def test_full_shape_vector(self):
+        X = pt.dtensor3("X")
+        M = pt.vector("M", dtype="bool")
+        f = ptt.function([X, M], X[M].shape, on_unused_input="ignore")
+        Xv = np.arange(24.0).reshape(4, 3, 2)
+        Mv = np.array([True, False, True, False])
+        np.testing.assert_array_equal(np.asarray(f(Xv, Mv)), [2, 3, 2])
