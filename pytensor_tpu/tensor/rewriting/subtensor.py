@@ -848,6 +848,39 @@ def _expand_mask(mask, ndim):
     return DimShuffle(k, list(range(k)) + ["x"] * (ndim - k))(mask)
 
 
+def _subst_same_mask_gathers(v, mask_box, depth=8):
+    """Substitute every boolean-mask gather leaf in an elemwise tree by
+    its (1-d) operand, recording the common mask in ``mask_box[0]``.
+    Returns the substituted variable, or None if the tree mixes masks or
+    contains anything that neither broadcasts along the masked axis nor
+    is an elemwise of substitutable things."""
+    from pytensor_tpu.tensor.elemwise import Elemwise as _EW
+    from pytensor_tpu.tensor.subtensor import AdvancedSubtensor
+
+    if v.owner is not None and isinstance(v.owner.op, AdvancedSubtensor):
+        mk = _sole_bool_mask(v.owner, 1)
+        xk = v.owner.inputs[0]
+        if mk is None or xk.type.ndim != 1:
+            return None
+        if mask_box[0] is None:
+            mask_box[0] = mk
+        elif mask_box[0] is not mk:
+            return None  # mixed masks: not a single-mask fill
+        return xk
+    if v.type.ndim == 0 or (v.type.ndim == 1 and v.type.shape[0] == 1):
+        return v  # broadcasts along the masked axis
+    if depth > 0 and v.type.ndim == 1 and v.owner is not None \
+            and (isinstance(v.owner.op, _EW)
+                 or type(v.owner.op).__name__ == "FusedElemwise"):
+        subs = [_subst_same_mask_gathers(i, mask_box, depth - 1)
+                for i in v.owner.inputs]
+        if any(s is None for s in subs):
+            return None
+        r = v.owner.op(*subs)
+        return None if isinstance(r, (list, tuple)) else r
+    return None
+
+
 @node_rewriter([AdvancedIncSubtensor])
 def local_bool_set_or_inc_to_where(fgraph, node):
     """set/inc_subtensor(x[mask], broadcast-scalar y) ->
@@ -860,6 +893,11 @@ def local_bool_set_or_inc_to_where(fgraph, node):
         return False
     x, y = node.inputs[:2]
     scalar = _broadcast_scalar_of(y)
+    if scalar is None and x.type.ndim == 1:
+        # vector y that is an elemwise tree over gathers of the SAME
+        # mask (e.g. the pullback of var(x[mask]): y = f(x[mask], ...))
+        mask_box = [mask]
+        scalar = _subst_same_mask_gathers(y, mask_box)
     if scalar is None:
         return False
     m = _expand_mask(mask, x.type.ndim)
@@ -896,15 +934,31 @@ def local_reduce_of_bool_mask_to_where(fgraph, node):
     if name not in ("add", "mul"):
         return False
     arg = node.inputs[0]
-    if arg.owner is None or not isinstance(arg.owner.op, AdvancedSubtensor):
+    if arg.owner is None:
         return False
-    mask = _sole_bool_mask(arg.owner, 1)
-    if mask is None:
-        return False
-    x = arg.owner.inputs[0]
-    m = _expand_mask(mask, x.type.ndim)
-    neutral = np.asarray(0 if name == "add" else 1, dtype=x.type.dtype)
-    filled = switch(m, x, neutral)
+    if isinstance(arg.owner.op, AdvancedSubtensor):
+        mask = _sole_bool_mask(arg.owner, 1)
+        if mask is None:
+            return False
+        x = arg.owner.inputs[0]
+        m = _expand_mask(mask, x.type.ndim)
+        neutral = np.asarray(0 if name == "add" else 1, dtype=x.type.dtype)
+        filled = switch(m, x, neutral)
+    else:
+        # sum(f(x[mask], broadcast...)) with f an elemwise TREE over 1-d
+        # operands: = sum(where(mask, f(x, broadcast...), neutral)) —
+        # substitute every same-mask gather leaf by its operand.  Covers
+        # var/std(x[mask]) ((x[m]-mean)^2 under the Sum) and friends.
+        mask_box = [None]
+        new_arg = _subst_same_mask_gathers(arg, mask_box)
+        mask = mask_box[0]
+        if new_arg is None or mask is None:
+            return False
+        x = new_arg
+        m = mask
+        neutral = np.asarray(0 if name == "add" else 1,
+                             dtype=new_arg.type.dtype)
+        filled = switch(m, new_arg, neutral)
     res = CAReduce(node.op.scalar_op, axis=None, dtype=node.op.dtype,
                    acc_dtype=node.op.acc_dtype,
                    upcast_discrete_output=node.op.upcast_discrete_output)(filled)

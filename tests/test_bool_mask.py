@@ -233,3 +233,51 @@ class TestMaskedShapeQueries:
         Xv = np.arange(24.0).reshape(4, 3, 2)
         Mv = np.array([True, False, True, False])
         np.testing.assert_array_equal(np.asarray(f(Xv, Mv)), [2, 3, 2])
+
+
+class TestMaskedMoments:
+    """var/std of masked values: the reduce rewrite sees through the
+    elemwise tree between the Sum and the gather, and the pullback's
+    vector cotangent (an elemwise of the same gather) converts too."""
+
+    def test_var_value_and_grad(self):
+        x, m, xv, mv = _v()
+        v = pt.var(x[m])
+        g = ptt.grad(v, x)
+        f = ptt.function([x, m], [v, g])
+        vv, gv = f(xv, mv)
+        assert float(np.asarray(vv)) == pytest.approx(xv[mv].var())
+        eps = 1e-6
+        num = np.zeros(4)
+        for i in range(4):
+            p = xv.copy(); p[i] += eps
+            q = xv.copy(); q[i] -= eps
+            num[i] = (p[mv].var() - q[mv].var()) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gv), num, rtol=1e-5, atol=1e-9)
+
+    def test_std_value(self):
+        x, m, xv, mv = _v()
+        f = ptt.function([x, m], pt.std(x[m]))
+        assert float(np.asarray(f(xv, mv))) == pytest.approx(xv[mv].std())
+
+    def test_sum_of_transformed_masked(self):
+        # sum(exp(x[m]) * 2): elemwise between Sum and gather
+        x, m, xv, mv = _v()
+        f = ptt.function([x, m], pt.sum(pt.exp(x[m]) * 2.0))
+        assert float(np.asarray(f(xv, mv))) == pytest.approx(
+            (np.exp(xv[mv]) * 2).sum())
+
+    def test_two_gathers_same_mask(self):
+        x, m, xv, mv = _v()
+        y = pt.dvector("y")
+        yv = np.array([2.0, 3.0, 4.0, 5.0])
+        f = ptt.function([x, y, m], pt.sum(x[m] * y[m]))
+        assert float(np.asarray(f(xv, yv, mv))) == pytest.approx(
+            (xv[mv] * yv[mv]).sum())
+
+    def test_mixed_masks_still_raise(self):
+        x, m, xv, mv = _v()
+        m2 = pt.vector("m2", dtype="bool")
+        with pytest.raises(Exception):
+            f = ptt.function([x, m, m2], pt.sum(x[m] * x[m2]))
+            f(xv, mv, mv)
