@@ -245,3 +245,22 @@ def test_truncate_gradient_runs(trunc):
                 tot += s
             return tot
         _fd_grad(np_loss, v, got=got)
+
+
+def test_truncate_gradient_numeric_semantics():
+    """Linear recurrence s_t = a s_{t-1} + x_t, loss = s_T: full grad
+    wrt x_t is a^(T-1-t); with truncate_gradient=k only the last k
+    reverse steps run, so earlier sensitivities are exactly zero."""
+    T, k, a = 6, 2, 0.5
+    xs = pt.dvector("xs")
+    out, _ = scan(lambda x_t, s: a * s + x_t, sequences=[xs],
+                  outputs_info=[pt.constant(0.0, dtype="float64")],
+                  truncate_gradient=k)
+    g = ptt.grad(out[-1], xs)
+    f = ptt.function([xs], g)
+    got = np.asarray(f(np.ones(T)))
+    full = np.array([a ** (T - 1 - t) for t in range(T)])
+    trunc = full.copy()
+    trunc[: T - k] = 0.0
+    np.testing.assert_allclose(got, trunc, rtol=1e-12)
+    assert not np.allclose(got, full)
