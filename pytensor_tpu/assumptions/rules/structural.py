@@ -21,17 +21,58 @@ _VALUE_FACTS = ("positive", "non_negative", "zero")
 
 
 def eye_rule(node, fact, holds_fn):
-    if fact in ("diagonal", "symmetric", "lower_triangular",
-                "upper_triangular", "non_negative", "positive_definite",
-                "orthogonal"):
+    """eye(n, m, k): facts depend on the OFFSET — eye with k=1 is
+    strictly upper triangular, not diagonal/symmetric (claiming those
+    unconditionally corrupted the eye-mask diag(v, k!=0) form)."""
+    from pytensor_tpu.tensor.basic import (
+        NotScalarConstantError,
+        get_scalar_constant_value,
+    )
+
+    def _static(v):
+        if v is None:
+            return None
+        try:
+            return int(get_scalar_constant_value(v))
+        except NotScalarConstantError:
+            return None
+
+    k_static = _static(node.inputs[2] if len(node.inputs) > 2 else None)
+    sn, sm = node.outputs[0].type.shape
+    n_s = _static(node.inputs[0]) if node.inputs else None
+    m_s = _static(node.inputs[1]) if len(node.inputs) > 1 else None
+    # squareness: static output dims, constant n == m, or the ctor's
+    # m=None default (both dims fed by the same pre-cast variable)
+    def _uncast(v):
+        from pytensor_tpu.tensor.elemwise import Elemwise
+
+        while v is not None and v.owner is not None \
+                and isinstance(v.owner.op, Elemwise) \
+                and getattr(v.owner.op.scalar_op, "name", "").startswith("cast"):
+            v = v.owner.inputs[0]
+        return v
+
+    square = (sn is not None and sn == sm) \
+        or (n_s is not None and n_s == m_s) \
+        or (len(node.inputs) > 1
+            and _uncast(node.inputs[0]) is _uncast(node.inputs[1]))
+
+    if fact == "non_negative":
         return FactState.TRUE
-    if fact == "permutation":
-        # eye(n, m, k) is a permutation matrix only for the square
-        # main-diagonal form; k is inputs[2] when constructed by eye().
-        k = node.inputs[2] if len(node.inputs) > 2 else None
-        n, m = node.outputs[0].type.shape
-        if n is not None and m is not None and n == m and \
-                isinstance(k, Constant) and int(k.data) == 0:
+    if fact == "upper_triangular":
+        if k_static is not None and k_static >= 0:
+            return FactState.TRUE
+        return FactState.UNKNOWN
+    if fact == "lower_triangular":
+        if k_static is not None and k_static <= 0:
+            return FactState.TRUE
+        return FactState.UNKNOWN
+    if fact in ("diagonal", "symmetric"):
+        if k_static == 0:
+            return FactState.TRUE
+        return FactState.UNKNOWN
+    if fact in ("positive_definite", "orthogonal", "permutation"):
+        if k_static == 0 and square:
             return FactState.TRUE
         return FactState.UNKNOWN
     return FactState.UNKNOWN
