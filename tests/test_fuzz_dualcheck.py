@@ -257,3 +257,60 @@ def test_fuzz_mask_surfaces(seed):
     val, gv = (np.asarray(r) for r in f(xv))
     assert np.isfinite(val).all()
     assert np.isfinite(gv).all()
+
+
+def _random_linalg_program(rng, A, depth=4):
+    """Random SPD-preserving linalg pipelines: cholesky / solves /
+    logdet / inverse / eigh chained with SPD-safe combinators, fwd+grad
+    under DebugMode — stresses the constant-mask decomposition
+    pullbacks."""
+    import pytensor_tpu.tensor.linalg as ptl
+
+    spd = A  # (4, 4) SPD by construction at the value level
+    scalars = []
+    for _ in range(depth):
+        r = rng.random()
+        if r < 0.25:
+            L = ptl.cholesky(spd)
+            scalars.append(pt.sum(pt.log(pt.diagonal(L))))
+            spd = spd + 0.1 * pt.dot(L, pt.matrix_transpose(L))
+        elif r < 0.45:
+            scalars.append(ptl.logdet(spd + pt.eye(4, 4, 0, dtype="float64")))
+        elif r < 0.6:
+            Iv = ptl.inv(spd)
+            spd = 0.5 * (Iv + pt.matrix_transpose(Iv)) \
+                + 4.0 * pt.eye(4, 4, 0, dtype="float64")
+        elif r < 0.8:
+            w, V = ptl.eigh(0.5 * (spd + pt.matrix_transpose(spd)))
+            scalars.append(pt.sum(pt.log(w + 1.0)))
+        else:
+            b = pt.as_tensor_variable(
+                np.linspace(0.5, 1.5, 4))
+            x = ptl.solve(spd, b, b_ndim=1)
+            scalars.append(pt.sum(x ** 2))
+    out = pt.sum(spd * 0.01)
+    for s in scalars:
+        out = out + pt.tanh(s * 0.1)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_linalg_pipelines(seed):
+    rng = np.random.default_rng(21000 + seed)
+    A = pt.tensor("A", dtype="float64", shape=(4, 4))
+    out = _random_linalg_program(rng, A)
+    g = ptt.grad(out, A)
+    f = ptt.function([A], [out, g], mode=DebugMode())
+    a = rng.standard_normal((4, 4))
+    Av = a @ a.T + 4.0 * np.eye(4)
+    val, gv = (np.asarray(r) for r in f(Av))
+    assert np.isfinite(val).all()
+    assert np.isfinite(gv).all()
+    # cross-check the gradient against finite differences (oracle mode)
+    f_o = ptt.function([A], out, mode="FAST_COMPILE")
+    eps = 1e-6
+    for idx in [(0, 0), (1, 2), (3, 3)]:
+        p = Av.copy(); p[idx] += eps
+        m = Av.copy(); m[idx] -= eps
+        num = (float(np.asarray(f_o(p))) - float(np.asarray(f_o(m)))) / (2 * eps)
+        np.testing.assert_allclose(gv[idx], num, rtol=5e-4, atol=1e-7)
