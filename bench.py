@@ -212,18 +212,23 @@ def bench_reference():
     # warmup
     f(theta0)
 
-    # python leapfrog loop, one grad eval per step
-    n_evals = 0
-    t0 = time.perf_counter()
-    th = theta0.copy()
-    while time.perf_counter() - t0 < 2.0:
-        for _ in range(LEAPFROG_STEPS):
-            lp, g = f(th)
-            m2 = m + (EPS / 2) * g
-            th = th + EPS * m2
-            n_evals += 1
-    dt = time.perf_counter() - t0
-    return n_evals / dt, float(lp)
+    # python leapfrog loop, one grad eval per step; best of three
+    # 2-second windows so a transient host-CPU blip cannot deflate the
+    # baseline (observed 11.6k-31k evals/s from a single window)
+    best = 0.0
+    for _ in range(3):
+        n_evals = 0
+        t0 = time.perf_counter()
+        th = theta0.copy()
+        while time.perf_counter() - t0 < 2.0:
+            for _ in range(LEAPFROG_STEPS):
+                lp, g = f(th)
+                m2 = m + (EPS / 2) * g
+                th = th + EPS * m2
+                n_evals += 1
+        dt = time.perf_counter() - t0
+        best = max(best, n_evals / dt)
+    return best, float(lp)
 
 
 def main():
