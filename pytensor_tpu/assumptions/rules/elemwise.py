@@ -7,6 +7,14 @@ from pytensor_tpu.assumptions import FactState, register_assumption
 from pytensor_tpu.tensor.elemwise import CAReduce, Elemwise
 
 
+def _is_zero_constant(v):
+    import numpy as np
+
+    from pytensor_tpu.graph.basic import Constant
+
+    return isinstance(v, Constant) and np.all(np.asarray(v.data) == 0)
+
+
 def elemwise_rule(node, fact, holds_fn):
     name = node.op.scalar_op.name
     if fact == "lower_triangular" or fact == "upper_triangular":
@@ -22,6 +30,17 @@ def elemwise_rule(node, fact, holds_fn):
             if subs and all(s == FactState.TRUE for s in subs) and \
                     len(subs) == len(node.inputs):
                 return FactState.TRUE
+    if fact in ("diagonal", "lower_triangular", "upper_triangular") and \
+            name == "switch":
+        # switch(mask, x, 0): the mask's exact zeros survive, so the
+        # output inherits the mask's sparsity-pattern fact (this is how
+        # diag(v) and tril/triu are constructed — select, not multiply,
+        # to keep non-finite x confined to the kept positions)
+        cond, _, other = node.inputs
+        if cond.type.ndim == node.outputs[0].type.ndim and \
+                holds_fn(cond, fact) == FactState.TRUE and \
+                _is_zero_constant(other):
+            return FactState.TRUE
     if fact == "diagonal":
         if name == "mul":
             for i in node.inputs:

@@ -31,7 +31,9 @@ def kalman_loglike(ys, T, Z, Q, H, x0, P0):
 
     All operands are symbolic matrices/vectors; returns a scalar.
     """
-    p = Z.type.shape[0]
+    # observation dim: static when known, else the symbolic shape —
+    # a fallback constant would silently skew -0.5*p*log(2pi)
+    p_static = Z.type.shape[0]
 
     def step(y_t, x_pred, P_pred, T_, Z_, Q_, H_):
         # innovations
@@ -39,9 +41,11 @@ def kalman_loglike(ys, T, Z, Q, H, x0, P0):
         F = pt.dot(Z_, pt.dot(P_pred, Z_.T)) + H_
         L = ptl.cholesky(F)
         alpha = ptl.solve_triangular(L, v, lower=True)
+        p_f = (np.float64(p_static) if p_static is not None
+               else pt.cast(y_t.shape[0], "float64"))
         ll_t = -0.5 * (pt.sum(alpha ** 2)
                        + 2.0 * pt.sum(pt.log(pt.diagonal(L)))
-                       + np.float64(p if p is not None else 1) * LOG_2PI)
+                       + p_f * LOG_2PI)
         # Kalman gain via two triangular solves: K = P Z^T F^-1
         PZt = pt.dot(P_pred, Z_.T)
         W = ptl.solve_triangular(L, PZt.T, lower=True)

@@ -975,16 +975,21 @@ def diag(v, k=0):
         m = v.type.shape[0]
         n = m + abs(int(k)) if m is not None \
             else shape(v)[0] + int(np.abs(k))
-        mask = eye(n, n, k, dtype=v.type.dtype)
+        from pytensor_tpu.tensor.math import switch
+
+        # select (not multiply) so non-finite entries in v stay confined
+        # to the diagonal: mask*v would give 0*inf=nan off-diagonal
+        mask = eye(n, n, k, dtype="bool")
+        zero = as_tensor_variable(np.zeros((), dtype=v.type.dtype))
         if k == 0:
             w = v
         else:
             w = join(0, zeros((abs(int(k)),), dtype=v.type.dtype), v)
         if k >= 0:
             # value sits at column j = i + k: broadcast along rows
-            return mask * w.dimshuffle("x", 0)
+            return switch(mask, w.dimshuffle("x", 0), zero)
         # k < 0: value sits at row i = j - k: broadcast along columns
-        return mask * w.dimshuffle(0, "x")
+        return switch(mask, w.dimshuffle(0, "x"), zero)
     elif v.type.ndim >= 2:
         return diagonal(v, offset=k, axis1=-2, axis2=-1)
     raise ValueError("diag needs ndim >= 1")

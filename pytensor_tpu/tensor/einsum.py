@@ -120,8 +120,11 @@ class Einsum(Op):
 
 
 def _expand_ellipsis(subscripts, operands):
-    """Rewrite '...' into explicit right-aligned index letters (numpy
-    ellipsis-broadcast semantics for the common equal/absent-dims case)."""
+    """Rewrite '...' into explicit right-aligned index letters, with numpy
+    ellipsis-broadcast semantics: a statically-size-1 batch dim facing a
+    larger one elsewhere is squeezed away and its letter dropped from that
+    operand (einsum broadcasts along letters an operand doesn't carry).
+    Returns ``(new_subscripts, new_operands)``."""
     import string
 
     if "->" in subscripts:
@@ -157,7 +160,31 @@ def _expand_ellipsis(subscripts, operands):
         out = letters + named_out
     else:
         out = out.replace("...", letters)
-    return ",".join(new_specs) + "->" + out
+    # numpy broadcasting inside '...': where one operand's batch dim is
+    # statically 1 and another operand's (or an unknown) is not, squeeze
+    # the 1-dim and drop the letter from that operand's spec
+    ell = set(letters)
+    sizes = {}
+    for spec, opd in zip(new_specs, operands):
+        for pos, ch in enumerate(spec):
+            if ch in ell:
+                sizes.setdefault(ch, []).append(opd.type.shape[pos])
+    bcast = {ch for ch, ss in sizes.items()
+             if 1 in ss and any(s is None or s != 1 for s in ss)}
+    operands = list(operands)
+    if bcast:
+        squeezed = []
+        for k, (spec, opd) in enumerate(zip(new_specs, operands)):
+            drop = {pos for pos, ch in enumerate(spec)
+                    if ch in bcast and opd.type.shape[pos] == 1}
+            if drop:
+                keep = [p for p in range(len(spec)) if p not in drop]
+                operands[k] = opd.dimshuffle(*keep)
+                spec = "".join(ch for p, ch in enumerate(spec)
+                               if p not in drop)
+            squeezed.append(spec)
+        new_specs = squeezed
+    return ",".join(new_specs) + "->" + out, tuple(operands)
 
 
 def einsum(subscripts, *operands, optimize=None):
@@ -170,7 +197,7 @@ def einsum(subscripts, *operands, optimize=None):
     subscripts = subscripts.replace(" ", "")
     operands = tuple(as_tensor_variable(o) for o in operands)
     if "..." in subscripts:
-        subscripts = _expand_ellipsis(subscripts, operands)
+        subscripts, operands = _expand_ellipsis(subscripts, operands)
     if "->" in subscripts:
         ins, out = subscripts.split("->")
     else:

@@ -324,6 +324,40 @@ def local_diagonal_of_diag(fgraph, node):
         copy_stack_trace(out, y)
         return [y]
 
+    def _is_eye0(m):
+        if m.owner is None or not isinstance(m.owner.op, Eye):
+            return False
+        try:
+            return int(get_scalar_constant_value(m.owner.inputs[2])) == 0
+        except NotScalarConstantError:
+            return False
+
+    def _vec_of_row_bcast(w):
+        """Return v when w is v.dimshuffle('x', 0) (or ... column bcast)."""
+        if w.owner is not None and isinstance(w.owner.op, DimShuffle) \
+                and not w.owner.op.drop and w.owner.op.shuffle == (0,) \
+                and w.owner.inputs[0].type.ndim == 1:
+            return w.owner.inputs[0]
+        return None
+
+    def _is_zero_const(v):
+        from pytensor_tpu.graph.basic import Constant
+
+        while v.owner is not None and isinstance(v.owner.op, DimShuffle):
+            v = v.owner.inputs[0]
+        return isinstance(v, Constant) and np.all(np.asarray(v.data) == 0)
+
+    # current ctor: switch(eye(n, bool), v.dimshuffle('x', 0), 0)
+    if isinstance(A.owner.op, Elemwise) \
+            and getattr(A.owner.op.scalar_op, "name", "") == "switch" \
+            and len(A.owner.inputs) == 3:
+        cond, tval, fval = A.owner.inputs
+        if _is_eye0(cond) and _is_zero_const(fval):
+            v = _vec_of_row_bcast(tval)
+            if v is not None:
+                return _accept(v)
+        return False
+
     if isinstance(A.owner.op, Elemwise) \
             and getattr(A.owner.op.scalar_op, "name", "") == "mul" \
             and len(A.owner.inputs) == 2:
@@ -667,6 +701,14 @@ register_stabilize(local_log_prod_to_sum_log,
 # operand is known diagonal / permutation / orthogonal.
 # ---------------------------------------------------------------------------
 
+def _unit_sign(d):
+    """sign(d) but +1 where d == 0, so unit-magnitude everywhere."""
+    from pytensor_tpu.tensor.math import eq, sign, switch
+
+    one = np.asarray(1, dtype=d.type.dtype)
+    return switch(eq(d, 0), one, sign(d))
+
+
 def _holds_in(fgraph, v, fact):
     from pytensor_tpu.assumptions import FactState, holds_in
 
@@ -769,7 +811,9 @@ def local_svd_of_diagonal(fgraph, node):
     out_dt = node.outputs[0].type.dtype
     I = eye(_static_n(A), dtype=out_dt)
     U = _mT_var(I[idx])
-    Vh = sign(d[idx])[:, None] * I[idx]
+    # _unit_sign: keep Vh orthogonal when d has zeros (sign(0)=0 would
+    # zero the row); A = U diag(s) Vh is unchanged since s=0 there
+    Vh = _unit_sign(d[idx])[:, None] * I[idx]
     return _replace_all(node, [U, s, Vh])
 
 
@@ -835,7 +879,9 @@ def local_qr_of_diagonal(fgraph, node):
         return _replace_all(node, [R])
     if node.op.mode not in ("reduced", "complete"):
         return False
-    Q = alloc_diag(sign(d))
+    # zero diagonal entries: sign(0)=0 would zero a Q column and break
+    # orthogonality — pick +1 there (any unit works, Q@R is unchanged)
+    Q = alloc_diag(_unit_sign(d))
     return _replace_all(node, [Q, R])
 
 

@@ -218,7 +218,11 @@ def test_fill_diagonal_offset_grid(offset):
 @pytest.mark.parametrize("axis", [0, 1, -1])
 @pytest.mark.parametrize("name,op,npf", [
     ("sort", pt.sort, np.sort),
-    ("argsort", pt.argsort, np.argsort),
+    # int draws can tie and argsort order on ties is only defined for
+    # kind="stable" (XLA's sort is always stable; numpy's default isn't)
+    ("argsort",
+     lambda x, axis: pt.argsort(x, axis=axis, kind="stable"),
+     lambda v, axis: np.argsort(v, axis=axis, kind="stable")),
 ])
 def test_sort_grid(name, op, npf, axis, dtype):
     x = pt.tensor("x", dtype=dtype, shape=(4, 5))
