@@ -553,11 +553,20 @@ f = ptt.function([X, y, w, b], [xent, gw, gb])
 t_build = time.perf_counter() - t0
 Xv = rng.random((n, d)).astype("f4"); yv = (rng.random(n) < .5).astype("f4")
 wv = np.zeros(d, "f4"); bv = np.float32(0)
-t0 = time.perf_counter()
 import jax
-jax.device_get(f(Xv, yv, wv, bv)[0])
-t_first = time.perf_counter() - t0
-print(f"RESULT {t_import:.4f} {t_build:.4f} {t_first:.4f}")
+# split the first call with the AOT API: trace/lower, XLA compile (the
+# part the persistent cache can serve), then execute + fetch through the
+# tunnel (pure runtime cost no cache can remove)
+t0 = time.perf_counter()
+lowered = f.vm.lower(Xv, yv, wv, bv)
+t_trace = time.perf_counter() - t0
+t0 = time.perf_counter()
+compiled = lowered.compile()
+t_compile = time.perf_counter() - t0
+t0 = time.perf_counter()
+jax.device_get(compiled(Xv, yv, wv, bv)[0])
+t_exec = time.perf_counter() - t0
+print(f"RESULT {t_import:.4f} {t_build:.4f} {t_trace:.4f} {t_compile:.4f} {t_exec:.4f}")
 """
 
 
@@ -569,11 +578,12 @@ def compile_latency_report():
     import sys
     import tempfile
 
-    out = {"note": ("first-call times on this backend include the axon "
-                    "remote-compile tunnel round trip (cold starts "
-                    "intermittently stall ~5 min); warm = second process "
-                    "hitting the persistent XLA cache "
-                    "(config.xla__cache_dir)")}
+    out = {"note": ("first call split with the AOT API: trace (python), "
+                    "xla_compile (what the persistent cache serves — warm "
+                    "processes hit disk, r4 fix: persist thresholds at 0), "
+                    "exec_fetch (tunnel RTT no cache can remove; cold "
+                    "first dispatch intermittently stalls minutes in the "
+                    "axon backend itself)")}
     with tempfile.TemporaryDirectory(prefix="ptt_cache_") as cache_dir:
         env = dict(os.environ)
         env["PYTENSOR_TPU_FLAGS"] = (
@@ -585,13 +595,18 @@ def compile_latency_report():
                     capture_output=True, text=True, timeout=900)
                 line = [ln for ln in r.stdout.splitlines()
                         if ln.startswith("RESULT")][-1]
-                imp, build, first = (float(x) for x in line.split()[1:])
+                imp, build, trace, comp, execf = (
+                    float(x) for x in line.split()[1:])
                 out[f"{label}_import_s"] = round(imp, 3)
                 out[f"{label}_function_build_s"] = round(build, 3)
-                out[f"{label}_first_call_s"] = round(first, 3)
+                out[f"{label}_trace_s"] = round(trace, 3)
+                out[f"{label}_xla_compile_s"] = round(comp, 3)
+                out[f"{label}_exec_fetch_s"] = round(execf, 3)
+                out[f"{label}_first_call_s"] = round(trace + comp + execf, 3)
             except Exception as e:
                 out[f"{label}_error"] = repr(e)[:200]
                 return out
+        out["cache_entries_after_cold"] = len(os.listdir(cache_dir))
     # reference C-VM compile latency on the same graph shape (CPU)
     ref_snippet = r"""
 import os, sys, time

@@ -31,9 +31,13 @@ def ensure_x64():
             jax.config.update("jax_enable_x64", True)
         if config.xla__cache_dir:
             # persistent compilation cache: recompiles across processes hit
-            # disk instead of the compiler (reference ModuleCache role)
+            # disk instead of the compiler (reference ModuleCache role).
+            # Thresholds at 0: the reference's ModuleCache persists every
+            # module, and the 0.5s default silently excluded exactly the
+            # small latency-sensitive graphs a warm start should help.
             jax.config.update("jax_compilation_cache_dir", config.xla__cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _x64_initialized = True
 
 
