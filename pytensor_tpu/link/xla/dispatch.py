@@ -204,6 +204,15 @@ def register_all():
         augment = op.augment
 
         def dimshuffle(x):
+            if not isinstance(x, _jax_types):
+                # host-concrete operand (shape arithmetic, e.g.
+                # shape(x)[0] squeezed by a dim-dropping rewrite): stay
+                # numpy so downstream reshape/alloc args stay concrete
+                res = np.transpose(x, transposition)
+                shape = list(res.shape[:nshuffle])
+                for a in augment:
+                    shape.insert(a, 1)
+                return np.reshape(res, shape)
             res = jnp.transpose(x, transposition)
             shape = list(res.shape[:nshuffle])
             for a in augment:

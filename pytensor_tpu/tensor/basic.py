@@ -146,7 +146,7 @@ def get_scalar_constant_value(v, elemwise=True, raise_not_constant=True):
         if isinstance(v, Constant):
             data = np.asarray(v.data)
             if data.size != 1:
-                raise NotScalarConstantError(f"{v0} is not a scalar constant")
+                break  # honor raise_not_constant below
             return data.reshape(())
         if v.owner is not None:
             op = v.owner.op
@@ -162,6 +162,13 @@ def get_scalar_constant_value(v, elemwise=True, raise_not_constant=True):
                     return np.asarray(np.int64(dim)).reshape(())
             from pytensor_tpu.tensor.shape import Shape as _Shape
             from pytensor_tpu.tensor.subtensor import Subtensor as _Subtensor
+
+            # Shape of a 1-d operand reached through a dim-dropping
+            # DimShuffle (shape(v)[0] after the squeeze rewrites)
+            if isinstance(op, _Shape) and v.type.shape == (1,):
+                dim = v.owner.inputs[0].type.shape[0]
+                if dim is not None:
+                    return np.asarray(np.int64(dim)).reshape(())
 
             if isinstance(op, _Subtensor) and len(op.idx_list) == 1 and \
                     isinstance(op.idx_list[0], (int, np.integer)):

@@ -7,7 +7,7 @@ import numpy as np
 
 from pytensor_tpu.compile.mode import (register_canonicalize, register_specialize, register_useless)
 from pytensor_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
-from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, AdvancedSubtensor1, IncSubtensor, Subtensor)
+from pytensor_tpu.tensor.subtensor import (DYN, AdvancedIncSubtensor, AdvancedIncSubtensor1, AdvancedSubtensor, AdvancedSubtensor1, IncSubtensor, Subtensor)
 
 
 def _full_slice(e, dim=None):
@@ -1017,3 +1017,653 @@ register_canonicalize(local_shape_of_bool_mask,
                       name="local_shape_of_bool_mask")
 register_specialize(local_shape_of_bool_mask,
                     name="local_shape_of_bool_mask")
+
+
+# ---------------------------------------------------------------------------
+# write/read interaction family (reference rewriting/subtensor.py:1156
+# local_set_to_inc_subtensor, :1898 local_incsubtensor_of_zeros, :1923
+# local_incsubtensor_of_zeros_to_setsubtensor, :1945
+# local_setsubtensor_of_constants, :1980 local_read_of_write_same_indices,
+# :2330 local_write_of_write_same_indices).  On TPU these matter because a
+# scatter that survives to HLO serializes; removing or fusing writes is a
+# bigger win than on the reference's C backend.
+# ---------------------------------------------------------------------------
+
+def _underlying_const(v):
+    """The scalar a variable is uniformly filled with (through
+    Alloc/DimShuffle/uniform Constant arrays), or None."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import get_underlying_scalar_constant_value
+
+    if isinstance(v, Constant):
+        data = np.asarray(v.data)
+        if data.size == 0:
+            return None
+        flat = data.reshape(-1)
+        return flat[0] if np.all(flat == flat[0]) else None
+    return get_underlying_scalar_constant_value(v, raise_not_constant=False)
+
+
+def _indices_jointly_unique(node_or_ilist):
+    """True when a write op's index coordinates are provably duplicate-free.
+
+    Basic IncSubtensor indices (ints/slices) are always unique.  Advanced
+    integer-array indices must be CONSTANT and have duplicate-free joint
+    coordinate tuples (checked by materializing the broadcast of the index
+    arrays)."""
+    from pytensor_tpu.graph.basic import Constant
+
+    node = node_or_ilist
+    if isinstance(node.op, IncSubtensor):
+        return True
+    if isinstance(node.op, AdvancedIncSubtensor1):
+        ilist = node.inputs[2]
+        if not isinstance(ilist, Constant):
+            return False
+        vals = np.asarray(ilist.data)
+        return len(np.unique(vals)) == vals.size
+    # AdvancedIncSubtensor: every tensor index must be a constant int
+    # array; slices are unique per-axis
+    arrays = []
+    for i in node.inputs[2:]:
+        if not isinstance(i, Constant):
+            return False
+        data = np.asarray(i.data)
+        if data.dtype == np.bool_:
+            return True if len(node.inputs) == 3 else False  # sole mask
+        arrays.append(data)
+    if not arrays:
+        return True
+    try:
+        coords = np.broadcast_arrays(*arrays)
+    except ValueError:
+        return False
+    flat = np.stack([c.reshape(-1) for c in coords], axis=-1)
+    return len(np.unique(flat, axis=0)) == flat.shape[0]
+
+
+def _matching_read_of(node, write_types):
+    """When ``node`` reads exactly what an inner write op wrote (same base
+    structural index, identical index variables), return the write node."""
+    inner = node.inputs[0]
+    if inner.owner is None or not isinstance(inner.owner.op, write_types):
+        return None
+    wnode = inner.owner
+    if isinstance(node.op, (Subtensor, AdvancedSubtensor)):
+        if getattr(node.op, "idx_list", None) != getattr(wnode.op, "idx_list", None):
+            return None
+        read_idx = node.inputs[1:]
+        write_idx = wnode.inputs[2:]
+    else:  # AdvancedSubtensor1 / AdvancedIncSubtensor1
+        read_idx = node.inputs[1:]
+        write_idx = wnode.inputs[2:]
+    if len(read_idx) != len(write_idx):
+        return None
+    if not all(r is w for r, w in zip(read_idx, write_idx)):
+        return None
+    return wnode
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_set_to_inc_subtensor(fgraph, node):
+    """set_subtensor(x[idx], x[idx] + other) -> inc_subtensor(x[idx], other)
+    (reference rewriting/subtensor.py:1156).  Valid only for provably
+    duplicate-free indices: set is last-write-wins, inc accumulates."""
+    from pytensor_tpu.tensor.elemwise import Elemwise
+
+    if not node.op.set_instead_of_inc:
+        return False
+    x, y = node.inputs[0], node.inputs[1]
+    if y.owner is None or not isinstance(y.owner.op, Elemwise) \
+            or getattr(y.owner.op.scalar_op, "name", "") != "add" \
+            or len(y.owner.inputs) != 2:
+        return False
+    read_type = {IncSubtensor: Subtensor,
+                 AdvancedIncSubtensor: AdvancedSubtensor,
+                 AdvancedIncSubtensor1: AdvancedSubtensor1}[type(node.op)]
+    for a, other in (y.owner.inputs, y.owner.inputs[::-1]):
+        if a.owner is None or not isinstance(a.owner.op, read_type):
+            continue
+        rnode = a.owner
+        if rnode.inputs[0] is not x:
+            continue
+        if isinstance(node.op, (IncSubtensor, AdvancedIncSubtensor)):
+            if rnode.op.idx_list != node.op.idx_list:
+                continue
+        if len(rnode.inputs[1:]) != len(node.inputs[2:]) or \
+                not all(r is w for r, w in
+                        zip(rnode.inputs[1:], node.inputs[2:])):
+            continue
+        if not _indices_jointly_unique(node):
+            return False
+        if isinstance(node.op, AdvancedIncSubtensor1):
+            new_op = AdvancedIncSubtensor1(set_instead_of_inc=False)
+        elif isinstance(node.op, AdvancedIncSubtensor):
+            new_op = AdvancedIncSubtensor(
+                node.op.idx_list, set_instead_of_inc=False,
+                ignore_duplicates=node.op.ignore_duplicates)
+        else:
+            new_op = IncSubtensor(node.op.idx_list, set_instead_of_inc=False)
+        res = new_op(x, other, *node.inputs[2:])
+        out = node.outputs[0]
+        if not out.type.is_super(res.type):
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+    return False
+
+
+register_canonicalize(local_set_to_inc_subtensor,
+                      name="local_set_to_inc_subtensor")
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_incsubtensor_of_zeros(fgraph, node):
+    """inc_subtensor(x[idx], 0) -> x (reference :1898)."""
+    if node.op.set_instead_of_inc:
+        return False
+    y = node.inputs[1]
+    c = _underlying_const(y)
+    if c is None or c != 0:
+        return False
+    x = node.inputs[0]
+    out = node.outputs[0]
+    if not out.type.is_super(x.type):
+        return False
+    return [x]
+
+
+register_canonicalize(local_incsubtensor_of_zeros,
+                      name="local_incsubtensor_of_zeros")
+register_specialize(local_incsubtensor_of_zeros,
+                    name="local_incsubtensor_of_zeros")
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_incsubtensor_of_zeros_to_setsubtensor(fgraph, node):
+    """inc_subtensor(zeros[idx], y) -> set_subtensor(zeros[idx], y)
+    (reference :1923) — a set scatter needs no read of the operand.
+    Sound only for duplicate-free indices (inc at a repeated position
+    accumulates; set keeps one)."""
+    from pytensor_tpu.assumptions import FactState, holds_in
+
+    if node.op.set_instead_of_inc:
+        return False
+    x = node.inputs[0]
+    if holds_in(fgraph, x, "zero") != FactState.TRUE:
+        return False
+    if not _indices_jointly_unique(node):
+        return False
+    if isinstance(node.op, AdvancedIncSubtensor1):
+        new_op = AdvancedIncSubtensor1(set_instead_of_inc=True)
+    elif isinstance(node.op, AdvancedIncSubtensor):
+        new_op = AdvancedIncSubtensor(node.op.idx_list,
+                                      set_instead_of_inc=True)
+    else:
+        new_op = IncSubtensor(node.op.idx_list, set_instead_of_inc=True)
+    res = new_op(*node.inputs)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_incsubtensor_of_zeros_to_setsubtensor,
+                      name="local_incsubtensor_of_zeros_to_setsubtensor")
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_setsubtensor_of_constants(fgraph, node):
+    """set_subtensor(fill(c)[idx], fill(c)) -> the operand unchanged
+    (reference :1945): writing the value that is already there."""
+    if not node.op.set_instead_of_inc:
+        return False
+    cx = _underlying_const(node.inputs[0])
+    cy = _underlying_const(node.inputs[1])
+    if cx is None or cy is None or cx != cy:
+        return False
+    x, out = node.inputs[0], node.outputs[0]
+    if not out.type.is_super(x.type):
+        return False
+    return [x]
+
+
+register_canonicalize(local_setsubtensor_of_constants,
+                      name="local_setsubtensor_of_constants")
+
+
+@node_rewriter([Subtensor, AdvancedSubtensor, AdvancedSubtensor1])
+def local_read_of_write_same_indices(fgraph, node):
+    """set_subtensor(x[idx], v)[idx] -> v;
+    inc_subtensor(x[idx], v)[idx] -> x[idx] + v (reference :1980).
+    Advanced integer-array indices must be constant and duplicate-free
+    (duplicates make the read order-dependent)."""
+    write_types = {Subtensor: IncSubtensor,
+                   AdvancedSubtensor: AdvancedIncSubtensor,
+                   AdvancedSubtensor1: AdvancedIncSubtensor1}[type(node.op)]
+    wnode = _matching_read_of(node, write_types)
+    if wnode is None:
+        return False
+    if not _indices_jointly_unique(wnode):
+        return False
+    x, v = wnode.inputs[0], wnode.inputs[1]
+    out = node.outputs[0]
+
+    def read_of_x():
+        if isinstance(node.op, AdvancedSubtensor1):
+            return AdvancedSubtensor1()(x, *node.inputs[1:])
+        return type(node.op)(node.op.idx_list)(x, *node.inputs[1:])
+
+    if wnode.op.set_instead_of_inc:
+        res = v
+        if not out.type.is_super(res.type):
+            if v.type.ndim == out.type.ndim:
+                # same rank, weaker statics: recover them without a read
+                from pytensor_tpu.tensor.shape import specify_shape
+
+                res = specify_shape(v, out.type.shape)
+            if not out.type.is_super(res.type):
+                # v is a broadcast-smaller update: fill it to the read's
+                # shape (elemwise; no reference back to the replaced out)
+                from pytensor_tpu.tensor.math import second
+
+                res = second(read_of_x(), v)
+            if not out.type.is_super(res.type):
+                return False
+    else:
+        res = read_of_x() + v
+        if not out.type.is_super(res.type):
+            return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_read_of_write_same_indices,
+                      name="local_read_of_write_same_indices")
+register_specialize(local_read_of_write_same_indices,
+                    name="local_read_of_write_same_indices")
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_write_of_write_same_indices(fgraph, node):
+    """Collapse nested writes at identical indices (reference :2330):
+    outer set shadows the inner write; inc+inc accumulates; inc-of-set
+    merges when indices are duplicate-free."""
+    inner_x, b = node.inputs[0], node.inputs[1]
+    if inner_x.owner is None or type(inner_x.owner.op) is not type(node.op):
+        return False
+    wnode = inner_x.owner
+    if isinstance(node.op, (IncSubtensor, AdvancedIncSubtensor)):
+        if wnode.op.idx_list != node.op.idx_list:
+            return False
+    if len(wnode.inputs[2:]) != len(node.inputs[2:]) or \
+            not all(r is w for r, w in zip(wnode.inputs[2:], node.inputs[2:])):
+        return False
+    if len(fgraph.clients.get(inner_x, ())) != 1:
+        return False
+    base, a = wnode.inputs[0], wnode.inputs[1]
+    outer_set = node.op.set_instead_of_inc
+    inner_set = wnode.op.set_instead_of_inc
+    if outer_set:
+        new_val, use_set = b, True
+    elif inner_set:
+        if not _indices_jointly_unique(node):
+            return False
+        new_val, use_set = a + b, True
+    else:
+        new_val, use_set = a + b, False
+    if isinstance(node.op, AdvancedIncSubtensor1):
+        new_op = AdvancedIncSubtensor1(set_instead_of_inc=use_set)
+    elif isinstance(node.op, AdvancedIncSubtensor):
+        new_op = AdvancedIncSubtensor(node.op.idx_list,
+                                      set_instead_of_inc=use_set)
+    else:
+        new_op = IncSubtensor(node.op.idx_list, set_instead_of_inc=use_set)
+    res = new_op(base, new_val, *node.inputs[2:])
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_write_of_write_same_indices,
+                      name="local_write_of_write_same_indices")
+
+
+# ---------------------------------------------------------------------------
+# index canonicalization / gather-to-slice family (reference
+# rewriting/subtensor.py:516 local_useless_slice, :1048
+# local_subtensor_remove_broadcastable_index, :1376
+# local_convert_negative_indices, :1460 local_adv_idx_to_diagonal, :1577
+# local_adv_idx_to_slice, :2507 local_join_subtensors).  On TPU the
+# gather->slice rules are perf rules, not just cleanups: a dynamic gather
+# lowers to per-row DMA while a slice is a strided window.
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Subtensor])
+def local_useless_slice_parts(fgraph, node):
+    """Canonicalize static slice parts: start=0 -> None, step=1 -> None,
+    stop >= static dim -> None (reference :516).  Exposes merges and the
+    full-slice removals to the other rules."""
+    x = node.inputs[0]
+    changed = False
+    new_idx = []
+    d = 0
+    for e in node.op.idx_list:
+        if isinstance(e, tuple) and e and e[0] == "slice":
+            _, a, b, c = e
+            if a == 0:
+                a, changed = None, True
+            if c == 1:
+                c, changed = None, True
+            dim = x.type.shape[d] if d < x.type.ndim else None
+            if isinstance(b, int) and dim is not None and b >= dim \
+                    and (c is None or (isinstance(c, int) and c > 0)):
+                b, changed = None, True
+            new_idx.append(("slice", a, b, c))
+            d += 1
+        else:
+            new_idx.append(e)
+            d += 1
+    if not changed:
+        return False
+    out = node.outputs[0]
+    if all(_full_slice(e) for e in new_idx):
+        res = node.inputs[0]
+    else:
+        res = Subtensor(new_idx)(*node.inputs)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_useless_slice_parts,
+                      name="local_useless_slice_parts")
+
+
+@node_rewriter([Subtensor])
+def local_convert_negative_indices(fgraph, node):
+    """Static negative integer indices / slice bounds on a statically-known
+    dim become their non-negative form (reference :1376) — downstream
+    pattern matchers only reason about canonical indices."""
+    x = node.inputs[0]
+    changed = False
+    new_idx = []
+    d = 0
+    for e in node.op.idx_list:
+        dim = x.type.shape[d] if d < x.type.ndim else None
+        if isinstance(e, (int, np.integer)) and e < 0 and dim is not None:
+            new_idx.append(int(e) + dim)
+            changed = True
+        elif isinstance(e, tuple) and e and e[0] == "slice" \
+                and dim is not None:
+            _, a, b, c = e
+            step_pos = c is None or (isinstance(c, int) and c > 0)
+            if step_pos and isinstance(a, int) and a < 0 and a + dim >= 0:
+                a, changed = a + dim, True
+            if step_pos and isinstance(b, int) and b < 0 and b + dim >= 0:
+                b, changed = b + dim, True
+            new_idx.append(("slice", a, b, c))
+        else:
+            new_idx.append(e)
+        d += 1
+    if not changed:
+        return False
+    res = Subtensor(new_idx)(*node.inputs)
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_convert_negative_indices,
+                      name="local_convert_negative_indices")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_remove_broadcastable_index(fgraph, node):
+    """x[..., 0, ...] on statically-length-1 dims -> a dim-dropping
+    DimShuffle (reference :1048): keeps the graph in the elemwise world
+    where fusion applies instead of the slicing world."""
+    x = node.inputs[0]
+    drop = []
+    d = 0
+    for e in node.op.idx_list:
+        if isinstance(e, (int, np.integer)):
+            if e in (0, -1) and x.type.shape[d] == 1:
+                drop.append(d)
+                d += 1
+                continue
+            return False
+        if not _full_slice(e):
+            return False
+        d += 1
+    if not drop:
+        return False
+    keep = [i for i in range(x.type.ndim) if i not in drop]
+    res = x.dimshuffle(keep)
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_subtensor_remove_broadcastable_index,
+                      name="local_subtensor_remove_broadcastable_index")
+register_specialize(local_subtensor_remove_broadcastable_index,
+                    name="local_subtensor_remove_broadcastable_index")
+
+
+def _constant_arange_step1(v):
+    """(start, n) when v is a constant 1-d int array equal to
+    arange(start, start+n); else None."""
+    from pytensor_tpu.graph.basic import Constant
+
+    if not isinstance(v, Constant):
+        return None
+    data = np.asarray(v.data)
+    if data.ndim != 1 or data.size == 0 or data.dtype.kind not in "iu":
+        return None
+    start = int(data[0])
+    if start < 0:
+        return None
+    if not np.array_equal(data, np.arange(start, start + data.size)):
+        return None
+    return start, int(data.size)
+
+
+@node_rewriter([AdvancedSubtensor1, AdvancedSubtensor])
+def local_adv_idx_to_slice(fgraph, node):
+    """x[arange(a, b)] -> x[a:b] (reference :1577): the gather becomes a
+    strided slice — on TPU that is a single DMA window instead of a
+    serialized row gather.  Constant indices only, so bounds are checked
+    here and the slice is exact (not shape_unsafe)."""
+    x = node.inputs[0]
+    if isinstance(node.op, AdvancedSubtensor1):
+        indices = [node.inputs[1]]
+        positions = [0]
+    else:
+        it = iter(node.inputs[1:])
+        indices, positions = [], []
+        d = 0
+        for e in node.op.idx_list:
+            if e == DYN:
+                v = next(it)
+                if v.type.ndim != 1 or v.type.dtype == "bool":
+                    return False
+                indices.append(v)
+                positions.append(d)
+            elif isinstance(e, (int, np.integer)):
+                return False
+            elif not _full_slice(e):
+                return False
+            d += 1
+        if len(indices) != 1:
+            return False
+    m = _constant_arange_step1(indices[0])
+    if m is None:
+        return False
+    start, n = m
+    axis = positions[0]
+    dim = x.type.shape[axis] if axis < x.type.ndim else None
+    if dim is not None and start + n > dim:
+        return False  # the gather would be out of bounds: keep its error
+    if dim is None:
+        return False  # cannot prove in-bounds -> slice would silently clip
+    idx_list = [("slice", None, None, None)] * axis + \
+        [("slice", start or None, start + n, None)]
+    res = Subtensor(idx_list)(x)
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_adv_idx_to_slice, name="local_adv_idx_to_slice")
+
+
+@node_rewriter([AdvancedSubtensor])
+def local_adv_idx_to_diagonal(fgraph, node):
+    """x[arange(d), arange(d)+k] on consecutive axes -> diagonal(x, k)
+    (reference :1460): the paired gather is a strided diagonal read.
+    Constant full-coverage aranges only."""
+    from pytensor_tpu.tensor.basic import diagonal
+
+    x = node.inputs[0]
+    it = iter(node.inputs[1:])
+    indices, positions = [], []
+    d = 0
+    for e in node.op.idx_list:
+        if e == DYN:
+            v = next(it)
+            if v.type.ndim != 1 or v.type.dtype == "bool":
+                return False
+            indices.append(v)
+            positions.append(d)
+        elif isinstance(e, (int, np.integer)):
+            return False
+        elif not _full_slice(e):
+            return False
+        d += 1
+    if len(indices) != 2 or positions[1] != positions[0] + 1:
+        return False
+    a1, a2 = positions
+    m1 = _constant_arange_step1(indices[0])
+    m2 = _constant_arange_step1(indices[1])
+    if m1 is None or m2 is None or m1[1] != m2[1]:
+        return False
+    (r_off, n), (c_off, _) = m1, m2
+    if r_off != 0 and c_off != 0:
+        return False
+    dim_a = x.type.shape[a1] if a1 < x.type.ndim else None
+    dim_b = x.type.shape[a2] if a2 < x.type.ndim else None
+    if dim_a is None or dim_b is None:
+        return False
+    if n != min(dim_a - r_off, dim_b - c_off):
+        return False  # partial diagonal: diagonal() can't express it
+    res = diagonal(x, offset=c_off - r_off, axis1=a1, axis2=a2)
+    # diagonal() puts the diagonal last; numpy keeps consecutive advanced
+    # axes in place
+    if a1 != res.type.ndim - 1:
+        from pytensor_tpu.tensor.basic import moveaxis
+
+        res = moveaxis(res, -1, a1)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_adv_idx_to_diagonal,
+                    name="local_adv_idx_to_diagonal")
+
+
+@node_rewriter(None)
+def local_join_subtensors(fgraph, node):
+    """join(axis, x[..., a:b], x[..., b:c]) -> x[..., a:c]
+    (reference :2507): adjacent reads of the same base concatenate to one
+    strided window — removes a copy and a concat kernel."""
+    from pytensor_tpu.tensor.basic import Join
+
+    if not isinstance(node.op, Join):
+        return False
+    axis_in, *parts = node.inputs
+    if len(parts) != 2:
+        return False
+    try:
+        from pytensor_tpu.tensor.basic import get_scalar_constant_value
+
+        axis = int(get_scalar_constant_value(axis_in))
+    except Exception:
+        return False
+    p0, p1 = parts
+    if p0.owner is None or p1.owner is None:
+        return False
+    if not isinstance(p0.owner.op, Subtensor) or \
+            not isinstance(p1.owner.op, Subtensor):
+        return False
+    if p0.owner.inputs[0] is not p1.owner.inputs[0]:
+        return False
+    x = p0.owner.inputs[0]
+    if axis < 0:
+        axis += x.type.ndim
+
+    def static_bounds(snode):
+        """(start, stop) ints of the slice at `axis` when every other
+        entry is a full slice and all parts are static; else None."""
+        res = None
+        d = 0
+        for e in snode.op.idx_list:
+            if isinstance(e, tuple) and e and e[0] == "slice":
+                _, a, b, c = e
+                if d == axis:
+                    if c not in (None, 1) or a == DYN or b == DYN:
+                        return None
+                    if (a is not None and a < 0) or \
+                            (b is not None and b < 0):
+                        return None
+                    res = (a or 0, b)
+                elif not _full_slice(e):
+                    return None
+                d += 1
+            else:
+                return None
+        if d <= axis:
+            return None
+        return res
+
+    b0 = static_bounds(p0.owner)
+    b1 = static_bounds(p1.owner)
+    if b0 is None or b1 is None:
+        return None
+    dim = x.type.shape[axis]
+    (s0, e0), (s1, e1) = b0, b1
+    # adjacency: first slice's stop == second slice's start.  Python
+    # clamping composes consistently ([a,b) ++ [b,c) == [a,c) within
+    # bounds), but a reversed slice (stop < start) would not — require
+    # non-decreasing bounds.
+    if e0 is None:
+        if dim is None or s1 != dim:
+            return None
+    elif s1 != e0 or s0 > e0:
+        return None
+    if e1 is not None and e1 < s1:
+        return None
+    if (s0 or 0) == 0 and e1 is None:
+        res = x
+    else:
+        idx_list = [("slice", None, None, None)] * axis + \
+            [("slice", s0 or None, e1, None)]
+        res = Subtensor(idx_list)(x)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return None
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_join_subtensors, name="local_join_subtensors")
