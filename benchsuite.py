@@ -41,15 +41,23 @@ def _fetch(x):
     return np.asarray(jax.device_get(x))
 
 
+# (max-min)/min across the best-of-N repeats of the LAST timing call —
+# read by _run_one right after each workload fn returns, so every suite
+# row carries an honest run-to-run spread next to its best-of value.
+LAST_SPREAD = [None]
+
+
 def _time_chained(run_iter, warm_iters=2, iters=32, repeats=3):
     """run_iter(n) must execute the workload n times with a device-side
     dependency chain and return a scalar-ish device value to fetch."""
     _fetch(run_iter(warm_iters))
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _fetch(run_iter(iters))
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    LAST_SPREAD[0] = round((max(times) - best) / best, 3)
     return best / iters
 
 
@@ -341,12 +349,14 @@ def _ref_modules():
 def _ref_time(call, iters, repeats=3, warm=1):
     for _ in range(warm):
         call()
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
             call()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    LAST_SPREAD[0] = round((max(times) - best) / best, 3)
     return best / iters
 
 
@@ -1153,6 +1163,7 @@ def _run_one(fn, name, side, verbose):
 
     if fn is None:
         return None, {}
+    LAST_SPREAD[0] = None
     try:
         # isolate rows: dead executables/buffers from earlier workloads
         # fragment device memory and skewed in-suite rates by up to 25%
@@ -1169,11 +1180,16 @@ def _run_one(fn, name, side, verbose):
         if verbose:
             print(f"suite {name} {side} failed: {e!r}", file=sys.stderr)
         return None, {}
+    spread = {}
+    if LAST_SPREAD[0] is not None:
+        spread[f"{side}_spread" if side != "ours" else "spread"] = \
+            LAST_SPREAD[0]
     if isinstance(r, dict):
         extra = {f"{side}_{k}" if side != "ours" else k: v
                  for k, v in r.items() if k != "value"}
+        extra.update(spread)
         return round(float(r["value"]), 2), extra
-    return round(float(r), 2), {}
+    return round(float(r), 2), spread
 
 
 def run_suite(verbose=True):

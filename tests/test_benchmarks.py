@@ -166,7 +166,6 @@ def test_compile_latency_budget():
     f(rng.random(8))
 
 
-@pytest.mark.slow
 def test_rewrite_throughput():
     """reference test_rewriting.py: full rewrite pipeline wall time."""
     from pytensor_tpu.compile.mode import FAST_RUN

@@ -177,7 +177,6 @@ def test_scan_grad_nonseq():
     np.testing.assert_allclose(float(np.asarray(f(v, a0))), num, rtol=1e-5)
 
 
-@pytest.mark.slow
 def test_scan_rnn_bptt_verify():
     rng = np.random.default_rng(0)
 
