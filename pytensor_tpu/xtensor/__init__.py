@@ -44,5 +44,5 @@ from pytensor_tpu.xtensor.shape import (  # noqa: F401
 from pytensor_tpu.xtensor import ops as _ops_mod
 
 basic = _ops_mod  # ref xtensor/basic.py
-reduction = _ops_mod
 vectorization = _ops_mod
+from pytensor_tpu.xtensor import reduction  # noqa: E402,F401

@@ -471,3 +471,9 @@ def index_set(x, indexers, value, **kwargs):
 
 def index_inc(x, indexers, value, **kwargs):
     return index_update(x, indexers, value, mode="inc", **kwargs)
+
+
+# reference-name aliases (reference xtensor/indexing.py exposes
+# index_assignment / index_increment)
+index_assignment = index_set
+index_increment = index_inc

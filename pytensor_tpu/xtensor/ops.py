@@ -359,7 +359,11 @@ _register_xla()
 
 
 class XConcat(XOp):
-    """Concatenate along a named dim."""
+    """Concatenate along a named dim — xarray semantics (reference
+    xtensor/shape.py Concat:277): operands broadcast to the union of
+    dims; an operand missing the concat dim contributes ONE slice; a
+    concat dim absent from every operand is a NEW leading dim (stack);
+    dtype is the upcast of the operand dtypes."""
 
     __props__ = ("dim",)
 
@@ -367,26 +371,73 @@ class XConcat(XOp):
         self.dim = dim
 
     def make_node(self, *xs):
+        from pytensor_tpu.scalar.basic import upcast
         from pytensor_tpu.xtensor.type import as_xtensor
 
         xs = [as_xtensor(x) for x in xs]
-        dims = xs[0].type.dims
-        for x in xs[1:]:
-            if x.type.dims != dims:
-                raise ValueError("concat operands must share dims")
-        axis = dims.index(self.dim)
-        sizes = [x.type.shape[axis] for x in xs]
-        total = None if any(s is None for s in sizes) else sum(sizes)
-        shape = tuple(total if d == axis else xs[0].type.shape[d]
-                      for d in range(len(dims)))
-        out = XTensorType(xs[0].type.dtype, dims, shape)()
+        dims_and_shape = {}
+        for x in xs:
+            for d, s in zip(x.type.dims, x.type.shape):
+                if d not in dims_and_shape:
+                    dims_and_shape[d] = s
+                elif d == self.dim:
+                    if s is None:
+                        dims_and_shape[d] = None
+                    elif dims_and_shape[d] is not None:
+                        dims_and_shape[d] += s
+                elif s is not None:
+                    if dims_and_shape[d] is not None and \
+                            dims_and_shape[d] != s:
+                        raise ValueError(
+                            f"concat: non-concatenated dim {d} has "
+                            f"conflicting sizes")
+                    dims_and_shape[d] = s
+        if self.dim not in dims_and_shape:
+            # new dim: placed first, one slice per operand
+            dims_and_shape = {self.dim: len(xs)} | dims_and_shape
+        elif dims_and_shape[self.dim] is not None:
+            dims_and_shape[self.dim] += sum(
+                1 for x in xs if self.dim not in x.type.dims)
+        dims = tuple(dims_and_shape)
+        shape = tuple(dims_and_shape.values())
+        dtype = upcast(*[x.type.dtype for x in xs])
+        out = XTensorType(dtype, dims, shape)()
         return Apply(self, list(xs), [out])
 
     def lower(self, node, tensor_inputs):
         from pytensor_tpu.tensor.basic import concatenate
+        from pytensor_tpu.tensor.elemwise import DimShuffle
+        from pytensor_tpu.tensor.extra_ops import broadcast_to
+        from pytensor_tpu.tensor.shape import shape as t_shape
 
-        axis = node.inputs[0].type.dims.index(self.dim)
-        return [concatenate(list(tensor_inputs), axis=axis)]
+        out = node.outputs[0]
+        out_dims = out.type.dims
+        axis = out_dims.index(self.dim)
+        aligned = []
+        for x, t in zip(node.inputs, tensor_inputs):
+            # transpose-to-order + insert size-1 for missing dims
+            have = x.type.dims
+            order = []
+            for d in out_dims:
+                order.append(have.index(d) if d in have else "x")
+            t = DimShuffle(t.type.ndim, tuple(order))(t)
+            # broadcast non-concat dims up to the out size
+            tgt = []
+            for k, d in enumerate(out_dims):
+                if d == self.dim:
+                    tgt.append(t.shape[k])
+                elif out.type.shape[k] is not None:
+                    tgt.append(int(out.type.shape[k]))
+                else:
+                    src = next(tt for xx, tt in zip(node.inputs,
+                                                    tensor_inputs)
+                               if d in xx.type.dims)
+                    owner_dims = next(xx.type.dims for xx in node.inputs
+                                      if d in xx.type.dims)
+                    tgt.append(t_shape(src)[owner_dims.index(d)])
+            t = broadcast_to(t, tuple(tgt))
+            aligned.append(t)
+        return [concatenate(aligned, axis=axis)]
 
 
 def concat(xs, dim):

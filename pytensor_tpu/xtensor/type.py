@@ -14,6 +14,7 @@ from typing import Sequence
 
 import numpy as np
 
+from pytensor_tpu.compile.sharedvalue import SharedVariable
 from pytensor_tpu.graph.basic import Constant, Variable
 from pytensor_tpu.graph.type import HasDataType, HasShape, Type
 from pytensor_tpu.tensor.type import TensorType
@@ -330,3 +331,46 @@ def as_xtensor(x, dims=None, like=None, name=None):
         else:
             raise ValueError("as_xtensor needs dims= for non-scalar input")
     return xtensor_from_tensor(x, tuple(dims), name=name)
+
+
+def xtensor_constant(x, name=None, dims=None):
+    """A constant XTensor (reference xtensor/type.py:1013)."""
+    import numpy as np
+
+    data = np.asarray(x)
+    if dims is None:
+        if data.ndim == 0:
+            dims = ()
+        else:
+            raise TypeError("xtensor_constant needs dims= for non-scalar")
+    dims = tuple(dims)
+    if len(dims) != data.ndim:
+        raise TypeError(f"{len(dims)} dims for ndim-{data.ndim} value")
+    return XTensorConstant(
+        XTensorType(str(data.dtype), dims, data.shape), data, name=name)
+
+
+class XTensorSharedVariable(XTensorVariable, SharedVariable):
+    """Shared variable of XTensorType (reference xtensor/type.py:1027):
+    a persistent named-dim value usable directly in xtensor graphs and
+    updatable through the usual get_value/set_value/updates machinery."""
+
+    __slots__ = ()
+
+
+def xtensor_shared(x, *, name=None, dims=None, shape=None, strict=False,
+                   allow_downcast=None, borrow=False):
+    """SharedVariable constructor for XTensorType (reference
+    xtensor/type.py:1031)."""
+    import numpy as np
+
+    data = np.array(x, copy=not borrow)
+    if dims is None:
+        raise TypeError("xtensor_shared needs dims=")
+    dims = tuple(dims)
+    if len(dims) != data.ndim:
+        raise TypeError(f"{len(dims)} dims for ndim-{data.ndim} value")
+    typ = XTensorType(str(data.dtype), dims,
+                      tuple(shape) if shape is not None else data.shape)
+    return XTensorSharedVariable(typ, data, strict=strict,
+                                 allow_downcast=allow_downcast, name=name)
