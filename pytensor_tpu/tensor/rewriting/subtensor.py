@@ -1667,3 +1667,299 @@ def local_join_subtensors(fgraph, node):
 
 
 register_specialize(local_join_subtensors, name="local_join_subtensors")
+
+
+# ---------------------------------------------------------------------------
+# round-4 long tail: diag-of-dot fold, constant read-of-write lookup,
+# alloc-increment elision, subtensor through Blockwise batch dims
+# (reference rewriting/subtensor.py:2127,2417; subtensor_lift.py:438,983)
+# ---------------------------------------------------------------------------
+
+@node_rewriter(None)
+def local_extract_diag_of_dot(fgraph, node):
+    """diagonal(A @ B, k) -> (A' * B'.mT).sum(-1) (reference
+    subtensor_lift.py:983 lowers ExtractDiag to a paired-arange gather
+    feeding local_advanced_subtensor_of_dot; here the fold is direct).
+
+    On TPU this removes the full O(n^3) matmul: only the n^2 products
+    on the diagonal survive, as one fused elemwise+reduce.  Fires for
+    Dot and Blockwise(Dot) when the diagonal is over the two core dims
+    and the sliced extents are static.
+    """
+    from pytensor_tpu.tensor.basic import ExtractDiag
+    from pytensor_tpu.tensor.blockwise import Blockwise
+    from pytensor_tpu.tensor.math import Dot
+
+    if not isinstance(node.op, ExtractDiag):
+        return False
+    x = node.inputs[0]
+    if x.owner is None:
+        return False
+    inner_op = x.owner.op
+    if isinstance(inner_op, Dot):
+        batch = 0
+    elif isinstance(inner_op, Blockwise) and \
+            isinstance(inner_op.core_op, Dot):
+        batch = x.type.ndim - 2
+    else:
+        return False
+    if x.type.ndim < 2:
+        return False
+    a1, a2 = node.op.axis1 % x.type.ndim, node.op.axis2 % x.type.ndim
+    k = node.op.offset
+    A, B = x.owner.inputs
+    if A.type.ndim < 2 or B.type.ndim < 2:
+        return False  # matrix-vector dot has no 2-d diagonal
+    if {a1, a2} != {x.type.ndim - 2, x.type.ndim - 1}:
+        return False
+    if a1 > a2:
+        # diagonal(M, k, 1, 0) == diagonal(M.T, k); (A@B).T == B.T@A.T
+        A, B = B.mT if hasattr(B, "mT") else B.T, \
+            A.mT if hasattr(A, "mT") else A.T
+    m = A.type.shape[-2]
+    n = B.type.shape[-1]
+    if m is None or n is None:
+        return False
+    d = min(m + min(0, k), n - max(0, k))
+    if d <= 0:
+        return False  # empty diagonal: leave to shape machinery
+    from pytensor_tpu.tensor.math import sum as t_sum
+
+    if k >= 0:
+        As = A[..., :d, :]
+        Bs = B[..., :, k:k + d]
+    else:
+        As = A[..., -k:-k + d, :]
+        Bs = B[..., :, :d]
+    Bt = Bs.mT if hasattr(Bs, "mT") else Bs.T
+    res = t_sum(As * Bt, axis=-1)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    if batch and out.type.ndim != res.type.ndim:
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_extract_diag_of_dot,
+                    name="local_extract_diag_of_dot")
+
+
+def _const_1d_int_index(v):
+    """The numpy int array behind a constant 1-d integer/bool index, or
+    None."""
+    from pytensor_tpu.graph.basic import Constant
+
+    if not isinstance(v, Constant):
+        return None
+    data = np.asarray(v.data)
+    if data.ndim != 1:
+        return None
+    if data.dtype == np.bool_:
+        return np.flatnonzero(data)
+    if data.dtype.kind not in "iu":
+        return None
+    return data.astype(np.int64)
+
+
+@node_rewriter([AdvancedSubtensor1])
+def local_advanced_read_of_write_constant_indices(fgraph, node):
+    """x[w_idx].set/inc(v)[r_idx] with CONSTANT index vectors -> a
+    host-computed lookup (reference rewriting/subtensor.py:2127,
+    single-advanced-axis case).
+
+    set: full coverage -> v[lookup]; none -> x[r_idx]; partial -> mix.
+    inc: requires duplicate-free writes; full -> x[r_idx] + v[lookup].
+    Kills both the scatter and the gather when the graph writes then
+    reads disjoint or aligned constant index sets.
+    """
+    from pytensor_tpu.tensor.basic import alloc, as_tensor_variable, cast
+
+    inner = node.inputs[0]
+    if inner.owner is None or \
+            not isinstance(inner.owner.op, AdvancedIncSubtensor1):
+        return False
+    r_arr = _const_1d_int_index(node.inputs[1])
+    if r_arr is None or (r_arr < 0).any():
+        return False
+    base, v = inner.owner.inputs[0], inner.owner.inputs[1]
+    w_arr = _const_1d_int_index(inner.owner.inputs[2])
+    if w_arr is None or (w_arr < 0).any():
+        return False
+    is_set = inner.owner.op.set_instead_of_inc
+    n_write = len(w_arr)
+    write_dict = {}
+    for kk in range(n_write):
+        coord = int(w_arr[kk])
+        if not is_set and coord in write_dict:
+            return False  # inc with duplicate writes: keep the scatter
+        write_dict[coord] = kk
+    lookup = np.array([write_dict.get(int(rc), -1) for rc in r_arr],
+                      dtype=np.int64)
+    covered = lookup >= 0
+    out = node.outputs[0]
+    read_idx = as_tensor_variable(r_arr)
+
+    # bring v to its natural (n_write, *base.shape[1:]) shape so the
+    # advanced axis can be indexed directly
+    def natural_v():
+        vv = v
+        tail = [base.shape[i] for i in range(1, base.type.ndim)]
+        vv = alloc(vv, as_tensor_variable(np.int64(n_write)), *tail)
+        if vv.type.dtype != out.type.dtype:
+            vv = cast(vv, out.type.dtype)
+        return vv
+
+    if is_set:
+        if covered.all():
+            res = natural_v()[as_tensor_variable(lookup)]
+        elif not covered.any():
+            res = base[read_idx]
+        else:
+            base_part = base[read_idx]
+            sub = natural_v()[as_tensor_variable(lookup[covered])]
+            res = AdvancedIncSubtensor1(set_instead_of_inc=True)(
+                base_part, sub,
+                as_tensor_variable(np.flatnonzero(covered)))
+    else:
+        base_part = base[read_idx]
+        if not covered.any():
+            res = base_part
+        elif covered.all():
+            res = base_part + natural_v()[as_tensor_variable(lookup)]
+        else:
+            sub = natural_v()[as_tensor_variable(lookup[covered])]
+            res = AdvancedIncSubtensor1(set_instead_of_inc=False)(
+                base_part, sub,
+                as_tensor_variable(np.flatnonzero(covered)))
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_advanced_read_of_write_constant_indices,
+                    name="local_advanced_read_of_write_constant_indices")
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
+def local_useless_inc_subtensor_alloc(fgraph, node):
+    """inc/set_subtensor(x[idx], alloc(z, ...)) -> drop the alloc when
+    the static shapes prove z broadcasts to x[idx] (reference
+    rewriting/subtensor.py:2417; the reference adds runtime Asserts for
+    unprovable dims — here the rewrite simply declines, keeping it
+    shape-safe by construction)."""
+    from pytensor_tpu.tensor.basic import Alloc
+
+    x, y = node.inputs[0], node.inputs[1]
+    if y.owner is None or not isinstance(y.owner.op, Alloc):
+        return False
+    z = y.owner.inputs[0]
+    # the written block x[idx]
+    if isinstance(node.op, IncSubtensor):
+        xi = Subtensor(node.op.idx_list)(x, *node.inputs[2:])
+    elif isinstance(node.op, AdvancedIncSubtensor1):
+        xi = AdvancedSubtensor1()(x, node.inputs[2])
+    else:
+        xi = AdvancedSubtensor(node.op.idx_list)(x, *node.inputs[2:])
+    if z.type.ndim > xi.type.ndim:
+        return False
+    # prove every y-dim is either 1 (inc_subtensor broadcasts it) or
+    # statically equal to the block's dim
+    offset = xi.type.ndim - y.type.ndim
+    for kk in range(y.type.ndim):
+        ys = y.type.shape[kk]
+        xs = xi.type.shape[kk + offset]
+        if ys == 1:
+            continue
+        if ys is None or xs is None or ys != xs:
+            return False
+    # and z itself must broadcast into y's shape (alloc guarantees the
+    # values; we only need shape-compatibility for the replacement)
+    zoff = y.type.ndim - z.type.ndim
+    for kk in range(z.type.ndim):
+        zs = z.type.shape[kk]
+        ys = y.type.shape[kk + zoff]
+        if zs == 1 or zs == ys:
+            continue
+        return False
+    res = node.op(x, z, *node.inputs[2:])
+    out = node.outputs[0]
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_useless_inc_subtensor_alloc,
+                    name="local_useless_inc_subtensor_alloc")
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_batch_dims(fgraph, node):
+    """blockwise(a, b, ...)[batch_idx] -> blockwise(a[idx'], b[idx'])
+    (reference subtensor_lift.py:438): indexing only batch dims commutes
+    with the blockwise, so compute on the smaller block."""
+    from pytensor_tpu.tensor.blockwise import Blockwise
+
+    x = node.inputs[0]
+    if x.owner is None or not isinstance(x.owner.op, Blockwise):
+        return False
+    if len(fgraph.clients.get(x, ())) != 1:
+        return False
+    op = x.owner.op
+    out_core = len(op.outputs_sig[0])
+    if len(x.owner.outputs) != 1:
+        return False
+    batch_ndim = x.type.ndim - out_core
+    idx_list = node.op.idx_list
+    if len(idx_list) > batch_ndim:
+        return False
+    pairs = _split_dyn(idx_list, node.inputs[1:])
+    in_core = [len(s) for s in op.inputs_sig]
+    new_inputs = []
+    for i, core in zip(x.owner.inputs, in_core):
+        ib = i.type.ndim - core
+        offset = batch_ndim - ib
+        entries, dyns = [], []
+        ok = True
+        for kk, (e, ed) in enumerate(pairs):
+            if kk < offset:
+                continue  # input broadcasts over this leading batch dim
+            d = kk - offset
+            if i.type.shape[d] == 1 and x.type.shape[kk] != 1:
+                if isinstance(e, tuple) and e[0] == "slice":
+                    entries.append(FULL)
+                else:
+                    entries.append(0)
+                continue
+            if i.type.shape[d] is not None and \
+                    x.type.shape[kk] is not None and \
+                    i.type.shape[d] == x.type.shape[kk]:
+                entries.append(e)
+                dyns.extend(ed)
+                continue
+            if e == FULL:
+                entries.append(e)
+                continue
+            ok = False
+            break
+        if not ok:
+            return False
+        while entries and entries[-1] == FULL:
+            entries.pop()
+        new_inputs.append(
+            Subtensor(entries)(i, *dyns) if entries else i)
+    res = x.owner.op(*new_inputs)
+    if isinstance(res, (list, tuple)):
+        res = res[0]
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_subtensor_of_batch_dims,
+                    name="local_subtensor_of_batch_dims")

@@ -353,3 +353,175 @@ class TestJoinSubtensors:
         res = opt(pt.join(1, x[:, 0:4], x[:, 4:]))
         assert res is x or not any(
             type(op).__name__ == "Join" for op in _ops(res))
+
+
+class TestExtractDiagOfDot:
+    @pytest.mark.parametrize("k", [0, 2, -1])
+    def test_offsets(self, k):
+        A = pt.tensor("A", dtype="float64", shape=(5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(7, 6))
+        res = opt(pt.diagonal(pt.dot(A, B), offset=k))
+        assert "Dot" not in _opnames(res)
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((5, 7))
+        bv = rng.standard_normal((7, 6))
+        np.testing.assert_allclose(f(av, bv),
+                                   np.diagonal(av @ bv, offset=k),
+                                   rtol=1e-12)
+
+    def test_batched(self):
+        A = pt.tensor("A", dtype="float64", shape=(3, 5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(3, 7, 5))
+        res = opt(pt.diagonal(pt.matmul(A, B), axis1=-2, axis2=-1))
+        assert "Blockwise" not in _opnames(res)
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((3, 5, 7))
+        bv = rng.standard_normal((3, 7, 5))
+        np.testing.assert_allclose(
+            f(av, bv), np.diagonal(av @ bv, axis1=-2, axis2=-1),
+            rtol=1e-12)
+
+    def test_reversed_axes(self):
+        A = pt.tensor("A", dtype="float64", shape=(5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(7, 5))
+        res = opt(pt.diagonal(pt.dot(A, B), offset=1, axis1=1, axis2=0))
+        assert "Dot" not in _opnames(res)
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((5, 7))
+        bv = rng.standard_normal((7, 5))
+        np.testing.assert_allclose(
+            f(av, bv), np.diagonal(av @ bv, offset=1, axis1=1, axis2=0),
+            rtol=1e-12)
+
+
+class TestConstantReadOfWrite:
+    def _setup(self):
+        x = pt.tensor("x", dtype="float64", shape=(10,))
+        v = pt.tensor("v", dtype="float64", shape=(3,))
+        w = pt.as_tensor_variable(np.array([1, 3, 5]))
+        xv = np.arange(10.0)
+        vv = np.array([10.0, 20.0, 30.0])
+        return x, v, w, xv, vv
+
+    def test_set_full_coverage_drops_base(self):
+        x, v, w, xv, vv = self._setup()
+        res = opt(pt.set_subtensor(x[w], v)[
+            pt.as_tensor_variable(np.array([3, 5, 1]))])
+        assert "AdvancedIncSubtensor1" not in _opnames(res)
+        f = ptt.function([x, v], res, on_unused_input="ignore")
+        exp = xv.copy()
+        exp[[1, 3, 5]] = vv
+        np.testing.assert_allclose(f(xv, vv), exp[[3, 5, 1]])
+
+    def test_set_no_coverage_drops_write(self):
+        x, v, w, xv, vv = self._setup()
+        res = opt(pt.set_subtensor(x[w], v)[
+            pt.as_tensor_variable(np.array([0, 2]))])
+        assert "AdvancedIncSubtensor1" not in _opnames(res)
+        f = ptt.function([x, v], res, on_unused_input="ignore")
+        np.testing.assert_allclose(f(xv, vv), xv[[0, 2]])
+
+    @pytest.mark.parametrize("mode", ["set", "inc"])
+    def test_partial_coverage(self, mode):
+        x, v, w, xv, vv = self._setup()
+        fn = pt.set_subtensor if mode == "set" else pt.inc_subtensor
+        res = opt(fn(x[w], v)[pt.as_tensor_variable(np.array([0, 3]))])
+        f = ptt.function([x, v], res)
+        exp = xv.copy()
+        if mode == "set":
+            exp[[1, 3, 5]] = vv
+        else:
+            exp[[1, 3, 5]] += vv
+        np.testing.assert_allclose(f(xv, vv), exp[[0, 3]])
+
+    def test_inc_duplicate_writes_not_rewritten(self):
+        x = pt.tensor("x", dtype="float64", shape=(10,))
+        v = pt.tensor("v", dtype="float64", shape=(3,))
+        w = pt.as_tensor_variable(np.array([1, 1, 5]))
+        res = opt(pt.inc_subtensor(x[w], v)[
+            pt.as_tensor_variable(np.array([1]))])
+        f = ptt.function([x, v], res)
+        xv, vv = np.arange(10.0), np.array([10.0, 20.0, 30.0])
+        exp = xv.copy()
+        np.add.at(exp, [1, 1, 5], vv)
+        np.testing.assert_allclose(f(xv, vv), exp[[1]])
+
+    def test_scalar_value_broadcast(self):
+        x = pt.tensor("x", dtype="float64", shape=(10,))
+        w = pt.as_tensor_variable(np.array([1, 3, 5]))
+        res = opt(pt.set_subtensor(x[w], 9.0)[
+            pt.as_tensor_variable(np.array([5, 3]))])
+        f = ptt.function([x], res, on_unused_input="ignore")
+        np.testing.assert_allclose(f(np.arange(10.0)), [9.0, 9.0])
+
+
+class TestUselessIncSubtensorAlloc:
+    def test_scalar_alloc_elided(self):
+        from pytensor_tpu.tensor.basic import Alloc
+
+        x = pt.tensor("x", dtype="float64", shape=(10,))
+        y = pt.tensor("y", dtype="float64", shape=())
+        res = opt(pt.inc_subtensor(x[2:5], pt.alloc(y, 3)))
+        assert Alloc not in [type(op) for op in _ops(res)]
+        f = ptt.function([x, y], res)
+        exp = np.arange(10.0)
+        exp[2:5] += 7.0
+        np.testing.assert_allclose(f(np.arange(10.0), 7.0), exp)
+
+    def test_row_alloc_elided_advanced(self):
+        from pytensor_tpu.tensor.basic import Alloc
+
+        x = pt.tensor("x", dtype="float64", shape=(5, 4))
+        y = pt.tensor("y", dtype="float64", shape=(4,))
+        idx = pt.as_tensor_variable(np.array([0, 2]))
+        res = opt(pt.set_subtensor(x[idx], pt.alloc(y, 2, 4)))
+        assert Alloc not in [type(op) for op in _ops(res)]
+        f = ptt.function([x, y], res)
+        xv = rng.standard_normal((5, 4))
+        yv = rng.standard_normal(4)
+        exp = xv.copy()
+        exp[[0, 2]] = yv
+        np.testing.assert_allclose(f(xv, yv), exp)
+
+    def test_mismatched_shape_not_elided(self):
+        from pytensor_tpu.tensor.basic import Alloc
+
+        x = pt.tensor("x", dtype="float64", shape=(10,))
+        y = pt.tensor("y", dtype="float64", shape=(3,))
+        n = pt.tensor("n", dtype="int64", shape=())
+        # dynamic extent: static proof unavailable -> keep the alloc
+        expr = pt.inc_subtensor(x[2:5], pt.alloc(y[0], n))
+        res = opt(expr)
+        assert Alloc in [type(op) for op in _ops(res)]
+
+
+class TestSubtensorOfBatchDims:
+    def test_matmul_batch_index(self):
+        A = pt.tensor("A", dtype="float64", shape=(3, 5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(3, 7, 5))
+        res = opt(pt.matmul(A, B)[1])
+        names = _opnames(res)
+        assert "Blockwise" not in names
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((3, 5, 7))
+        bv = rng.standard_normal((3, 7, 5))
+        np.testing.assert_allclose(f(av, bv), av[1] @ bv[1], rtol=1e-12)
+
+    def test_broadcast_operand(self):
+        A = pt.tensor("A", dtype="float64", shape=(1, 5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(3, 7, 5))
+        res = opt(pt.matmul(A, B)[2])
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((1, 5, 7))
+        bv = rng.standard_normal((3, 7, 5))
+        np.testing.assert_allclose(f(av, bv), (av @ bv)[2], rtol=1e-10)
+
+    def test_core_dim_index_not_lifted(self):
+        A = pt.tensor("A", dtype="float64", shape=(3, 5, 7))
+        B = pt.tensor("B", dtype="float64", shape=(3, 7, 5))
+        # indexing into a core dim must keep the blockwise
+        res = opt(pt.matmul(A, B)[:, 1])
+        f = ptt.function([A, B], res)
+        av = rng.standard_normal((3, 5, 7))
+        bv = rng.standard_normal((3, 7, 5))
+        np.testing.assert_allclose(f(av, bv), (av @ bv)[:, 1], rtol=1e-12)
