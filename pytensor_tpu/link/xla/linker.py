@@ -112,6 +112,71 @@ def fgraph_to_jax(fgraph: FunctionGraph, *, carry_device_constants=False):
     return compiled
 
 
+def _shape_port_indices(op) -> tuple[int, ...] | None:
+    """Input positions of ``op`` whose VALUES determine output shapes.
+
+    XLA requires static shapes under jit; a graph input flowing into one
+    of these ports must be passed as a ``static_argnum`` (re-jit per
+    value) instead of a traced array.  The reference's own JAX backend
+    simply errors on these graphs (link/jax/dispatch/tensor_basic.py
+    "Concrete value"); we recover the C-backend's capability instead.
+    """
+    from pytensor_tpu.tensor.basic import Alloc, AllocEmpty, ARange, Eye, Split
+    from pytensor_tpu.tensor.random.op import RandomVariable
+    from pytensor_tpu.tensor.shape import Reshape
+
+    if isinstance(op, ARange):
+        return (0, 1, 2)
+    if isinstance(op, Eye):
+        return (0, 1, 2)
+    if isinstance(op, Alloc):
+        return tuple(range(1, 64))
+    if isinstance(op, AllocEmpty):
+        return tuple(range(64))
+    if isinstance(op, Reshape):
+        return (1,)
+    if isinstance(op, Split):
+        return (1, 2)
+    if isinstance(op, RandomVariable):
+        return (1,)
+    return None
+
+
+def _static_input_indices(fgraph: FunctionGraph) -> tuple[int, ...]:
+    """Explicit-input indices that must be jit-static (feed shape ports).
+
+    Conservative ancestor closure from every shape port; only small
+    integer scalars/vectors qualify — anything else keeps the trace-time
+    error from the lowering itself.
+    """
+    from pytensor_tpu.graph.basic import Constant
+
+    tainted: set = set()
+    stack = []
+    for node in fgraph.toposort():
+        ports = _shape_port_indices(node.op)
+        if not ports:
+            continue
+        for i, inp in enumerate(node.inputs):
+            if i in ports and not isinstance(inp, Constant):
+                stack.append(inp)
+    while stack:
+        v = stack.pop()
+        if v in tainted:
+            continue
+        tainted.add(v)
+        if v.owner is not None:
+            stack.extend(i for i in v.owner.inputs if not isinstance(i, Constant))
+    out = []
+    for idx, inp in enumerate(fgraph.inputs):
+        if inp in tainted:
+            dtype = getattr(inp.type, "dtype", "")
+            ndim = getattr(inp.type, "ndim", None)
+            if str(dtype).startswith(("int", "uint")) and ndim in (0, 1):
+                out.append(idx)
+    return tuple(out)
+
+
 class XlaLinker(Linker):
     """Linker producing a jitted callable over (explicit + shared) inputs."""
 
@@ -163,6 +228,23 @@ class XlaLinker(Linker):
                 with jax.default_matmul_precision(_prec):
                     return _inner(*args)
 
+        static_idx = _static_input_indices(self.fgraph)
+        if static_idx:
+            # shape-determining integer inputs become hashable python
+            # values; jit caches one executable per distinct combination
+            jitted_s = jax.jit(fn, donate_argnums=donate or (),
+                               static_argnums=static_idx, **kwargs)
+            sset = set(static_idx)
+
+            def call_static(*args):
+                args = [
+                    (int(a) if np.ndim(a) == 0 else tuple(int(v) for v in np.asarray(a)))
+                    if i in sset else a
+                    for i, a in enumerate(args)
+                ]
+                return jitted_s(*args, *carry)
+
+            return call_static
         jitted = jax.jit(fn, donate_argnums=donate or (), **kwargs)
         if carry:
             return lambda *args: jitted(*args, *carry)

@@ -162,10 +162,18 @@ class NumpyAutocaster:
                       if config.floatX == "float16" or d != "float16"]
         x_ = np.asarray(x)
         for dtype in try_dtypes:
-            x_ = np.asarray(x).astype(dtype=dtype)
-            if np.array_equal(np.asarray(x), x_):
-                break
-        return x_
+            cand = np.asarray(x).astype(dtype=dtype)
+            if np.array_equal(np.asarray(x), cand):
+                return cand
+            last = cand
+        if isinstance(x, builtins.int):
+            # no listed int dtype represents the value exactly (e.g.
+            # 2**63): keep numpy's own choice instead of silently
+            # wrapping around
+            return x_
+        # floats: documented lossy downcast to the last listed dtype
+        # (reference NumpyAutocaster "the last data type ... will be used")
+        return last
 
 
 autocast_int = NumpyAutocaster(int_types)

@@ -31,6 +31,10 @@ class NotScalarConstantError(Exception):
 # ---------------------------------------------------------------------------
 
 def constant(value, name=None, ndim=None, dtype=None) -> TensorConstant:
+    if isinstance(value, np.ma.MaskedArray):
+        # silently dropping the mask would fabricate data (reference
+        # tests/tensor/test_basic.py:533 expects this to raise)
+        raise NotImplementedError("masked arrays are not supported")
     if isinstance(value, TensorConstant):
         if (ndim is None or value.type.ndim == ndim) and (
             dtype is None or value.type.dtype == str(dtype)
@@ -76,6 +80,8 @@ def constant(value, name=None, ndim=None, dtype=None) -> TensorConstant:
 
 def as_tensor_variable(x, name=None, ndim=None, dtype=None) -> TensorVariable:
     """Convert ``x`` to a TensorVariable (the universal ingestion point)."""
+    if isinstance(x, np.ma.MaskedArray):
+        raise NotImplementedError("masked arrays are not supported")
     if isinstance(x, Variable):
         if isinstance(x.type, TensorType):
             if dtype is not None and x.type.dtype != str(dtype):
@@ -156,6 +162,11 @@ def get_scalar_constant_value(v, elemwise=True, raise_not_constant=True):
             if isinstance(op, Alloc):
                 v = v.owner.inputs[0]
                 continue
+            if isinstance(op, Elemwise) and op.scalar_op.name == "second":
+                # fill(a, b) is b everywhere (reference
+                # get_underlying_scalar_constant_value second handling)
+                v = v.owner.inputs[1]
+                continue
             if isinstance(op, Shape_i):
                 dim = v.owner.inputs[0].type.shape[op.i]
                 if dim is not None:
@@ -174,6 +185,8 @@ def get_scalar_constant_value(v, elemwise=True, raise_not_constant=True):
                     isinstance(op.idx_list[0], (int, np.integer)):
                 inner = v.owner.inputs[0]
                 i = int(op.idx_list[0])
+                if isinstance(inner, Constant) and inner.type.ndim == 1:
+                    return np.asarray(inner.data[i]).reshape(())
                 if inner.owner is not None and isinstance(inner.owner.op, _Shape):
                     dim = inner.owner.inputs[0].type.shape[i]
                     if dim is not None:
@@ -217,9 +230,9 @@ def get_underlying_scalar_constant_value(v, **kwargs):
 
 def cast(x, dtype):
     from pytensor_tpu.scalar.basic import cast_op
+    from pytensor_tpu.tensor.type import _normalize_dtype
 
-    if dtype == "floatX":
-        dtype = config.floatX
+    dtype = _normalize_dtype(dtype)
     x = as_tensor_variable(x)
     if x.type.dtype == str(dtype):
         return x
@@ -250,6 +263,19 @@ class Alloc(Op):
     def perform(self, node, inputs, output_storage):
         value, *shape = inputs
         shp = tuple(int(s) for s in shape)
+        # runtime broadcasting (a dim that is 1 at runtime but not statically
+        # known to be 1) is forbidden: gradients would silently be wrong
+        # (reference Alloc._check_runtime_broadcast, tensor/basic.py:1617)
+        v_static = node.inputs[0].type.shape
+        for v_stat, v_dim, out_dim in zip(
+            v_static[::-1], np.shape(value)[::-1], shp[::-1]
+        ):
+            if v_stat is None and v_dim == 1 and out_dim != 1:
+                raise ValueError(
+                    "Runtime broadcasting not allowed. Alloc was asked to "
+                    "broadcast a runtime dimension of 1; use "
+                    "specify_shape/broadcast_to to make the intent explicit."
+                )
         output_storage[0][0] = np.broadcast_to(
             np.asarray(value), shp
         ).astype(node.outputs[0].type.numpy_dtype, copy=True)
@@ -464,6 +490,8 @@ class Join(Op):
         tensors = [as_tensor_variable(t) for t in tensors]
         axis = as_tensor_variable(axis)
         ndim = tensors[0].type.ndim
+        if ndim == 0:
+            raise TypeError("Join cannot handle scalar arguments")
         if any(t.type.ndim != ndim for t in tensors):
             raise TypeError("Join inputs must have the same ndim")
         from pytensor_tpu.scalar.basic import upcast
@@ -483,8 +511,15 @@ class Join(Op):
                     dims = [t.type.shape[d] for t in tensors]
                     out_shape.append(None if any(x is None for x in dims) else sum(dims))
                 else:
-                    dims = [t.type.shape[d] for t in tensors if t.type.shape[d] is not None]
-                    out_shape.append(dims[0] if dims else None)
+                    dims = {t.type.shape[d] for t in tensors} - {None}
+                    if len(dims) > 1:
+                        raise ValueError(
+                            f"all input array dimensions other than the specified "
+                            f"`axis` ({static_axis}) must match exactly, or be unknown "
+                            f"(None), but along dimension {d}, the inputs shapes are "
+                            f"incompatible: {[t.type.shape[d] for t in tensors]}"
+                        )
+                    out_shape.append(next(iter(dims)) if dims else None)
         out = TensorType(out_dtype, tuple(out_shape))()
         return Apply(self, [cast(axis, "int64"), *[cast(t, out_dtype) if t.type.dtype != out_dtype else t for t in tensors]], [out])
 
@@ -586,6 +621,13 @@ class Split(Op):
         x, axis, splits = inputs
         if len(splits) != self.len_splits:
             raise ValueError("wrong number of splits")
+        if np.any(np.asarray(splits) < 0):
+            raise ValueError("split sizes must be non-negative")
+        if np.sum(splits) != x.shape[int(axis) % x.ndim]:
+            raise ValueError(
+                f"split sizes sum to {int(np.sum(splits))}, expected "
+                f"{x.shape[int(axis) % x.ndim]} along axis {int(axis)}"
+            )
         idx = np.cumsum(splits[:-1])
         for s, out in zip(np.split(x, idx, axis=int(axis)), output_storage):
             out[0] = s
@@ -746,12 +788,24 @@ def atleast_Nd(x, n=1, left=True):
     return shape_padleft(x, n - x.type.ndim) if left else shape_padright(x, n - x.type.ndim)
 
 
+def _oriented_stack_args(args):
+    # deliberately stricter than numpy's hstack/vstack (which are
+    # incoherent on 1-D inputs): >=2 args, all matrices (reference
+    # tensor/basic.py:2898 comment)
+    if len(args) < 2:
+        raise ValueError("Too few arguments")
+    _args = [as_tensor_variable(a) for a in args]
+    if any(a.type.ndim != 2 for a in _args):
+        raise ValueError("All arguments must have two dimensions")
+    return _args
+
+
 def horizontal_stack(*args):
-    return concatenate([atleast_2d(a) for a in args], axis=1)
+    return concatenate(_oriented_stack_args(args), axis=1)
 
 
 def vertical_stack(*args):
-    return concatenate([atleast_2d(a) for a in args], axis=0)
+    return concatenate(_oriented_stack_args(args), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -997,9 +1051,9 @@ def diag(v, k=0):
             return switch(mask, w.dimshuffle("x", 0), zero)
         # k < 0: value sits at row i = j - k: broadcast along columns
         return switch(mask, w.dimshuffle(0, "x"), zero)
-    elif v.type.ndim >= 2:
+    elif v.type.ndim == 2:
         return diagonal(v, offset=k, axis1=-2, axis2=-1)
-    raise ValueError("diag needs ndim >= 1")
+    raise ValueError("Input must be 1- or 2-d.")
 
 
 def alloc_diag(v, offset=0, axis1=0, axis2=1):
@@ -1042,6 +1096,8 @@ _nonzero = Nonzero()
 
 def nonzero(a, return_matrix=False):
     a = as_tensor_variable(a)
+    if a.type.ndim == 0:
+        raise ValueError("nonzero is not defined for 0-d arrays")
     res = _nonzero(a)
     if isinstance(res, Variable):
         res = [res]
@@ -1066,6 +1122,8 @@ def nonzero_values(a):
 def where(cond, x=None, y=None):
     if x is None and y is None:
         return nonzero(cond)
+    if x is None or y is None:
+        raise ValueError("where() takes exactly 1 or 3 arguments")
     from pytensor_tpu.tensor import math as tm
 
     return tm.switch(cond, x, y)
@@ -1075,8 +1133,13 @@ def tile(x, reps):
     x = as_tensor_variable(x)
     if isinstance(reps, (int, np.integer)):
         reps = (reps,)
+    if isinstance(reps, (float, np.floating)):
+        raise ValueError("tile reps must be integers")
     if isinstance(reps, Variable):
         raise NotImplementedError("symbolic reps not supported; pass a tuple")
+    if any(not isinstance(r, (int, np.integer)) or isinstance(r, bool)
+           for r in reps):
+        raise ValueError(f"tile reps must be integers, got {reps!r}")
     reps = tuple(int(r) for r in reps)
     if len(reps) < x.type.ndim:
         reps = (1,) * (x.type.ndim - len(reps)) + reps

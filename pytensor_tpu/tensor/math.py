@@ -683,16 +683,31 @@ def permute_row_elements(x, y, inverse=False):
 
 
 def choose(a, choices, mode="raise"):
-    """np.choose: a indexes into the stack of choices elementwise."""
+    """np.choose: a indexes into the stack of choices elementwise.
+
+    ``mode`` follows numpy: 'raise' (out-of-range indices error on the
+    oracle; XLA clamps), 'clip', or 'wrap'.
+    """
     from pytensor_tpu.tensor.basic import stack
     from pytensor_tpu.tensor.subtensor import take_along_axis
     from pytensor_tpu.tensor.basic import expand_dims
 
-    a = cast(as_tensor_variable(a), "int64")
+    a = as_tensor_variable(a)
+    if a.type.dtype not in ("bool",) and not a.type.dtype.startswith(
+            ("int", "uint")):
+        raise TypeError("choose index argument must be an integer tensor")
+    a = cast(a, "int64")
     if isinstance(choices, (list, tuple)):
         ch = stack(list(choices), axis=0)
     else:
         ch = as_tensor_variable(choices)
+    n = ch.shape[0]
+    if mode == "clip":
+        a = clip(a, 0, n - 1)
+    elif mode == "wrap":
+        a = mod(a, n)
+    elif mode != "raise":
+        raise ValueError(f"invalid choose mode: {mode!r}")
     # gather along axis 0 of ch with index a (broadcast over the rest)
     idx = expand_dims(a, 0)
     res = take_along_axis(ch, second(ch, cast(idx, ch.dtype)).astype("int64")

@@ -352,10 +352,11 @@ def flatten(x, ndim=1):
     from pytensor_tpu.tensor.basic import as_tensor_variable
 
     x = as_tensor_variable(x)
+    if not 1 <= ndim <= max(1, x.type.ndim):
+        raise ValueError(
+            f"ndim {ndim} out of bound [1, {max(1, x.type.ndim)}]")
     if x.type.ndim == ndim:
         return x
-    if ndim == 0:
-        raise ValueError("flatten to ndim 0 undefined")
     from pytensor_tpu.tensor import math as tm
 
     dims = [shape_i(x, i) for i in range(ndim - 1)]

@@ -904,6 +904,10 @@ def take(x, indices, axis=None, mode="raise"):
 def take_along_axis(arr, indices, axis=-1):
     arr = as_tensor_variable(arr)
     indices = as_tensor_variable(indices)
+    if not indices.type.dtype.startswith(("int", "uint")):
+        raise IndexError(
+            f"take_along_axis indices must be integers, got "
+            f"{indices.type.dtype}")
     if arr.type.ndim != indices.type.ndim:
         raise ValueError("ndim mismatch in take_along_axis")
     axis = axis % arr.type.ndim

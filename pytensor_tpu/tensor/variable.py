@@ -171,8 +171,10 @@ class _tensor_py_operators:
 
     @property
     def size(self):
-        if self.ndim == 0:
-            return _tb().as_tensor_variable(np.int64(1))
+        # even for 0-d, stay a graph over shape(self) so the input is
+        # used (reference variable.py size property; rewrites fold it)
+        if self.ndim == 1:
+            return self.shape[0]
         return _tm().prod(self.shape)
 
     @property
@@ -346,6 +348,11 @@ class _tensor_py_operators:
 
     def nonzero(self, return_matrix=False):
         return _tb().nonzero(self, return_matrix)
+
+    def choose(self, choices, mode="raise"):
+        from pytensor_tpu.tensor.math import choose
+
+        return choose(self, choices, mode=mode)
 
     def fill(self, value):
         return _tb().fill(self, value)
