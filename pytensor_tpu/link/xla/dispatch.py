@@ -226,6 +226,10 @@ def register_all():
         name = op.scalar_op.name
         axis = op.axis
         out_dtype = node.outputs[0].type.dtype
+        # explicit accumulator dtype is honored (compute at acc precision,
+        # cast down); the None default accumulates at input precision like
+        # the reference's own JAX backend (jax/dispatch/elemwise.py:44)
+        acc_dtype = op.acc_dtype if name in ("add", "mul") else None
         fns = {
             "add": jnp.sum, "mul": jnp.prod, "maximum": jnp.max,
             "minimum": jnp.min, "and_": jnp.all, "or_": jnp.any,
@@ -244,8 +248,8 @@ def register_all():
                 # prod(shape(x))): stay numpy so downstream reshape/alloc
                 # args remain concrete under jit
                 if name in ("add", "mul"):
-                    r = np_fn(x, axis=axis,
-                              dtype=out_dtype if out_dtype != "bool" else None)
+                    dt = acc_dtype or (out_dtype if out_dtype != "bool" else None)
+                    r = np_fn(x, axis=axis, dtype=dt)
                 else:
                     r = np_fn(x, axis=axis)
                 r = np.asarray(r)
@@ -253,7 +257,8 @@ def register_all():
                     r = r.astype(out_dtype)
                 return r
             if name in ("add", "mul"):
-                r = fn(x, axis=axis, dtype=out_dtype if out_dtype != "bool" else None)
+                dt = acc_dtype or (out_dtype if out_dtype != "bool" else None)
+                r = fn(x, axis=axis, dtype=dt)
             else:
                 r = fn(x, axis=axis)
             return _cast_outputs(node, r)

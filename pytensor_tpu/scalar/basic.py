@@ -514,8 +514,20 @@ def _clip_grad(i, o, gz):
     return [gx, glo, ghi]
 
 
-clip = _op("clip", 3, np.clip, lambda x, lo, hi: _jnp().clip(x, lo, hi), _clip_grad,
-           dtype_rule=lambda x, lo, hi: str(x))
+def _np_clip(x, lo, hi):
+    # NOT np.clip: when lo > hi the reference returns lo (its C impl
+    # checks the min bound first, scalar/basic.py Clip.impl), np.clip
+    # returns hi.  The pullback below is only consistent with this form.
+    return np.where(x < lo, lo, np.where(x > hi, hi, x))
+
+
+def _jax_clip(x, lo, hi):
+    jnp = _jnp()
+    return jnp.where(x < lo, lo, jnp.where(x > hi, hi, x))
+
+
+clip = _op("clip", 3, _np_clip, _jax_clip, _clip_grad,
+           dtype_rule=lambda x, lo, hi: upcast(x, lo, hi))
 
 
 def _second_grad(i, o, gz):

@@ -104,10 +104,20 @@ def _polygamma_grad(i, o, gz):
             gz[0] * _tm().polygamma(n + 1, x)]
 
 
+def _polygamma_dtype(n, x):
+    # order must be discrete, argument real (reference PolyGamma
+    # output_types_preference, scalar/math.py:598)
+    if not (n == "bool" or n.startswith(("int", "uint"))):
+        raise TypeError(f"Polygamma order parameter must be discrete, got {n}")
+    if x.startswith("complex"):
+        raise TypeError("Polygamma: complex argument not supported")
+    return upcast_float(x)
+
+
 polygamma = _op("polygamma", 2, lambda n, x: _sps().polygamma(np.asarray(n, dtype=int), x),
                 lambda n, x: _jsp().polygamma(n.astype("int32") if hasattr(n, "astype") else n, x),
                 _polygamma_grad,
-                dtype_rule=lambda n, x: upcast_float(x))
+                dtype_rule=_polygamma_dtype)
 
 
 def _gammainc_grad(i, o, gz):
@@ -201,8 +211,19 @@ def _jax_log1mexp(x):
                      jnp.log(-jnp.expm1(x)), jnp.log1p(-jnp.exp(x)))
 
 
+def _log1mexp_pullback(i, o, gz):
+    # d/dx log(1-exp(x)) = -1/expm1(-x); the x->0 limit is -inf but
+    # expm1(-0.0) = -0.0 makes the quotient +inf — pin the sign
+    # (reference scalar/math.py Log1mexp.pullback "Correct gradient at
+    # 0.0 to be -inf")
+    tm = _tm()
+    res = -1.0 / tm.expm1(-i[0])
+    res = tm.switch(tm.isinf(res), -np.inf, res)
+    return [gz[0] * res]
+
+
 log1mexp = _op("log1mexp", 1, _np_log1mexp, _jax_log1mexp,
-               lambda i, o, gz: [-gz[0] / _tm().expm1(-i[0])], dtype_rule="float")
+               _log1mexp_pullback, dtype_rule="float")
 
 logit = _op("logit", 1, lambda x: _sps().logit(x),
             lambda x: _jnp().log(x / (1.0 - x)),

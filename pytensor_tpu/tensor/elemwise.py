@@ -290,7 +290,9 @@ class CAReduce(Op):
         self.scalar_op = scalar_op
         if axis is None:
             self.axis = None
-        elif isinstance(axis, (int, np.integer)):
+        elif isinstance(axis, (int, np.integer)) or (
+            isinstance(axis, np.ndarray) and axis.ndim == 0
+        ):
             self.axis = (int(axis),)
         else:
             self.axis = tuple(sorted(int(a) for a in axis))
@@ -315,6 +317,21 @@ class CAReduce(Op):
         from pytensor_tpu.tensor.basic import as_tensor_variable
 
         x = as_tensor_variable(x)
+        if self.acc_dtype is not None:
+            # an accumulator may only upcast; discrete inputs may also
+            # accumulate in a continuous dtype (reference CAReduce
+            # tensor/elemwise.py acc_dtype validation)
+            from pytensor_tpu.scalar.basic import upcast
+            from pytensor_tpu.tensor.type import continuous_dtypes, discrete_dtypes
+
+            idt = x.type.dtype
+            if not (
+                self.acc_dtype == upcast(idt, self.acc_dtype)
+                or (idt in discrete_dtypes and self.acc_dtype in continuous_dtypes)
+            ):
+                raise TypeError(
+                    f"acc_dtype {self.acc_dtype} would downcast input dtype {idt}"
+                )
         axis = self.axis
         if axis is not None:
             for a in axis:
@@ -340,8 +357,9 @@ class CAReduce(Op):
         dt = node.outputs[0].type.numpy_dtype
         reducer = _np_reducers[self.scalar_op.name]
         acc = x
-        if self.scalar_op.name in ("add", "mul") and acc.dtype != dt:
-            acc = acc.astype(dt)
+        acc_dt = np.dtype(self.acc_dtype) if self.acc_dtype is not None else dt
+        if self.scalar_op.name in ("add", "mul") and acc.dtype != acc_dt:
+            acc = acc.astype(acc_dt)
         for a in sorted(axis, reverse=True):
             acc = reducer(acc, axis=a)
         acc = np.asarray(acc)

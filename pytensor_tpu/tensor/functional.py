@@ -151,6 +151,19 @@ def median(x, axis=None):
     if axis is None:
         x = x.flatten()
         axis = 0
+    elif isinstance(axis, (tuple, list)):
+        axes = tuple(int(a) % x.type.ndim for a in axis)
+        if len(axes) == 1:
+            axis = axes[0]
+        else:
+            # collapse the reduced axes into one trailing axis
+            keep = [d for d in range(x.type.ndim) if d not in axes]
+            x = x.transpose(*keep, *axes)
+            from pytensor_tpu.tensor.shape import shape as _shape
+
+            keep_shape = [_shape(x)[i] for i in range(len(keep))]
+            x = x.reshape(tuple(keep_shape) + (-1,), ndim=len(keep) + 1)
+            axis = len(keep)
     s = sort(x, axis=axis)
     n = shape(x)[axis]
     half = n // 2

@@ -99,7 +99,16 @@ bitwise_not = invert
 left_shift = scalar_elemwise(ps.left_shift)
 right_shift = scalar_elemwise(ps.right_shift)
 switch = scalar_elemwise(ps.switch)
-clip = scalar_elemwise(ps.clip)
+_clip_elemwise = scalar_elemwise(ps.clip)
+
+
+def clip(x, min, max):
+    """Clip x to [min, max].  Complex operands are unordered and rejected
+    (reference tensor/math.py clip via scalar comparison dtype rules)."""
+    args = [as_tensor_variable(a) for a in (x, min, max)]
+    if builtins.any(a.type.dtype.startswith("complex") for a in args):
+        raise TypeError("clip is not defined for complex operands")
+    return _clip_elemwise(*args)
 second = scalar_elemwise(ps.second)
 conj = scalar_elemwise(ps.conj)
 real = scalar_elemwise(ps.real)
@@ -212,10 +221,9 @@ def zeros_like_f(x):
 
 
 def _drop_axes(res, axis, ndim):
+    axis = _as_axis_tuple(axis)
     if axis is None:
-        axis = builtins.range(ndim)
-    elif isinstance(axis, (int, np.integer)):
-        axis = (axis,)
+        axis = tuple(builtins.range(ndim))
     axis = tuple(a % ndim for a in axis)
     keep = [d for d in builtins.range(ndim) if d not in axis]
     order = []
@@ -229,10 +237,20 @@ def _drop_axes(res, axis, ndim):
 
 # --- reductions --------------------------------------------------------------
 
+def _as_axis_tuple(axis):
+    """None | int | 0-d array | iterable of those -> None | tuple[int]."""
+    if axis is None:
+        return None
+    if isinstance(axis, (int, np.integer)) or (
+        isinstance(axis, np.ndarray) and axis.ndim == 0
+    ):
+        return (int(axis),)
+    return tuple(int(a) for a in axis)
+
+
 def _reduce(make_op, x, axis, keepdims, **kwargs):
     x = as_tensor_variable(x)
-    if isinstance(axis, (int, np.integer)):
-        axis = (int(axis),)
+    axis = _as_axis_tuple(axis)
     if axis is not None:
         for a in axis:
             if not (-x.type.ndim <= int(a) < x.type.ndim):
@@ -295,7 +313,7 @@ def mean(x, axis=None, dtype=None, keepdims=False, acc_dtype=None):
     if axis is None:
         n = x.size
     else:
-        ax = (axis,) if isinstance(axis, (int, np.integer)) else axis
+        ax = _as_axis_tuple(axis)
         n = constant(np.int64(1))
         shp = shape(x)
         for a in ax:
@@ -320,7 +338,7 @@ def var(x, axis=None, ddof=0, keepdims=False, corrected=False):
         if axis is None:
             n = x.size
         else:
-            ax = (axis,) if isinstance(axis, (int, np.integer)) else axis
+            ax = _as_axis_tuple(axis)
             n = constant(np.int64(1))
             shp = shape(x)
             for a in ax:
@@ -344,14 +362,20 @@ class Argmax(Op):
     __props__ = ("axis",)
 
     def __init__(self, axis=None):
-        self.axis = None if axis is None else tuple(int(a) for a in axis)
+        # axis order is irrelevant to which element is the max; sort so
+        # the flat index matches numpy's C-order raveling of the reduced
+        # block (reference normalizes via check_and_normalize_axes)
+        self.axis = None if axis is None else tuple(sorted(int(a) for a in axis))
 
     def make_node(self, x):
         x = as_tensor_variable(x)
         if self.axis is None:
             out_shape = ()
         else:
-            axes = tuple(a % x.type.ndim for a in self.axis)
+            axes = tuple(sorted(a % x.type.ndim for a in self.axis))
+            if axes != self.axis:
+                # resolve negative axes into a canonical instance
+                return Argmax(axes).make_node(x)
             out_shape = tuple(s for d, s in enumerate(x.type.shape) if d not in axes)
         return Apply(self, [x], [TensorType("int64", out_shape)()])
 
@@ -379,17 +403,18 @@ class Argmax(Op):
         axes = tuple(a % node.inputs[0].type.ndim for a in self.axis)
         return [tuple(s for d, s in enumerate(ishp) if d not in axes)]
 
-    def connection_pattern(self, node):
-        return [[False]]
-
     def L_op(self, inputs, outputs, output_grads):
-        return [DisconnectedType()()]
+        # indices are piecewise-constant in x: the gradient is defined
+        # and identically zero (reference Argmax.grad returns
+        # x.zeros_like(), not a disconnected type)
+        from pytensor_tpu.tensor.basic import zeros_like
+
+        return [zeros_like(inputs[0])]
 
 
 def argmax(x, axis=None, keepdims=False):
     x = as_tensor_variable(x)
-    if isinstance(axis, (int, np.integer)):
-        axis = (int(axis),)
+    axis = _as_axis_tuple(axis)
     res = Argmax(axis)(x)
     if keepdims:
         full_axis = tuple(a % x.type.ndim for a in axis) if axis is not None else tuple(
@@ -408,7 +433,18 @@ def argmax(x, axis=None, keepdims=False):
 
 
 def argmin(x, axis=None, keepdims=False):
-    return argmax(-as_tensor_variable(x), axis=axis, keepdims=keepdims)
+    x = as_tensor_variable(x)
+    dt = x.type.dtype
+    if dt in uint_dtypes:
+        # -x wraps for unsigned: 0 -> 0 would no longer be the extremum.
+        # Use the order-reversing itype.max - x instead (reference
+        # argmin, tensor/math.py:557)
+        itype = np.iinfo(np.dtype(dt))
+        top = constant(np.asarray(itype.max, dtype=dt))
+        return argmax(top - x, axis=axis, keepdims=keepdims)
+    if dt == "bool":
+        return argmax(invert(x), axis=axis, keepdims=keepdims)
+    return argmax(-x, axis=axis, keepdims=keepdims)
 
 
 def max_and_argmax(x, axis=None, keepdims=False):
@@ -503,10 +539,12 @@ def dot(x, y):
     return _dot(x, y)
 
 
-def matmul(x, y):
+def matmul(x, y, dtype=None):
     x, y = as_tensor_variable(x), as_tensor_variable(y)
     if x.type.ndim == 0 or y.type.ndim == 0:
-        raise ValueError("matmul undefined for 0-d operands")
+        raise ValueError("matmul operands cannot be scalar")
+    if dtype is not None:
+        x, y = cast(x, dtype), cast(y, dtype)
     if x.type.ndim <= 2 and y.type.ndim <= 2:
         return _dot(x, y)
     # batched: Blockwise over core 2-d dot
@@ -570,17 +608,27 @@ def tensordot(a, b, axes=2):
     return res2.reshape(out_shape)
 
 
-def vecdot(x, y):
+def vecdot(x, y, dtype=None):
+    """Dot over the last axis, batch dims broadcast (reference vecdot)."""
     x, y = as_tensor_variable(x), as_tensor_variable(y)
-    return sum(x * y, axis=-1)
+    out = sum(x * y, axis=-1)
+    return cast(out, dtype) if dtype is not None else out
 
 
-def vecmat(v, m):
-    return matmul(tb.shape_padleft(as_tensor_variable(v), 0), m) if False else matmul(v, m)
+def vecmat(v, m, dtype=None):
+    """v (..., k) @ m (..., k, n) -> (..., n): the last axis of ``v`` is a
+    vector even when v is batched (np.vecmat semantics, unlike matmul
+    which would treat a 2-d v as a matrix)."""
+    v, m = as_tensor_variable(v), as_tensor_variable(m)
+    out = matmul(tb.expand_dims(v, -2), m)[..., 0, :]
+    return cast(out, dtype) if dtype is not None else out
 
 
-def matvec(m, v):
-    return matmul(m, v)
+def matvec(m, v, dtype=None):
+    """m (..., r, k) @ v (..., k) -> (..., r) (np.matvec semantics)."""
+    m, v = as_tensor_variable(m), as_tensor_variable(v)
+    out = matmul(m, tb.expand_dims(v, -1))[..., 0]
+    return cast(out, dtype) if dtype is not None else out
 
 
 def dense_dot(x, y):

@@ -313,6 +313,9 @@ class _tensor_py_operators:
     def round(self, mode=None):
         return _tm().round(self, mode)
 
+    def ptp(self, axis=None):
+        return _tm().ptp(self, axis)
+
     def clip(self, a_min, a_max):
         return _tm().clip(self, a_min, a_max)
 

@@ -123,11 +123,14 @@ def test_bool_logic_ops():
 # ---------------------------------------------------------------------------
 
 def test_clip_min_above_max():
-    # numpy: when min > max, result == max everywhere
+    # reference semantics (NOT numpy's): the min bound is checked first,
+    # so min > max yields min where x < min (scalar/basic.py Clip.impl;
+    # numpy would return max everywhere).  Required for the pullback to
+    # be consistent with the forward value.
     x = pt.dvector("x")
     v = np.array([-5.0, 0.0, 5.0])
     res = compare_xla_and_py([x], pt.clip(x, 3.0, 1.0), [v])
-    np.testing.assert_array_equal(np.asarray(res[0]), np.clip(v, 3.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(res[0]), [3.0, 3.0, 1.0])
 
 
 @pytest.mark.parametrize("dtype", ["float32", "float64", "int64"])
