@@ -534,10 +534,16 @@ def register_all():
     @xla_funcify.register(AdvancedIncSubtensor1)
     def _adv_incsub1(op, node=None, **kw):
         set_mode = op.set_instead_of_inc
+        ignore_dups = getattr(op, "ignore_duplicates", False)
 
         def adv_incsub1(x, y, ilist):
-            ref = jnp.asarray(x).at[ilist]
-            return ref.set(y) if set_mode else ref.add(y)
+            x = jnp.asarray(x)
+            if set_mode:
+                return x.at[ilist].set(y)
+            if ignore_dups:
+                # numpy's buffered x[i] += y: one write wins per duplicate
+                return x.at[ilist].set(x[ilist] + y)
+            return x.at[ilist].add(y)
 
         return adv_incsub1
 

@@ -1137,7 +1137,7 @@ def local_set_to_inc_subtensor(fgraph, node):
         if not _indices_jointly_unique(node):
             return False
         if isinstance(node.op, AdvancedIncSubtensor1):
-            new_op = AdvancedIncSubtensor1(set_instead_of_inc=False)
+            new_op = AdvancedIncSubtensor1(set_instead_of_inc=False, ignore_duplicates=node.op.ignore_duplicates)
         elif isinstance(node.op, AdvancedIncSubtensor):
             new_op = AdvancedIncSubtensor(
                 node.op.idx_list, set_instead_of_inc=False,
@@ -1195,7 +1195,7 @@ def local_incsubtensor_of_zeros_to_setsubtensor(fgraph, node):
     if not _indices_jointly_unique(node):
         return False
     if isinstance(node.op, AdvancedIncSubtensor1):
-        new_op = AdvancedIncSubtensor1(set_instead_of_inc=True)
+        new_op = AdvancedIncSubtensor1(set_instead_of_inc=True, ignore_duplicates=node.op.ignore_duplicates)
     elif isinstance(node.op, AdvancedIncSubtensor):
         new_op = AdvancedIncSubtensor(node.op.idx_list,
                                       set_instead_of_inc=True)
@@ -1311,7 +1311,7 @@ def local_write_of_write_same_indices(fgraph, node):
     else:
         new_val, use_set = a + b, False
     if isinstance(node.op, AdvancedIncSubtensor1):
-        new_op = AdvancedIncSubtensor1(set_instead_of_inc=use_set)
+        new_op = AdvancedIncSubtensor1(set_instead_of_inc=use_set, ignore_duplicates=node.op.ignore_duplicates)
     elif isinstance(node.op, AdvancedIncSubtensor):
         new_op = AdvancedIncSubtensor(node.op.idx_list,
                                       set_instead_of_inc=use_set)

@@ -168,6 +168,33 @@ def _build_index(idx_list, dyn):
     return tuple(idx)
 
 
+def _broadcast_index_shapes(shapes):
+    """None-aware broadcast of advanced-index static shapes.
+
+    None broadcasts optimistically against known dims (the reference
+    assumes the runtime value will match); two distinct known non-1 dims
+    are a definite error (reference raises IndexError at build time).
+    """
+    shapes = [tuple(s) for s in shapes]
+    nd = max((len(s) for s in shapes), default=0)
+    out = []
+    for i in range(nd):
+        dims = [s[len(s) - nd + i] if len(s) - nd + i >= 0 else 1
+                for s in shapes]
+        non1 = {dm for dm in dims if dm is not None and dm != 1}
+        if len(non1) > 1:
+            raise IndexError(
+                "shape mismatch: indexing tensors could not be broadcast "
+                f"together with shapes {[s for s in shapes]}")
+        if non1:
+            out.append(next(iter(non1)))
+        elif any(dm is None for dm in dims):
+            out.append(None)
+        else:
+            out.append(1)
+    return tuple(out)
+
+
 def _static_slice_len(start, stop, step, dim):
     """Static length of a slice over a (possibly unknown) dim."""
     if start == DYN or stop == DYN or step == DYN:
@@ -333,12 +360,19 @@ advanced_subtensor1 = AdvancedSubtensor1()
 
 
 class AdvancedIncSubtensor1(Op):
-    """x with x[ivec] set/incremented along axis 0 (scatter)."""
+    """x with x[ivec] set/incremented along axis 0 (scatter).
 
-    __props__ = ("set_instead_of_inc",)
+    ``ignore_duplicates=True`` uses numpy's buffered ``x[i] += y`` (one
+    write wins per duplicate index) instead of ``np.add.at`` accumulation
+    (reference AdvancedIncSubtensor ignore_duplicates).
+    """
 
-    def __init__(self, inplace=False, set_instead_of_inc=False):
+    __props__ = ("set_instead_of_inc", "ignore_duplicates")
+
+    def __init__(self, inplace=False, set_instead_of_inc=False,
+                 ignore_duplicates=False):
         self.set_instead_of_inc = bool(set_instead_of_inc)
+        self.ignore_duplicates = bool(ignore_duplicates)
 
     def make_node(self, x, y, ilist):
         x = as_tensor_variable(x)
@@ -354,6 +388,8 @@ class AdvancedIncSubtensor1(Op):
         out = np.array(x, copy=True)
         if self.set_instead_of_inc:
             out[i] = y
+        elif self.ignore_duplicates:
+            out[i] += y
         else:
             np.add.at(out, i, y)
         output_storage[0][0] = out
@@ -399,7 +435,8 @@ class AdvancedSubtensor(Op):
     @staticmethod
     def _bool_mask_shape(x, indices):
         """Static shape for the sole-boolean-mask form x[mask]:
-        (nnz=None, *x.shape[mask.ndim:]), validating known dims."""
+        (nnz, *x.shape[mask.ndim:]) — nnz is the True count for constant
+        masks, else unknown — validating known dims."""
         if len(indices) != 1 or indices[0].type.dtype != "bool":
             return None
         mask = indices[0]
@@ -414,80 +451,89 @@ class AdvancedSubtensor(Op):
                 raise IndexError(
                     f"boolean index did not match indexed tensor along "
                     f"axis {d}; dimension is {xd} but mask dimension is {md}")
-        return (None,) + tuple(x.type.shape[k:])
+        cnt = int(mask.data.sum()) if isinstance(mask, Constant) else None
+        return (cnt,) + tuple(x.type.shape[k:])
 
     def _static_shape(self, x, indices):
+        """Numpy advanced-indexing shape rules on static (None-aware)
+        shapes: advanced indices (arrays, bools, plain ints) broadcast
+        together; the broadcast block lands in place when the advanced
+        entries are adjacent, else at the front (reference
+        indexed_result_shape, tensor/subtensor.py)."""
         bool_shape = self._bool_mask_shape(x, indices)
         if bool_shape is not None:
             return bool_shape
-        # emulate numpy advanced-indexing shape rules: unknown dims get
-        # unique marker sizes so known/1 dims survive in the output type
-        try:
-            markers = iter(range(7919, 7919 + 64))
-            marker_set = set()
-
-            def dim(sz):
-                if sz is not None:
-                    return sz
-                m = next(markers)
-                marker_set.add(m)
-                return m
-
-            dummy = np.empty(tuple(dim(s) for s in x.type.shape), dtype=bool)
-            idx = []
-            it = iter(indices)
-            for e in self.idx_list:
-                if e == DYN:
-                    iv = next(it)
-                    ishape = tuple(dim(s) for s in iv.type.shape)
-                    idx.append(np.zeros(ishape, dtype="int64"))
-                elif isinstance(e, (int, np.integer)):
-                    idx.append(0)
-                elif e == "none":
-                    idx.append(None)
+        it = iter(indices)
+        xshape = tuple(x.type.shape)
+        d = 0                 # dims of x consumed so far
+        adv_shapes = []       # static shapes of advanced indices
+        entry_kinds = []      # 'adv' | 'keep' per idx_list entry
+        out_entries = []      # kept (non-advanced) output dims, in order
+        adv_slot = None       # output-slot index of the first adv entry
+        for e in self.idx_list:
+            if e == "none":
+                entry_kinds.append("keep")
+                out_entries.append(1)
+            elif isinstance(e, (int, np.integer)):
+                # scalar ints participate in the advanced group (shape ())
+                entry_kinds.append("adv")
+                adv_shapes.append(())
+                if adv_slot is None:
+                    adv_slot = len(out_entries)
+                d += 1
+            elif e == DYN:
+                iv = next(it)
+                entry_kinds.append("adv")
+                if adv_slot is None:
+                    adv_slot = len(out_entries)
+                if iv.type.dtype == "bool":
+                    k = iv.type.ndim
+                    if d + k > x.type.ndim:
+                        raise IndexError(
+                            f"too many indices for tensor: tensor is "
+                            f"{x.type.ndim}-dimensional, but {d + k} were "
+                            f"indexed")
+                    for j in range(k):
+                        md, xd = iv.type.shape[j], xshape[d + j]
+                        if md is not None and xd is not None and md != xd:
+                            raise IndexError(
+                                f"boolean index did not match indexed tensor "
+                                f"along axis {d + j}; dimension is {xd} but "
+                                f"mask dimension is {md}")
+                    cnt = (int(iv.data.sum())
+                           if isinstance(iv, Constant) else None)
+                    adv_shapes.append((cnt,))
+                    d += k
                 else:
-                    _, a, b, c = e
-                    idx.append(slice(
-                        None if a == DYN else a,
-                        None if b == DYN else b,
-                        None if c == DYN else c,
-                    ))
-            out = dummy[tuple(idx)]
-            return tuple(None if d in marker_set else d for d in out.shape)
-        except Exception:
-            # marker sizes can collide in broadcasts; recompute with all
-            # unknown dims = 1 to at least get the RANK right (returning a
-            # rank-0 type here would silently produce a scalar)
-            try:
-                dummy = np.empty(
-                    tuple(1 if s is None else s for s in x.type.shape),
-                    dtype=bool)
-                idx = []
-                it = iter(indices)
-                for e in self.idx_list:
-                    if e == DYN:
-                        iv = next(it)
-                        idx.append(np.zeros(
-                            tuple(1 if s is None else s
-                                  for s in iv.type.shape), dtype="int64"))
-                    elif isinstance(e, (int, np.integer)):
-                        idx.append(0)
-                    elif e == "none":
-                        idx.append(None)
-                    else:
-                        _, a, b, c = e
-                        idx.append(slice(
-                            None if a == DYN else a,
-                            None if b == DYN else b,
-                            None if c == DYN else c,
-                        ))
-                out = dummy[tuple(idx)]
-                return (None,) * out.ndim
-            except Exception:
-                return None
-
-    def make_node_shape_fallback(self):
-        pass
+                    adv_shapes.append(tuple(iv.type.shape))
+                    d += 1
+            else:
+                _, a, b, c = e
+                entry_kinds.append("keep")
+                if d >= x.type.ndim:
+                    raise IndexError(
+                        f"too many indices for tensor: tensor is "
+                        f"{x.type.ndim}-dimensional, but {d + 1} were indexed")
+                out_entries.append(_static_slice_len(a, b, c, xshape[d]))
+                d += 1
+        if d > x.type.ndim:
+            raise IndexError(
+                f"too many indices for tensor: tensor is {x.type.ndim}-"
+                f"dimensional, but {d} were indexed")
+        trailing = list(xshape[d:])
+        bshape = _broadcast_index_shapes(adv_shapes)
+        # adjacency: all 'adv' entries consecutive in the entry sequence
+        adv_positions = [i for i, k in enumerate(entry_kinds) if k == "adv"]
+        adjacent = adv_positions == list(
+            range(adv_positions[0], adv_positions[0] + len(adv_positions))
+        ) if adv_positions else True
+        if not adv_positions:
+            return tuple(out_entries) + tuple(trailing)
+        if adjacent:
+            out = out_entries[:adv_slot] + list(bshape) + out_entries[adv_slot:]
+        else:
+            out = list(bshape) + out_entries
+        return tuple(out) + tuple(trailing)
 
     def perform(self, node, inputs, output_storage):
         x, *ind = inputs
@@ -815,16 +861,14 @@ def _getitem(x, args):
             isinstance(a, Variable) and getattr(a.type, "ndim", 0) >= 0
         ):
             av = as_tensor_variable(a)
-            if av.type.dtype == "bool":
-                if len(args) != 1:
-                    raise NotImplementedError(
-                        "a symbolic boolean mask is only supported as the "
-                        "sole index (x[mask]); mix with other indices by "
-                        "composing subtensors, or use a graph-time-constant "
-                        "mask / where-style masking"
-                    )
-                # x[mask]: dynamic (nnz, *x.shape[mask.ndim:]) output —
-                # oracle-executable; XLA-supported via where rewrites
+            if av.type.dtype == "bool" and av.type.ndim == 0:
+                raise NotImplementedError(
+                    "scalar boolean indexing is not supported; use x[None].")
+            # symbolic boolean masks (sole or mixed with other indices)
+            # build graph-legal AdvancedSubtensor nodes with dynamic
+            # (nnz, ...) output — oracle-executable; the XLA path compiles
+            # the where-convertible patterns via rewrites and rejects the
+            # rest at lowering with guidance
             idx_list.append(DYN)
             tensors.append(av)
             n_adv += 1
@@ -856,6 +900,13 @@ def _inc_or_set(dest, src, set_instead_of_inc, ignore_duplicates=False):
     if dest.owner is None:
         raise TypeError("dest must be the result of an indexing operation")
     op = dest.owner.op
+    src_v = as_tensor_variable(src)
+    if src_v.type.ndim > dest.type.ndim:
+        # the increment can broadcast up but never carry MORE dims than
+        # the indexed view (reference IncSubtensor TypeError)
+        raise TypeError(
+            f"increment has {src_v.type.ndim} dims, more than the indexed "
+            f"view's {dest.type.ndim}")
     if isinstance(op, Subtensor):
         x, *dyn = dest.owner.inputs
         return IncSubtensor(op.idx_list, set_instead_of_inc=set_instead_of_inc)(
@@ -863,9 +914,10 @@ def _inc_or_set(dest, src, set_instead_of_inc, ignore_duplicates=False):
         )
     if isinstance(op, AdvancedSubtensor1):
         x, ilist = dest.owner.inputs
-        return AdvancedIncSubtensor1(set_instead_of_inc=set_instead_of_inc)(
-            x, src, ilist
-        )
+        return AdvancedIncSubtensor1(
+            set_instead_of_inc=set_instead_of_inc,
+            ignore_duplicates=ignore_duplicates,
+        )(x, src, ilist)
     if isinstance(op, AdvancedSubtensor):
         x, *ind = dest.owner.inputs
         return AdvancedIncSubtensor(
@@ -886,6 +938,15 @@ def take(x, indices, axis=None, mode="raise"):
     indices = as_tensor_variable(indices)
     from pytensor_tpu.tensor.shape import flatten, reshape, shape
 
+    if mode not in ("raise", "clip", "wrap"):
+        raise ValueError(f"invalid take mode: {mode!r}")
+    if mode != "raise":
+        from pytensor_tpu.tensor import math as tm
+
+        n = (x.size if axis is None
+             else shape(x)[axis % x.type.ndim])
+        indices = (tm.clip(indices, 0, n - 1) if mode == "clip"
+                   else tm.mod(indices, n))
     if axis is None:
         xf = flatten(x)
         if indices.type.ndim == 1:

@@ -316,6 +316,18 @@ class _tensor_py_operators:
     def ptp(self, axis=None):
         return _tm().ptp(self, axis)
 
+    def set(self, y, **kwargs):
+        """x[idx].set(y): functional update of the indexed view
+        (reference TensorVariable.set)."""
+        from pytensor_tpu.tensor.subtensor import set_subtensor
+
+        return set_subtensor(self, y, **kwargs)
+
+    def inc(self, y, **kwargs):
+        from pytensor_tpu.tensor.subtensor import inc_subtensor
+
+        return inc_subtensor(self, y, **kwargs)
+
     def clip(self, a_min, a_max):
         return _tm().clip(self, a_min, a_max)
 

@@ -77,11 +77,17 @@ class TestOracle:
         with pytest.raises(IndexError, match="rank"):
             x[M]
 
-    def test_mixed_with_other_indices_rejected(self):
+    def test_mixed_with_other_indices_oracle(self):
+        # graph-legal since round 4: bool masks mix with other indices
+        # (reference semantics); the oracle executes them, XLA rejects
+        # non-where-convertible patterns at lowering
         X = pt.dmatrix("X")
         m = pt.vector("m", dtype="bool")
-        with pytest.raises(NotImplementedError, match="sole index"):
-            X[m, 0]
+        out = X[m, 0]
+        f = ptt.function([X, m], out, mode="FAST_COMPILE")
+        Xv = np.arange(12.0).reshape(3, 4)
+        np.testing.assert_array_equal(
+            np.asarray(f(Xv, np.array([True, False, True]))), Xv[[True, False, True], 0])
 
 
 class TestXlaWhereRewrites:
