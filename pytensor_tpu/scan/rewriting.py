@@ -1,18 +1,20 @@
 """Scan rewrites.
 
 Parallels /root/reference/pytensor/scan/rewriting/ (push_out.py, io.py,
-trace.py, merge.py).  On the XLA backend several reference passes are
-subsumed by the compiler: within one jitted executable XLA hoists
-loop-invariant computation out of lax.scan (push_out) and DCEs unused
-loop-carried values; buffer-truncation (trace.py) corresponds to not
-stacking ys at all.  What remains profitable at graph level:
+trace.py, merge.py).  Delegation to XLA is verified by optimized-HLO
+inspection (tests/test_scan_hlo_evidence.py; PARITY appendix "Scan
+rewrite delegation"):
 
-- scan_remove_unused_outputs: drop nit-sot traces nobody reads (smaller
-  carry/ys pytrees -> less HBM traffic);
-- scan_push_out_non_seqs: move loop-invariant inner subgraphs that depend
-  only on non-sequence inputs out of the inner graph (XLA would also do
-  this, but doing it symbolically shrinks the traced loop body and
-  compile time).
+- CONFIRMED subsumed: unused ys traces are DCE'd out of the while carry;
+  loop-invariant computation is hoisted to the while init (LICM).  The
+  graph-level scan_remove_unused_outputs / scan_push_out_non_seqs still
+  run — shrinking the traced body cuts compile time — but correctness
+  and memory do not depend on them.
+- NOT subsumed (ported here): buffer truncation for tail-window reads
+  (scan_truncate_trace_window — XLA keeps the full (n, ...) ys buffer
+  when only ys[-w:] is consumed) and accumulator push-out
+  (scan_push_out_add — XLA cannot turn T sequential adds into one
+  batched reduction).
 """
 
 from __future__ import annotations
@@ -84,6 +86,30 @@ optdb.register(
 )
 
 
+def _last_index_clients_only(fgraph, node, out):
+    """True iff every client of ``out`` is trace[-1] (or its canonicalized
+    positive form trace[n-1] when n_steps is a constant)."""
+    from pytensor_tpu.tensor.subtensor import Subtensor
+
+    clients = fgraph.clients.get(out, ())
+    if not clients:
+        return False
+    try:
+        n_steps = int(get_scalar_constant_value(node.inputs[0]))
+    except NotScalarConstantError:
+        n_steps = None
+    for c, _ in clients:
+        if c == "output" or not isinstance(c.op, Subtensor):
+            return False
+        il = c.op.idx_list
+        if len(il) != 1 or not isinstance(il[0], (int, np.integer)):
+            return False
+        e = int(il[0])
+        if e != -1 and not (n_steps is not None and e == n_steps - 1):
+            return False
+    return True
+
+
 @node_rewriter([Scan])
 def scan_sit_sot_to_untraced(fgraph, node):
     """Convert sit-sot states whose trace is only read at [-1] into
@@ -101,19 +127,7 @@ def scan_sit_sot_to_untraced(fgraph, node):
         return False
 
     def only_last_element_clients(out):
-        clients = fgraph.clients.get(out, ())
-        if not clients:
-            return False  # unused traces are someone else's rewrite
-        for c, idx in clients:
-            if c == "output":
-                return False
-            if not isinstance(c.op, Subtensor):
-                return False
-            il = c.op.idx_list
-            if len(il) != 1 or not isinstance(il[0], (int, np.integer)) \
-                    or int(il[0]) != -1:
-                return False
-        return True
+        return _last_index_clients_only(fgraph, node, out)
 
     convert = []
     for k, taps in enumerate(info.taps):
@@ -199,6 +213,199 @@ optdb.register(
     WalkingGraphRewriter(scan_sit_sot_to_untraced),
     "fast_run", "scan", "scan_save_mem",
     position=1.62,  # reference position
+)
+
+
+@node_rewriter([Scan])
+def scan_truncate_trace_window(fgraph, node):
+    """Truncate a sit-sot trace consumed only through its last-w window
+    (``trace[-w:]`` / ``trace[-j]``) to a rolling (w, ...) untraced carry
+    (reference scan/rewriting/trace.py:887 buffer-truncation variants).
+
+    XLA does NOT subsume this: the lax.scan ys stacking keeps the full
+    (n_steps, ...) HBM buffer alive even when only a tail window is read
+    (PARITY appendix, scan HLO evidence).  Requires a statically known
+    n_steps >= w so the rolled window is fully populated.
+    """
+    import numpy as np
+
+    from pytensor_tpu.tensor.subtensor import Subtensor
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    try:
+        n_steps = int(get_scalar_constant_value(node.inputs[0]))
+    except NotScalarConstantError:
+        return False
+
+    def window_need(out):
+        """Max window length needed by the clients, or None if any client
+        reads more than a constant tail."""
+        clients = fgraph.clients.get(out, ())
+        if not clients:
+            return None
+        w = 0
+        for c, _ in clients:
+            if c == "output" or not isinstance(c.op, Subtensor):
+                return None
+            il = c.op.idx_list
+            if len(il) != 1:
+                return None
+            e = il[0]
+            if isinstance(e, (int, np.integer)):
+                # trace[-j] or its canonicalized trace[n-j]
+                j = -int(e) if int(e) < 0 else n_steps - int(e)
+                if j <= 0:
+                    return None
+                w = max(w, j)
+            elif isinstance(e, tuple) and e[0] == "slice":
+                a, b, s = e[1], e[2], e[3]
+                if not isinstance(a, (int, np.integer)):
+                    return None
+                if b is not None or (s is not None and s != 1):
+                    return None
+                j = -int(a) if int(a) < 0 else n_steps - int(a)
+                if j <= 0:
+                    return None
+                w = max(w, j)
+            else:
+                return None
+        # w == 1 is scan_sit_sot_to_untraced's cheaper form
+        return w if 2 <= w <= n_steps else None
+
+    convert = {}
+    for k, taps in enumerate(info.taps):
+        if taps != (-1,):
+            continue
+        w = window_need(node.outputs[k])
+        if w is not None:
+            convert[k] = w
+    if not convert:
+        return False
+
+    from pytensor_tpu.graph.fg import FunctionGraph
+    from pytensor_tpu.graph.replace import clone_replace
+    from pytensor_tpu.tensor import basic as tb
+    from pytensor_tpu.tensor.basic import shape_padleft
+
+    keep = [k for k in range(info.n_states) if k not in convert]
+    n_seqs = info.n_seqs
+    tap_groups = []
+    pos = n_seqs
+    for taps in info.taps:
+        tap_groups.append(op.fgraph.inputs[pos: pos + len(taps)])
+        pos += len(taps)
+
+    # fresh (w, ...) window inputs; the old h_prev tap becomes win[-1]
+    from pytensor_tpu.tensor.type import TensorType
+
+    win_vars = {}
+    tap_repl = {}
+    for k, w in convert.items():
+        tap_var = tap_groups[k][0]
+        win = TensorType(tap_var.type.dtype,
+                         (w,) + tuple(tap_var.type.shape))(f"win_{k}")
+        win_vars[k] = win
+        tap_repl[tap_var] = win[-1]
+
+    state_outs = op.inner_state_outs()
+    replaced = clone_replace(
+        list(state_outs) + list(op.inner_untraced_outs())
+        + list(op.inner_nit_sot_outs()),
+        replace=tap_repl,
+    )
+    r_states = replaced[: info.n_states]
+    r_untraced = replaced[info.n_states: info.n_states + info.n_untraced]
+    r_nits = replaced[info.n_states + info.n_untraced:]
+
+    # window output: shift left, append the new state value
+    win_outs = {}
+    for k, w in convert.items():
+        h_new = r_states[k]
+        win = win_vars[k]
+        win_outs[k] = tb.join(0, win[1:], shape_padleft(h_new))
+
+    old_untraced_in = op.inner_untraced_vars()
+    non_seq_in = op.inner_non_seq_vars()
+    new_inner_inputs = (
+        list(op.fgraph.inputs[:n_seqs])
+        + [v for k in keep for v in tap_groups[k]]
+        + [win_vars[k] for k in convert]
+        + list(old_untraced_in)
+        + list(non_seq_in)
+    )
+    new_inner_outputs = (
+        [r_states[k] for k in keep]
+        + [win_outs[k] for k in convert]
+        + list(r_untraced)
+        + list(r_nits)
+    )
+    new_info = ScanInfo(
+        n_seqs=n_seqs,
+        taps=tuple(info.taps[k] for k in keep),
+        n_nit_sot=info.n_nit_sot,
+        n_non_seqs=info.n_non_seqs,
+        as_while=False,
+        n_untraced=info.n_untraced + len(convert),
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_op = Scan(new_fg, new_info, name=op.name,
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
+
+    outer_inits = op.outer_inits(node.inputs)
+    outer_untraced = op.outer_untraced_inits(node.inputs)
+    outer_non_seqs = op.outer_non_seqs(node.inputs)
+    win_inits = []
+    for k, w in convert.items():
+        h0 = outer_inits[k]
+        # contents are shifted out before the final window is read
+        win_inits.append(tb.alloc(shape_padleft(h0), w, *[
+            h0.shape[i] for i in range(h0.type.ndim)]))
+    new_outer = (
+        list(op.outer_seqs(node.inputs))
+        + [outer_inits[k] for k in keep]
+        + win_inits
+        + list(outer_untraced)
+        + list(outer_non_seqs)
+    )
+    new_outs = new_op(node.inputs[0], *new_outer)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+
+    repl = []
+    for j, k in enumerate(keep):
+        repl.append((node.outputs[k], new_outs[j]))
+    conv_list = list(convert)
+    for j, k in enumerate(conv_list):
+        w = convert[k]
+        final_win = new_outs[len(keep) + j]
+        for c, _ in list(fgraph.clients.get(node.outputs[k], ())):
+            e = c.op.idx_list[0]
+            if isinstance(e, (int, np.integer)):
+                j = -int(e) if int(e) < 0 else n_steps - int(e)
+                repl.append((c.outputs[0], final_win[w - j]))
+            else:
+                a = int(e[1])
+                j = -a if a < 0 else n_steps - a
+                repl.append((c.outputs[0],
+                             final_win if j == w else final_win[w - j:]))
+    base = len(keep) + len(conv_list)
+    for u in range(info.n_untraced):
+        repl.append((node.outputs[info.n_states + u], new_outs[base + u]))
+    for m in range(info.n_nit_sot):
+        repl.append((node.outputs[info.n_states + info.n_untraced + m],
+                     new_outs[base + info.n_untraced + m]))
+    return dict(repl)
+
+
+optdb.register(
+    "scan_truncate_trace_window",
+    WalkingGraphRewriter(scan_truncate_trace_window),
+    "fast_run", "scan", "scan_save_mem",
+    position=1.625,  # after sit-sot->untraced, same save-mem family
 )
 
 
@@ -568,6 +775,141 @@ optdb.register(
     WalkingGraphRewriter(scan_push_out_non_recurrent_outputs),
     "fast_run", "scan",
     position=1.603,  # reference pushout_non_recurrent_outputs region
+)
+
+
+@node_rewriter([Scan])
+def scan_push_out_add(fgraph, node):
+    """Rewrite a pure-accumulator state ``acc' = acc + f(t)`` (f free of
+    recurrent state) whose trace is read only at [-1] into a nit-sot trace
+    of ``f`` summed outside the loop (reference scan/rewriting/push_out.py
+    ``push_out_add``).  Combined with ``scan_push_out_seqs`` /
+    ``scan_push_out_non_recurrent_outputs`` the loop often disappears
+    entirely, leaving one batched elemwise + reduction for the VPU/MXU
+    instead of T sequential adds.
+    """
+    from pytensor_tpu.graph.traversal import ancestors
+    from pytensor_tpu.tensor import math as tm
+    from pytensor_tpu.tensor.elemwise import Elemwise
+    from pytensor_tpu.tensor.subtensor import Subtensor
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+
+    def only_last_element_clients(out):
+        return _last_index_clients_only(fgraph, node, out)
+
+    n_seqs = info.n_seqs
+    tap_groups = []
+    pos = n_seqs
+    for taps in info.taps:
+        tap_groups.append(op.fgraph.inputs[pos: pos + len(taps)])
+        pos += len(taps)
+    all_tap_vars = {v for g in tap_groups for v in g}
+    untraced_vars = set(op.inner_untraced_vars())
+    state_outs = op.inner_state_outs()
+    other_outputs_anc = None  # computed lazily
+
+    convert = {}  # k -> rest expression
+    for k, taps in enumerate(info.taps):
+        if taps != (-1,):
+            continue
+        if not only_last_element_clients(node.outputs[k]):
+            continue
+        out = state_outs[k]
+        if out.owner is None or not isinstance(out.owner.op, Elemwise) \
+                or out.owner.op.scalar_op.name != "add" \
+                or len(out.owner.inputs) != 2:
+            continue
+        a, b = out.owner.inputs
+        tap_var = tap_groups[k][0]
+        rest = b if a is tap_var else (a if b is tap_var else None)
+        if rest is None:
+            continue
+        # f must be free of every recurrent/untraced carry
+        if any(v in all_tap_vars or v in untraced_vars
+               for v in ancestors([rest]) ):
+            continue
+        # the accumulator must feed nothing but this add
+        if other_outputs_anc is None:
+            others = [o for j, o in enumerate(state_outs) if j != k]
+            others += list(op.inner_untraced_outs()) + list(op.inner_nit_sot_outs())
+            other_outputs_anc = set(ancestors(others))
+        if tap_var in other_outputs_anc:
+            continue
+        # rest must broadcast to the state shape exactly (the summed
+        # trace has the per-step shape); require matching static ndim
+        if rest.type.ndim != out.type.ndim:
+            continue
+        convert[k] = rest
+        break  # one at a time; the walker re-runs until exhaustion
+
+    if not convert:
+        return False
+    (k, rest), = convert.items()
+
+    from pytensor_tpu.graph.fg import FunctionGraph
+
+    keep = [j for j in range(info.n_states) if j != k]
+    new_inner_inputs = (
+        list(op.fgraph.inputs[:n_seqs])
+        + [v for j in keep for v in tap_groups[j]]
+        + list(op.inner_untraced_vars())
+        + list(op.inner_non_seq_vars())
+    )
+    new_inner_outputs = (
+        [state_outs[j] for j in keep]
+        + list(op.inner_untraced_outs())
+        + list(op.inner_nit_sot_outs())
+        + [rest]
+    )
+    new_info = ScanInfo(
+        n_seqs=n_seqs,
+        taps=tuple(info.taps[j] for j in keep),
+        n_nit_sot=info.n_nit_sot + 1,
+        n_non_seqs=info.n_non_seqs,
+        as_while=False,
+        n_untraced=info.n_untraced,
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_op = Scan(new_fg, new_info, name=op.name,
+                  truncate_gradient=op.truncate_gradient,
+                  unroll=getattr(op, "unroll", None))
+
+    outer_inits = op.outer_inits(node.inputs)
+    new_outer = (
+        list(op.outer_seqs(node.inputs))
+        + [outer_inits[j] for j in keep]
+        + list(op.outer_untraced_inits(node.inputs))
+        + list(op.outer_non_seqs(node.inputs))
+    )
+    new_outs = new_op(node.inputs[0], *new_outer)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+
+    repl = []
+    for j2, j in enumerate(keep):
+        repl.append((node.outputs[j], new_outs[j2]))
+    base = len(keep)
+    for u in range(info.n_untraced):
+        repl.append((node.outputs[info.n_states + u], new_outs[base + u]))
+    for m in range(info.n_nit_sot):
+        repl.append((node.outputs[info.n_states + info.n_untraced + m],
+                     new_outs[base + info.n_untraced + m]))
+    f_trace = new_outs[base + info.n_untraced + info.n_nit_sot]
+    final = outer_inits[k] + tm.sum(f_trace, axis=0)
+    for c, _ in list(fgraph.clients.get(node.outputs[k], ())):
+        repl.append((c.outputs[0], final))
+    return dict(repl)
+
+
+optdb.register(
+    "scan_push_out_add",
+    WalkingGraphRewriter(scan_push_out_add),
+    "fast_run", "scan",
+    position=1.602,  # reference push_out_add region
 )
 
 

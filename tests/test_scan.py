@@ -256,12 +256,23 @@ def test_scan_save_mem_untraced_conversion():
     from pytensor_tpu.scan.op import Scan
 
     x = pt.dvector("x")
-    out, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+    # non-additive recurrence so scan_push_out_add leaves the loop alone
+    out, _ = ptt.scan(lambda xt, acc: acc * 0.5 + xt, sequences=[x],
                       outputs_info=[pt.constant(0.0, dtype="float64")])
     f = ptt.function([x], out[-1])
     scans = [n.op for n in f.fgraph.apply_nodes if isinstance(n.op, Scan)]
     assert scans and scans[0].info.n_untraced == 1 and scans[0].info.n_states == 0
-    assert float(np.asarray(f(np.arange(5.0)))) == 10.0
+    acc = 0.0
+    for t in np.arange(5.0):
+        acc = acc * 0.5 + t
+    np.testing.assert_allclose(float(np.asarray(f(np.arange(5.0)))), acc)
+
+    # the plain additive accumulator is eliminated outright (push_out_add)
+    out2, _ = ptt.scan(lambda xt, acc: acc + xt, sequences=[x],
+                       outputs_info=[pt.constant(0.0, dtype="float64")])
+    f2 = ptt.function([x], out2[-1])
+    assert not any(isinstance(n.op, Scan) for n in f2.fgraph.apply_nodes)
+    assert float(np.asarray(f2(np.arange(5.0)))) == 10.0
 
 
 def test_scan_merge_independent_loops():
@@ -401,7 +412,8 @@ def test_scan_push_out_non_seqs():
 
     x = pt.dvector("x")
     w = pt.dmatrix("w")
-    out, _ = ptt.scan(lambda xt, acc, ww: acc + xt * pt.exp(ww).sum(),
+    # non-additive recurrence keeps a loop alive so the hoist is visible
+    out, _ = ptt.scan(lambda xt, acc, ww: acc * np.float64(0.9) + xt * pt.exp(ww).sum(),
                       sequences=[x],
                       outputs_info=[pt.constant(0.0, dtype="float64")],
                       non_sequences=[w])
@@ -411,11 +423,24 @@ def test_scan_push_out_non_seqs():
         getattr(getattr(n.op, "scalar_op", None), "name", "") == "exp"
         for n in scan_node.op.fgraph.apply_nodes)
     xv, wv = np.arange(4.0), np.ones((2, 2))
-    expect = np.cumsum(xv * np.exp(wv).sum())[-1]
+    acc = 0.0
+    for t in xv:
+        acc = acc * np.float64(0.9) + t * np.exp(wv).sum()
     for mode in (None, "FAST_COMPILE"):
         np.testing.assert_allclose(
             np.asarray(ptt.function([x, w], out[-1], mode=mode)(xv, wv)),
-            expect, rtol=1e-12)
+            acc, rtol=1e-12)
+
+    # the additive form is eliminated entirely (push_out_add cascade)
+    out2, _ = ptt.scan(lambda xt, acc, ww: acc + xt * pt.exp(ww).sum(),
+                       sequences=[x],
+                       outputs_info=[pt.constant(0.0, dtype="float64")],
+                       non_sequences=[w])
+    f2 = ptt.function([x, w], out2[-1])
+    assert not any(isinstance(n.op, Scan) for n in f2.fgraph.apply_nodes)
+    np.testing.assert_allclose(
+        np.asarray(f2(xv, wv)), np.cumsum(xv * np.exp(wv).sum())[-1],
+        rtol=1e-12)
 
 
 def test_scan_merge_shared_op_instance_not_aliased():
@@ -490,7 +515,7 @@ def test_rop_through_scan():
     from pytensor_tpu.gradient import pushforward
 
     x = pt.dvector("x")
-    tr, _ = ptt.scan(lambda xt, acc: acc * 0.9 + xt ** 2, sequences=[x],
+    tr, _ = ptt.scan(lambda xt, acc: acc * np.float64(0.9) + xt ** 2, sequences=[x],
                      outputs_info=[pt.constant(np.float64(0.5))])
     y = (tr ** 2).sum()
     v = pt.dvector("v")
@@ -509,12 +534,12 @@ def test_scan_checkpoints_grad_matches_plain_scan():
     from pytensor_tpu.scan.checkpoints import scan_checkpoints
 
     x = pt.dvector("x")
-    out, _ = scan_checkpoints(lambda xt, acc: acc * 0.9 + xt, sequences=[x],
+    out, _ = scan_checkpoints(lambda xt, acc: acc * np.float64(0.9) + xt, sequences=[x],
                               outputs_info=pt.constant(np.float64(0.0)),
                               save_every_N=4)
     loss = out[-1] ** 2
     g = ptt.grad(loss, x)
-    out2, _ = ptt.scan(lambda xt, acc: acc * 0.9 + xt, sequences=[x],
+    out2, _ = ptt.scan(lambda xt, acc: acc * np.float64(0.9) + xt, sequences=[x],
                        outputs_info=[pt.constant(np.float64(0.0))])
     loss2 = out2[-1] ** 2
     g2 = ptt.grad(loss2, x)
@@ -570,8 +595,9 @@ def test_scan_push_out_seqs_mixed_with_nonseq():
 
     xs = pt.dmatrix("xs")  # (T, n)
     w = pt.dmatrix("w")    # (n, n)
+    # non-additive recurrence keeps the loop; the matmul must still hoist
     out, _ = ptt.scan(
-        lambda xt, acc, ww: acc + (ww @ xt),
+        lambda xt, acc, ww: acc * np.float64(0.9) + (ww @ xt),
         sequences=[xs],
         outputs_info=[pt.zeros((3,), dtype="float64")],
         non_sequences=[w])
@@ -586,7 +612,20 @@ def test_scan_push_out_seqs_mixed_with_nonseq():
     rng = np.random.default_rng(0)
     xv = rng.normal(size=(5, 3))
     wv = rng.normal(size=(3, 3))
-    np.testing.assert_allclose(np.asarray(f(xv, wv)),
+    acc = np.zeros(3)
+    for t in xv:
+        acc = acc * np.float64(0.9) + wv @ t
+    np.testing.assert_allclose(np.asarray(f(xv, wv)), acc, rtol=1e-10)
+
+    # the additive form loses the loop entirely (push_out_add cascade)
+    out2, _ = ptt.scan(
+        lambda xt, acc, ww: acc + (ww @ xt),
+        sequences=[xs],
+        outputs_info=[pt.zeros((3,), dtype="float64")],
+        non_sequences=[w])
+    f2 = ptt.function([xs, w], out2[-1])
+    assert not any(isinstance(n.op, Scan) for n in f2.fgraph.apply_nodes)
+    np.testing.assert_allclose(np.asarray(f2(xv, wv)),
                                (wv @ xv.T).T.cumsum(axis=0)[-1], rtol=1e-10)
 
 
