@@ -159,6 +159,12 @@ def register_all():
         out_dtype = node.outputs[0].type.dtype if node is not None else None
 
         def elemwise(*args):
+            if node is not None and len(args) > 1:
+                # trace-time shapes are concrete: enforce the reference's
+                # no-runtime-broadcast contract on this backend too
+                from pytensor_tpu.tensor.elemwise import Elemwise as _EW
+                _EW._check_runtime_broadcast(
+                    node, [np.shape(a) for a in args])
             if not any(isinstance(a, _jax_types) for a in args):
                 # all-host operands (shape arithmetic): stay concrete on host
                 r = np.asarray(np_fn(*args))
@@ -202,8 +208,14 @@ def register_all():
         transposition = op.transposition
         nshuffle = len(op.shuffle)
         augment = op.augment
+        drop = op.drop
 
         def dimshuffle(x):
+            for d in drop:
+                if np.shape(x)[d] != 1:
+                    raise ValueError(
+                        f"Cannot drop dim {d} of length {np.shape(x)[d]} (!= 1)"
+                    )
             if not isinstance(x, _jax_types):
                 # host-concrete operand (shape arithmetic, e.g.
                 # shape(x)[0] squeezed by a dim-dropping rewrite): stay

@@ -9,6 +9,7 @@ from pytensor_tpu.scalar.compatnames import (  # noqa: F401
     NumpyAutocaster,
     ScalarType,
     UnaryScalarOp,
+    _RefStyleScalarOp as ScalarOp,  # the subclassable reference-style base
     all_types,
     apply_across_args,
     as_scalar,

@@ -199,8 +199,20 @@ def _op_class(name: str) -> type:
     return cls
 
 
+def _default_init(self, *args, **kwargs):
+    """Reference ops construct bare (``ps.Second()``); default to the
+    canonical kernel configuration when called with no arguments."""
+    if not args and not kwargs and type(self).__dict__.get("_defaults"):
+        args, kwargs = type(self)._defaults
+    ScalarOp.__init__(self, *args, **kwargs)
+
+
 def _op(name, nin, np_fn, jax_fn, grad_fn=None, **kw) -> ScalarOp:
-    op = _op_class(name)(name, nin, np_fn, jax_fn, grad_fn, **kw)
+    cls = _op_class(name)
+    op = cls(name, nin, np_fn, jax_fn, grad_fn, **kw)
+    if "_defaults" not in cls.__dict__:
+        cls._defaults = ((name, nin, np_fn, jax_fn, grad_fn), dict(kw))
+        cls.__init__ = _default_init
     _registry[name] = op
     return op
 

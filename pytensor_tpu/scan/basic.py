@@ -93,6 +93,8 @@ def scan(
                 taps = tuple(sorted(oi.get("taps", [-1])))
                 if any(t >= 0 for t in taps):
                     raise ValueError("output taps must be negative")
+                if len(set(taps)) != len(taps):
+                    raise ValueError(f"repeated output taps {taps}")
                 states.append((as_tensor_variable(oi["initial"]), taps))
         else:
             states.append((as_tensor_variable(oi), (-1,)))

@@ -757,6 +757,11 @@ def moveaxis(x, source, destination):
         source = (source,)
     if isinstance(destination, (int, np.integer)):
         destination = (destination,)
+    if len(source) != len(destination):
+        raise ValueError(
+            "`source` and `destination` arguments must have the same number "
+            f"of elements (got {len(source)} and {len(destination)})"
+        )
     src = [s % x.type.ndim for s in source]
     dst = [d % x.type.ndim for d in destination]
     order = [a for a in range(x.type.ndim) if a not in src]

@@ -79,7 +79,10 @@ class DimShuffle(Op):
         if x.type.ndim != self.input_ndim:
             raise TypeError(f"DimShuffle expected ndim {self.input_ndim}, got {x.type.ndim}")
         for d in self.drop:
-            if x.type.shape[d] != 1:
+            # statically-known != 1 is a build error; unknown dims are
+            # accepted and checked at runtime (reference tensor/elemwise.py:
+            # DimShuffle builds on shape=(None, ...) and perform raises)
+            if x.type.shape[d] is not None and x.type.shape[d] != 1:
                 raise TypeError(
                     f"Cannot drop non-broadcastable (len != 1) dim {d} of {x.type}"
                 )
@@ -90,6 +93,11 @@ class DimShuffle(Op):
 
     def perform(self, node, inputs, output_storage):
         (x,) = inputs
+        for d in self.drop:
+            if x.shape[d] != 1:
+                raise ValueError(
+                    f"Cannot drop dim {d} of length {x.shape[d]} (!= 1)"
+                )
         res = np.transpose(x, self.transposition)
         shape = list(res.shape[: len(self.shuffle)])
         for a in self.augment:
@@ -170,7 +178,39 @@ class Elemwise(Op):
         out = TensorType(out_dtype, out_shape)()
         return Apply(self, inputs, [out])
 
+    def outer(self, x, y):
+        """``op.outer(x, y)[i..., j...] = op(x[i...], y[j...])`` — the
+        ufunc ``.outer`` analog (reference tensor/elemwise.py Elemwise)."""
+        from pytensor_tpu.tensor.basic import as_tensor_variable
+
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        xd = DimShuffle(x.type.ndim,
+                        tuple(range(x.type.ndim)) + ("x",) * y.type.ndim)(x)
+        return self(xd, y)
+
+    @staticmethod
+    def _check_runtime_broadcast(node, shapes):
+        """Reference semantics (tensor/elemwise.py perform/c_code): a dim may
+        only broadcast if its STATIC shape is 1; a runtime 1 stretching
+        against >1 is an error on every backend."""
+        out_shape = np.broadcast_shapes(*shapes)
+        nd = len(out_shape)
+        for inp, shp in zip(node.inputs, shapes):
+            off = nd - len(shp)
+            for d, s in enumerate(shp):
+                if (s == 1 and out_shape[off + d] != 1
+                        and inp.type.shape[d] != 1):
+                    raise ValueError(
+                        "Runtime broadcasting not allowed. "
+                        "One input had a distinct runtime dimension of 1 "
+                        f"(input shape {shp}, output shape {out_shape}). "
+                        "If broadcasting was intended, use "
+                        "`specify_broadcastable` on the relevant input."
+                    )
+
     def perform(self, node, inputs, output_storage):
+        self._check_runtime_broadcast(node, [np.shape(i) for i in inputs])
         out = self.scalar_op.impl(*inputs)
         dt = node.outputs[0].type.numpy_dtype
         out = np.asarray(out)
@@ -295,7 +335,10 @@ class CAReduce(Op):
         ):
             self.axis = (int(axis),)
         else:
-            self.axis = tuple(sorted(int(a) for a in axis))
+            axis = [int(a) for a in axis]
+            if len(set(axis)) != len(axis):
+                raise ValueError(f"repeated axis in {axis}")
+            self.axis = tuple(sorted(axis))
         self.dtype = dtype
         self.acc_dtype = acc_dtype
         self.upcast_discrete_output = upcast_discrete_output
@@ -334,10 +377,16 @@ class CAReduce(Op):
                 )
         axis = self.axis
         if axis is not None:
+            # numpy reduce semantics: 0-d operands accept axis 0/-1 as a
+            # no-op reduction (reference TestCAReduce.test_scalar_input)
+            bound = max(x.type.ndim, 1)
             for a in axis:
-                if not (-x.type.ndim <= a < x.type.ndim):
+                if not (-bound <= a < bound):
                     raise np.exceptions.AxisError(a, x.type.ndim)
-            axis = tuple(a % x.type.ndim for a in axis)
+            if x.type.ndim == 0:
+                axis = ()
+            else:
+                axis = tuple(a % x.type.ndim for a in axis)
             if axis != self.axis:
                 # normalize negative axes into a new op instance
                 return type(self)(self.scalar_op, axis, self.dtype, self.acc_dtype,

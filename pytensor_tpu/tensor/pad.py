@@ -139,19 +139,30 @@ def pad(x, pad_width, mode="constant", constant_values=0, **kwargs):
                 pat[axis] = 0
                 return DimShuffle(1, pat)(r)
 
+            from pytensor_tpu.tensor.shape import specify_shape
+
             idx_first = [slice(None)] * out.type.ndim
             idx_first[axis] = slice(0, 1)
             idx_last = [slice(None)] * out.type.ndim
             idx_last[axis] = slice(-1, None)
+
+            def _edge(idx):
+                # slice(0, 1) is length 1 whenever padding is meaningful;
+                # declare it so broadcasting is static, not runtime
+                e = out[tuple(idx)]
+                pinned = [1 if d == axis else e.type.shape[d]
+                          for d in range(e.type.ndim)]
+                return specify_shape(e, pinned)
+
             parts = []
             if lo:
                 # outermost element is exactly end_lo; linear to the edge
-                edge = out[tuple(idx_first)]
+                edge = _edge(idx_first)
                 ramp = end_lo + (edge - end_lo) * _axis_ramp(lo)
                 parts.append(cast(ramp, out.type.dtype))
             parts.append(out)
             if hi:
-                edge = out[tuple(idx_last)]
+                edge = _edge(idx_last)
                 # innermost->outermost: edge + (end-edge) * (j+1)/hi
                 frac = (_axis_ramp(hi) * hi + 1.0) / float(hi)
                 ramp = edge + (end_hi - edge) * frac

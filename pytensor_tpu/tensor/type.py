@@ -56,6 +56,12 @@ class TensorType(Type, HasDataType, HasShape):
         )
         if any(s is not None and s < 0 for s in self.shape):
             raise ValueError(f"Invalid static shape {self.shape}")
+        if len(self.shape) > 64:
+            # numpy/XLA rank ceiling (reference tensor/type.py TensorType)
+            raise ValueError(
+                "maximum supported dimension for a TensorType is currently "
+                f"64, found {len(self.shape)}"
+            )
         self.name = name
         if self.dtype == "float64" and config.warn_float64 != "ignore":
             _warn_float64()
@@ -110,7 +116,14 @@ class TensorType(Type, HasDataType, HasShape):
                         and converted.dtype.kind == "f"
                         and self.dtype in ("float32", "bfloat16", "float16")
                     ) or (converted.dtype.kind in "iu" and self.dtype in int_dtypes + uint_dtypes
-                          and np.can_cast(converted.dtype, self.numpy_dtype, "same_kind"))
+                          and np.can_cast(converted.dtype, self.numpy_dtype, "same_kind")
+                    ) or (
+                        # dtype-less Python ints autocast into float inputs
+                        # (reference NumpyAutocaster via _asarray)
+                        isinstance(data, (int, bool))
+                        and not isinstance(data, np.generic)
+                        and self.numpy_dtype.kind == "f"
+                    )
                 if not (ok or allow_downcast):
                     raise TypeError(
                         f"{self}: cannot safely cast {converted.dtype} to {self.dtype}"
@@ -292,32 +305,47 @@ cmatrix = _make_ctor("complex64", 2)
 zmatrix = _make_ctor("complex128", 2)
 
 
+def _apply_across(ctor, names, kwargs):
+    """Reference apply_across_args (pytensor/utils.py): ``vectors("abc")``
+    means one variable per character; an int means that many anonymous
+    variables; several args mean one variable per arg."""
+    if names and isinstance(names[0], int):
+        n = names[0]
+        return ctor(**kwargs) if n == 1 else [ctor(**kwargs) for _ in range(n)]
+    if len(names) == 1 and isinstance(names[0], str):
+        names = names[0]
+        if len(names) == 1:
+            return ctor(names, **kwargs)
+        return [ctor(n, **kwargs) for n in names]
+    return [ctor(n, **kwargs) for n in names]
+
+
 def scalars(*names, **kwargs):
-    return [scalar(n, **kwargs) for n in names]
+    return _apply_across(scalar, names, kwargs)
 
 
 def vectors(*names, **kwargs):
-    return [vector(n, **kwargs) for n in names]
+    return _apply_across(vector, names, kwargs)
 
 
 def matrices(*names, **kwargs):
-    return [matrix(n, **kwargs) for n in names]
+    return _apply_across(matrix, names, kwargs)
 
 
 def dmatrices(*names):
-    return [dmatrix(n) for n in names]
+    return _apply_across(dmatrix, names, {})
 
 
 def dvectors(*names):
-    return [dvector(n) for n in names]
+    return _apply_across(dvector, names, {})
 
 
 def fmatrices(*names):
-    return [fmatrix(n) for n in names]
+    return _apply_across(fmatrix, names, {})
 
 
 def fvectors(*names):
-    return [fvector(n) for n in names]
+    return _apply_across(fvector, names, {})
 
 
 # --- exhaustive dtype-shortcut constructors (reference tensor/type.py

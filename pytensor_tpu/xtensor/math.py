@@ -11,6 +11,7 @@ import sys
 
 import pytensor_tpu.scalar.basic as ps
 import pytensor_tpu.scalar.math as psm
+from pytensor_tpu.scalar.basic import ScalarOp as _BasicScalarOp
 from pytensor_tpu.xtensor.ops import XElemwise
 from pytensor_tpu.xtensor.type import as_xtensor
 
@@ -48,7 +49,7 @@ _ALIASES = {
 _mod = sys.modules[__name__]
 for _ns in (ps, psm):
     for _name, _obj in list(vars(_ns).items()):
-        if isinstance(_obj, ps.ScalarOp) and not _name.startswith("_"):
+        if isinstance(_obj, _BasicScalarOp) and not _name.startswith("_"):
             if not hasattr(_mod, _name):
                 setattr(_mod, _name, _as_xelemwise(_obj))
             for _alias in _ALIASES.get(_name, ()):
