@@ -57,14 +57,20 @@ def train_loop(inputs, outputs=None, updates=None, *, n_steps,
         else:
             inits.append(s)
 
-    def body(*state):
+    loop_invariants = list(inputs)
+
+    def body(*args):
+        state = args[: len(shareds)]
+        invars = args[len(shareds):]
         mapping = dict(zip(shareds, state))
+        mapping.update(zip(loop_invariants, invars))
         outs = [graph_replace(o, mapping) for o in out_list]
         new_state = [graph_replace(e, mapping) for e in new_exprs]
         return tuple(new_state) + tuple(outs)
 
     res, inner_updates = ptt.scan(
         body, outputs_info=inits + [None] * n_out,
+        non_sequences=loop_invariants,
         n_steps=n_steps, name=name or "train_loop")
     if inner_updates:
         raise NotImplementedError(

@@ -139,6 +139,12 @@ def _shape_port_indices(op) -> tuple[int, ...] | None:
         return (1, 2)
     if isinstance(op, RandomVariable):
         return (1,)
+    from pytensor_tpu.scan.op import Scan
+
+    if isinstance(op, Scan):
+        # the trace length is a buffer shape (scan/op.py:677 requires a
+        # concrete step count at trace time)
+        return (0,)
     return None
 
 

@@ -104,84 +104,141 @@ def scan(
         for v in non_sequences
     ]
 
-    # --- build inner input variables
-    inner_seqs = []
-    for s in seq_vars:
-        styp = TensorType(s.type.dtype, s.type.shape[1:])
-        inner_seqs.append(styp(f"{s.name or 'seq'}[t]"))
-    inner_taps = []
-    recurrent_idx = []
-    for idx, st in enumerate(states):
-        if st is None:
-            continue
-        recurrent_idx.append(idx)
-        init, taps = st
-        m = -min(taps)
-        if m == 1 and len(taps) == 1:
-            core_type = TensorType(init.type.dtype, init.type.shape)
-        else:
-            core_type = TensorType(init.type.dtype, init.type.shape[1:])
-        inner_taps.append([core_type(f"state{idx}[t{tap}]") for tap in taps])
-    inner_non_seqs = [w.type(f"{w.name or 'w'}") for w in non_seq_vars]
-
-    # --- call the user fn
-    args = list(inner_seqs)
-    for group in inner_taps:
-        args.extend(group)
-    args.extend(inner_non_seqs)
-    raw = fn(*args)
-
-    condition = None
-    inner_updates = OrderedUpdates()
-    if isinstance(raw, tuple) and len(raw) in (2, 3) and (
-        isinstance(raw[-1], until) or isinstance(raw[-1], (dict, OrderedUpdates))
-        or (len(raw) == 3)
-    ) and not all(isinstance(r, Variable) for r in raw):
-        # forms: (outputs, updates), (outputs, until), (outputs, updates, until)
-        outputs_raw = raw[0]
-        for extra in raw[1:]:
-            if isinstance(extra, until):
-                condition = extra.condition
-            elif isinstance(extra, (dict, OrderedUpdates)):
-                if extra:
-                    raise NotImplementedError(
-                        "shared-variable updates inside scan are not supported yet"
-                    )
-            else:
-                raise TypeError(f"unexpected scan fn return component {extra}")
-    elif isinstance(raw, until):
-        outputs_raw = []
-        condition = raw.condition
-    else:
-        outputs_raw = raw
-    inner_outputs_user = _listify(outputs_raw)
-    inner_outputs_user = [as_tensor_variable(o) for o in inner_outputs_user]
-
-    n_outs = len(inner_outputs_user)
-    if outputs_info and len(states) != n_outs:
-        raise ValueError(
-            f"scan fn returned {n_outs} outputs but outputs_info has {len(states)}"
-        )
-    if not outputs_info:
-        states = [None] * n_outs
-
-    # order inner outputs: recurrent states first, then nit-sot
-    state_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is not None]
-    nit_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is None]
-    taps_list = tuple(tuple(st[1]) for st in states if st is not None)
-    inits = [st[0] for st in states if st is not None]
-
-    # type check: recurrent outputs must match tap core types
-    flat_tap_vars = [tv for group in inner_taps for tv in group]
-    for (i, out), group in zip(
-        [(k, o) for k, o in enumerate(state_outs)], inner_taps
-    ):
-        core = group[0]
-        if out.type.dtype != core.type.dtype or out.type.ndim != core.type.ndim:
-            raise TypeError(
-                f"scan state {i}: output type {out.type} incompatible with "
-                f"initial/tap type {core.type}"
+    def _is_updates(x):
+        if isinstance(x, (dict, OrderedUpdates)):
+            return True
+        return (
+            isinstance(x, (list, tuple))
+            and len(x) > 0
+            and all(
+                isinstance(p, (tuple, list)) and len(p) == 2
+                and isinstance(p[0], Variable)
+                for p in x
             )
+        )
+
+    # --- build inner input variables, call fn, parse; retried when the
+    # inner output dtype upcasts past the initial's dtype (reference
+    # scan/op.py copy_var_format: the STATE adopts the output dtype, the
+    # initial is upcast into it; a downcast stays an error)
+    state_dtype_override: dict[int, str] = {}
+    from pytensor_tpu.scalar.basic import upcast as _upcast
+
+    for _attempt in range(4):
+        inner_seqs = []
+        for s in seq_vars:
+            styp = TensorType(s.type.dtype, s.type.shape[1:])
+            inner_seqs.append(styp(f"{s.name or 'seq'}[t]"))
+        inner_taps = []
+        recurrent_idx = []
+        rec_pos = 0
+        for idx, st in enumerate(states):
+            if st is None:
+                continue
+            recurrent_idx.append(idx)
+            init, taps = st
+            dt = state_dtype_override.get(rec_pos, init.type.dtype)
+            m = -min(taps)
+            if m == 1 and len(taps) == 1:
+                core_type = TensorType(dt, init.type.shape)
+            else:
+                core_type = TensorType(dt, init.type.shape[1:])
+            inner_taps.append([core_type(f"state{idx}[t{tap}]") for tap in taps])
+            rec_pos += 1
+
+        inner_non_seqs = [w.type(f"{w.name or 'w'}") for w in non_seq_vars]
+
+        # --- call the user fn
+        args = list(inner_seqs)
+        for group in inner_taps:
+            args.extend(group)
+        args.extend(inner_non_seqs)
+        raw = fn(*args)
+
+        condition = None
+        explicit_updates = OrderedUpdates()
+
+        def _collect_updates(u):
+            pairs = u.items() if isinstance(u, (dict, OrderedUpdates)) else u
+            for k, v in pairs:
+                explicit_updates[k] = as_tensor_variable(v)
+
+        if isinstance(raw, (dict, OrderedUpdates)) or (
+            _is_updates(raw) and not isinstance(raw, tuple)
+        ):
+            # fn returned only an updates mapping
+            outputs_raw = []
+            _collect_updates(raw)
+        elif isinstance(raw, tuple) and len(raw) in (2, 3) and (
+            isinstance(raw[-1], until) or _is_updates(raw[-1]) or (len(raw) == 3)
+        ) and not all(isinstance(r, Variable) for r in raw):
+            # forms: (outputs, updates), (outputs, until), (outputs, updates, until)
+            outputs_raw = raw[0]
+            for extra in raw[1:]:
+                if isinstance(extra, until):
+                    condition = extra.condition
+                elif _is_updates(extra) or isinstance(extra, (dict, OrderedUpdates)):
+                    _collect_updates(extra)
+                else:
+                    raise TypeError(f"unexpected scan fn return component {extra}")
+        elif isinstance(raw, until):
+            outputs_raw = []
+            condition = raw.condition
+        else:
+            outputs_raw = raw
+        inner_outputs_user = _listify(outputs_raw)
+        inner_outputs_user = [as_tensor_variable(o) for o in inner_outputs_user]
+
+        n_outs = len(inner_outputs_user)
+        if outputs_info and len(states) != n_outs:
+            raise ValueError(
+                f"scan fn returned {n_outs} outputs but outputs_info has {len(states)}"
+            )
+        if not outputs_info:
+            states = [None] * n_outs
+
+        # order inner outputs: recurrent states first, then nit-sot
+        state_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is not None]
+        nit_outs = [inner_outputs_user[i] for i, st in enumerate(states) if st is None]
+        taps_list = tuple(tuple(st[1]) for st in states if st is not None)
+        inits = [st[0] for st in states if st is not None]
+
+        # type check: recurrent outputs must match tap core types
+        flat_tap_vars = [tv for group in inner_taps for tv in group]
+        retry = False
+        for (i, out), group in zip(
+            [(k, o) for k, o in enumerate(state_outs)], inner_taps
+        ):
+            core = group[0]
+            if out.type.ndim != core.type.ndim:
+                raise TypeError(
+                    f"scan state {i}: output type {out.type} incompatible with "
+                    f"initial/tap type {core.type}"
+                )
+            if out.type.dtype != core.type.dtype:
+                if _upcast(core.type.dtype, out.type.dtype) == out.type.dtype:
+                    state_dtype_override[i] = out.type.dtype
+                    retry = True
+                else:
+                    raise TypeError(
+                        f"scan state {i}: inner function downcasts the state "
+                        f"from {out.type.dtype} given initial dtype "
+                        f"{core.type.dtype}; cast the initial state explicitly"
+                    )
+        if not retry:
+            break
+    else:
+        raise TypeError("scan could not reconcile state dtypes with fn outputs")
+
+    # upcast the outer initials whose state dtype was widened by fn
+    if state_dtype_override:
+        from pytensor_tpu.tensor.basic import cast as _cast
+
+        inits = [
+            _cast(init, state_dtype_override[i]) if i in state_dtype_override
+            else init
+            for i, init in enumerate(inits)
+        ]
 
     inner_inputs = inner_seqs + flat_tap_vars + inner_non_seqs
     inner_outputs = state_outs + nit_outs + ([condition] if condition is not None else [])
@@ -191,43 +248,81 @@ def scan(
     # by RandomVariable nodes become *untraced states* (reference "untraced
     # sit-sot"): the key threads through the loop and the final key is
     # returned as an update for the shared variable.
+    from pytensor_tpu.compile.sharedvalue import SharedVariable
+    from pytensor_tpu.graph.fg import MissingInputError
+    from pytensor_tpu.tensor.random.op import RandomVariable
+    from pytensor_tpu.tensor.random.type import RandomGeneratorType
+
+    upd_targets = list(explicit_updates.keys())
+    upd_target_set = set(upd_targets)
+    for t in upd_targets:
+        if not isinstance(t, SharedVariable):
+            raise TypeError(
+                f"scan updates must target SharedVariables, got {t}"
+            )
+    upd_exprs = [explicit_updates[k] for k in upd_targets]
+
+    output_roots = set(graph_inputs(inner_outputs))
     implicit = []
     inner_set = set(inner_inputs)
-    for v in graph_inputs(inner_outputs):
+    for v in graph_inputs(inner_outputs + upd_exprs):
         if isinstance(v, Constant):
             continue
         if v not in inner_set and v not in implicit:
-            if strict:
+            if (v.owner is None and not isinstance(v, SharedVariable)
+                    and v not in output_roots):
+                # a root outer variable reachable ONLY through an update
+                # expression (reference scan/basic.py raises via
+                # construct_function_ins_and_outs; roots feeding outputs
+                # are pulled in as implicit non-sequences instead,
+                # cf. reference test_condition_hidden_inp)
+                raise MissingInputError(
+                    f"Undeclared input {v} used by the scan inner function.\n"
+                    "Please pass this variable to the scan's inner function. "
+                    "Do not forget to also pass it to the `non_sequences` "
+                    "attribute of scan."
+                )
+            if strict and v not in upd_target_set:
                 raise ValueError(f"scan(strict=True): implicit input {v}")
             implicit.append(v)
-
-    from pytensor_tpu.compile.sharedvalue import SharedVariable
-    from pytensor_tpu.tensor.random.op import RandomVariable
-    from pytensor_tpu.tensor.random.type import RandomGeneratorType
 
     rng_implicit = [
         v for v in implicit
         if isinstance(v, SharedVariable) and isinstance(v.type, RandomGeneratorType)
     ]
-    implicit = [v for v in implicit if v not in rng_implicit]
+    implicit = [
+        v for v in implicit if v not in rng_implicit and v not in upd_target_set
+    ]
 
     untraced_inits = []
     inner_untraced_in = []
     inner_untraced_out = []
-    if rng_implicit or implicit:
+    if rng_implicit or implicit or upd_targets:
         from pytensor_tpu.graph.basic import clone_get_equiv
 
         placeholders = [v.type() for v in implicit]
         rng_placeholders = [v.type() for v in rng_implicit]
-        memo = dict(zip(implicit + rng_implicit, placeholders + rng_placeholders))
+        upd_placeholders = [v.type() for v in upd_targets]
+        memo = dict(zip(implicit + rng_implicit + upd_targets,
+                        placeholders + rng_placeholders + upd_placeholders))
         memo = clone_get_equiv(
-            inner_inputs + implicit + rng_implicit, inner_outputs,
+            inner_inputs + implicit + rng_implicit + upd_targets,
+            inner_outputs + upd_exprs,
             copy_inputs=False, copy_orphans=False, memo=memo,
         )
         inner_outputs = [memo[o] for o in inner_outputs]
+        upd_exprs = [memo.get(e, e) for e in upd_exprs]
         inner_inputs = [memo.get(i, i) for i in inner_inputs] + placeholders
         non_seq_vars = non_seq_vars + implicit
         inner_non_seqs = inner_non_seqs + placeholders
+        # explicit shared-variable updates thread as untraced states:
+        # inner input = current value, inner output = updated value,
+        # outer init = the shared variable; the final value is returned
+        # in the updates mapping (reference scan/basic.py step 5.3)
+        for sv, ph, ex in zip(upd_targets, upd_placeholders, upd_exprs):
+            untraced_inits.append(sv)
+            inner_untraced_in.append(ph)
+            inner_untraced_out.append(ex)
         # for each rng placeholder, the next_rng output of its consumer
         # RandomVariable node is the state transition
         from pytensor_tpu.graph.traversal import applys_between
