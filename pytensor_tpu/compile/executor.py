@@ -145,6 +145,14 @@ class Function:
         results = self.vm(*vals, *shared_vals)
         if not isinstance(results, tuple):
             results = (results,)
+        results = list(results)
+        # while-scan executed-prefix outputs: the XLA graph returns the
+        # full zero-padded buffer plus steps_done; cut host-side after the
+        # fetch (scan/dynlen.py WhileScanDynLen records the spec)
+        dynlen = getattr(self.fgraph, "dynlen_output_spec", None)
+        if dynlen:
+            for out_idx, k_idx in dynlen.items():
+                results[out_idx] = results[out_idx][: int(results[k_idx])]
         outputs = list(results[: self.n_user_outputs])
         updates = results[self.n_user_outputs:]
         for c, v in zip(self._update_containers_ordered, updates):

@@ -441,6 +441,26 @@ def register_all():
 
         return subtensor
 
+    def _full_cover_flips(idx, shape):
+        """If ``idx`` (concrete ints/slices) covers every element of an
+        array of ``shape`` exactly once via whole-dim slices of step +-1,
+        return the axes indexed with step -1 (to flip); else None."""
+        flips = []
+        for d, e in enumerate(idx):
+            if not isinstance(e, slice):
+                return None
+            step = 1 if e.step is None else e.step
+            if step == 1:
+                if e.start in (None, 0) and (
+                        e.stop is None or e.stop >= shape[d]):
+                    continue
+                return None
+            if step == -1 and e.start is None and e.stop is None:
+                flips.append(d)
+                continue
+            return None
+        return flips
+
     @xla_funcify.register(IncSubtensor)
     def _inc_subtensor(op, node=None, **kw):
         idx_list = op.idx_list
@@ -467,6 +487,20 @@ def register_all():
                         None if c2 is None else int(_concrete(c2)),
                     ))
             xa = jnp.asarray(x)
+            # Full-cover fast path: when the index touches every element
+            # exactly once via whole-dim slices (step +-1), the update is a
+            # plain elementwise combine.  Emitting it as such (instead of a
+            # full-window scatter) matters for correctness on the CPU
+            # backend: XLA's algebraic simplifier aborts with "Invalid
+            # binary instruction opcode map" on reverse(full-window
+            # scatter), and jnp's own ``.at[::-1]`` lowering produces
+            # exactly that pattern.
+            flips = _full_cover_flips(idx, xa.shape)
+            if flips is not None:
+                yb = jnp.broadcast_to(jnp.asarray(y, xa.dtype), xa.shape)
+                if flips:
+                    yb = jnp.flip(yb, flips)
+                return yb if set_mode else xa + yb
             if not _MOSAIC_SAFE:
                 ref = xa.at[tuple(idx)]
                 return ref.set(y) if set_mode else ref.add(y)

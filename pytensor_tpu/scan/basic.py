@@ -53,11 +53,7 @@ def scan(
     # normalize sequences; dict form may carry taps, desugared into
     # shifted plain sequences (seq tap k at step t reads s[t - lo + k])
     seq_vars = []
-    seq_len_bound = None  # symbolic usable length, if taps shrink it
-
-    def _note_len(expr):
-        nonlocal seq_len_bound
-        seq_len_bound = expr if seq_len_bound is None else seq_len_bound
+    seq_lengths = []  # usable-length expr, one per ORIGINAL sequence
 
     from pytensor_tpu.tensor.shape import shape as _shape_of
 
@@ -71,15 +67,58 @@ def scan(
             sv = flip(sv, 0)
         if taps == [0]:
             seq_vars.append(sv)
+            seq_lengths.append(_shape_of(sv)[0])
             continue
         lo = min(min(taps), 0)
         hi = max(max(taps), 0)
         usable = _shape_of(sv)[0] - int(hi - lo)
-        _note_len(usable)
+        seq_lengths.append(usable)
         for tap in taps:
             start = tap - lo
             view = sv[start:] if hi - lo == 0 else sv[start: start + usable]
             seq_vars.append(view)
+
+    # n_steps: explicit, or the SHORTEST sequence's usable length (reference
+    # scan/basic.py: all sequences are truncated to the number of steps
+    # before the loop; tests test_grad_multiple_seqs_different_nsteps)
+    from pytensor_tpu.tensor.math import minimum as _tm_minimum
+
+    if n_steps is None:
+        if not seq_vars:
+            raise ValueError("scan needs sequences or n_steps")
+        n_steps_var = seq_lengths[0]
+        for ln in seq_lengths[1:]:
+            n_steps_var = _tm_minimum(n_steps_var, ln)
+        explicit_n_steps = False
+    else:
+        n_steps_var = as_tensor_variable(n_steps)
+        explicit_n_steps = True
+
+    # clip each sequence view to exactly n_steps rows so downstream
+    # machinery (pushout rewrites, the gradient's reversal) sees
+    # consistent lengths; skip when the length is already exact
+    if seq_vars and (explicit_n_steps or len(seq_lengths) > 1):
+        from pytensor_tpu.tensor.basic import (
+            NotScalarConstantError as _NSC,
+        )
+        from pytensor_tpu.tensor.basic import (
+            get_scalar_constant_value as _get_const,
+        )
+
+        try:
+            _static_n = int(_get_const(n_steps_var))
+        except _NSC:
+            _static_n = None
+        clipped = []
+        for sv in seq_vars:
+            if _static_n is not None:
+                if sv.type.shape[0] == _static_n:
+                    clipped.append(sv)
+                else:
+                    clipped.append(sv[:_static_n])
+            else:
+                clipped.append(sv[:n_steps_var])
+        seq_vars = clipped
 
     # normalize outputs_info
     states = []  # (initial, taps) or None for nit-sot
@@ -90,7 +129,10 @@ def scan(
             if oi.get("initial") is None:
                 states.append(None)
             else:
-                taps = tuple(sorted(oi.get("taps", [-1])))
+                # taps keep the USER's order: the inner function receives
+                # its tap arguments in the order listed (reference
+                # scan/basic.py passes mit-sot slices as given)
+                taps = tuple(oi.get("taps", [-1]))
                 if any(t >= 0 for t in taps):
                     raise ValueError("output taps must be negative")
                 if len(set(taps)) != len(taps):
@@ -161,7 +203,16 @@ def scan(
         def _collect_updates(u):
             pairs = u.items() if isinstance(u, (dict, OrderedUpdates)) else u
             for k, v in pairs:
-                explicit_updates[k] = as_tensor_variable(v)
+                # only coerce values whose TARGET is tensor-typed; RNG (and
+                # other non-tensor) updates keep the original Variable
+                if isinstance(getattr(k, "type", None), TensorType):
+                    explicit_updates[k] = as_tensor_variable(v)
+                elif isinstance(v, Variable):
+                    explicit_updates[k] = v
+                else:
+                    raise TypeError(
+                        f"scan update for {k} must be a symbolic Variable "
+                        f"of type {getattr(k, 'type', None)}, got {v!r}")
 
         if isinstance(raw, (dict, OrderedUpdates)) or (
             _is_updates(raw) and not isinstance(raw, tuple)
@@ -288,7 +339,9 @@ def scan(
 
     rng_implicit = [
         v for v in implicit
-        if isinstance(v, SharedVariable) and isinstance(v.type, RandomGeneratorType)
+        if isinstance(v, SharedVariable)
+        and isinstance(v.type, RandomGeneratorType)
+        and v not in upd_target_set
     ]
     implicit = [
         v for v in implicit if v not in rng_implicit and v not in upd_target_set
@@ -297,6 +350,9 @@ def scan(
     untraced_inits = []
     inner_untraced_in = []
     inner_untraced_out = []
+    upd_state_targets = []  # tensor-typed update targets -> traced states
+    upd_state_in = []
+    upd_state_out = []
     if rng_implicit or implicit or upd_targets:
         from pytensor_tpu.graph.basic import clone_get_equiv
 
@@ -315,14 +371,21 @@ def scan(
         inner_inputs = [memo.get(i, i) for i in inner_inputs] + placeholders
         non_seq_vars = non_seq_vars + implicit
         inner_non_seqs = inner_non_seqs + placeholders
-        # explicit shared-variable updates thread as untraced states:
-        # inner input = current value, inner output = updated value,
-        # outer init = the shared variable; the final value is returned
-        # in the updates mapping (reference scan/basic.py step 5.3)
+        # explicit shared-variable updates: tensor-typed targets thread as
+        # ordinary TRACED sit-sot states (so gradients flow through them —
+        # reference scan threads them as sit-sots; the updates mapping
+        # reads trace[-1], and the trace-window rewrite recovers the O(1)
+        # memory when nothing else reads the trace).  Non-tensor targets
+        # (RNG generators, ...) stay untraced carries.
         for sv, ph, ex in zip(upd_targets, upd_placeholders, upd_exprs):
-            untraced_inits.append(sv)
-            inner_untraced_in.append(ph)
-            inner_untraced_out.append(ex)
+            if isinstance(sv.type, TensorType):
+                upd_state_targets.append(sv)
+                upd_state_in.append(ph)
+                upd_state_out.append(ex)
+            else:
+                untraced_inits.append(sv)
+                inner_untraced_in.append(ph)
+                inner_untraced_out.append(ex)
         # for each rng placeholder, the next_rng output of its consumer
         # RandomVariable node is the state transition
         from pytensor_tpu.graph.traversal import applys_between
@@ -346,46 +409,59 @@ def scan(
             inner_untraced_in.append(ph)
             inner_untraced_out.append(next_rng)
 
-    # --- n_steps
-    if n_steps is None:
-        if not seq_vars:
-            raise ValueError("scan needs sequences or n_steps")
-        from pytensor_tpu.tensor.shape import shape
-
-        n_steps_var = seq_len_bound if seq_len_bound is not None \
-            else shape(seq_vars[0])[0]
-    else:
-        n_steps_var = as_tensor_variable(n_steps)
-
+    n_user_states = len([st for st in states if st is not None])
+    full_taps_list = taps_list + tuple((-1,) for _ in upd_state_targets)
     info = ScanInfo(
         n_seqs=len(seq_vars),
-        taps=taps_list,
+        taps=full_taps_list,
         n_nit_sot=len(nit_outs),
         n_non_seqs=len(non_seq_vars),
         as_while=condition is not None,
         n_untraced=len(inner_untraced_in),
     )
-    # assemble in canonical order: seqs + taps + untraced + non_seqs
+    # assemble in canonical order: seqs + taps (user states, then update
+    # states) + untraced + non_seqs
     n_tapvars = sum(len(t) for t in taps_list)
     base_inputs = inner_inputs[: info.n_seqs + n_tapvars]
     nonseq_inputs = inner_inputs[info.n_seqs + n_tapvars:]
-    inner_inputs = base_inputs + inner_untraced_in + nonseq_inputs
-    # outputs: states + untraced + nit (+ cond)
+    inner_inputs = (base_inputs + upd_state_in + inner_untraced_in
+                    + nonseq_inputs)
+    # outputs: states (user, then update) + untraced + nit (+ cond)
     cond_tail = inner_outputs[-1:] if condition is not None else []
     body_outputs = inner_outputs[: len(inner_outputs) - len(cond_tail)]
-    state_part = body_outputs[: info.n_states]
-    nit_part = body_outputs[info.n_states:]
-    inner_outputs = state_part + inner_untraced_out + nit_part + cond_tail
+    state_part = body_outputs[: n_user_states]
+    nit_part = body_outputs[n_user_states:]
+    inner_outputs = (state_part + upd_state_out + inner_untraced_out
+                     + nit_part + cond_tail)
     fgraph = FunctionGraph(inner_inputs, inner_outputs, clone=True)
     op = Scan(fgraph, info, name=name, truncate_gradient=truncate_gradient,
               unroll=unroll)
-    node_outs = op(n_steps_var, *seq_vars, *inits, *untraced_inits, *non_seq_vars)
+    node_outs = op(n_steps_var, *seq_vars, *inits, *upd_state_targets,
+                   *untraced_inits, *non_seq_vars)
     if not isinstance(node_outs, list):
         node_outs = [node_outs]
+    steps_out = node_outs[-1] if info.as_while else None
+
+    def _as_prefix(trace):
+        """The user-visible executed prefix of a while-scan trace."""
+        if steps_out is None:
+            return trace
+        from pytensor_tpu.scan.dynlen import truncate_to_done
+
+        return truncate_to_done(trace, steps_out)
 
     updates = OrderedUpdates()
-    for u, sv in enumerate(untraced_inits):
-        updates[sv] = node_outs[info.n_states + u]
+    untraced_pos = {id(sv): u for u, sv in enumerate(untraced_inits)}
+    upd_state_pos = {id(sv): n_user_states + j
+                     for j, sv in enumerate(upd_state_targets)}
+    for sv in upd_targets:
+        if id(sv) in upd_state_pos:
+            updates[sv] = _as_prefix(node_outs[upd_state_pos[id(sv)]])[-1]
+        else:
+            updates[sv] = node_outs[info.n_states + untraced_pos[id(sv)]]
+    for sv in untraced_inits:
+        if sv not in updates:
+            updates[sv] = node_outs[info.n_states + untraced_pos[id(sv)]]
 
     # map back to the user's output order
     traces = {}
@@ -393,12 +469,12 @@ def scan(
     ni = 0
     for i, st in enumerate(states):
         if st is not None:
-            traces[i] = node_outs[ri]
+            traces[i] = _as_prefix(node_outs[ri])
             ri += 1
     nit_base = info.n_states + info.n_untraced
     for i, st in enumerate(states):
         if st is None:
-            traces[i] = node_outs[nit_base + ni]
+            traces[i] = _as_prefix(node_outs[nit_base + ni])
             ni += 1
     results = [traces[i] for i in range(len(states))]
     if len(results) == 1 and not return_list:

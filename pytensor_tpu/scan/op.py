@@ -250,13 +250,14 @@ class Scan(Op, HasInnerGraph):
             if info.as_while and bool(res[-1]):
                 # ``until`` condition true: this step is included, then stop
                 break
-        # while-scans pad with the last value to keep static length
+        # while-scans zero-pad to static length (matching the XLA lowering;
+        # the user-visible executed prefix is re-cut by TruncateToDone)
         if info.as_while and steps_done < n_steps:
             for traces in (state_traces, nit_traces):
                 for tr in traces:
-                    last = tr[-1] if tr else None
+                    pad = np.zeros_like(tr[-1]) if tr else None
                     while len(tr) < n_steps:
-                        tr.append(last)
+                        tr.append(pad)
         for k in range(info.n_states):
             output_storage[k][0] = np.stack(state_traces[k]) if state_traces[k] \
                 else np.zeros((0, *node.outputs[k].type.shape[1:]),
@@ -334,6 +335,20 @@ class Scan(Op, HasInnerGraph):
         info = self.info
         untraced_traces = []
         if info.n_untraced:
+            from pytensor_tpu.tensor.random.type import (
+                RandomGeneratorType as _RGT,
+            )
+
+            if any(not isinstance(v.type, _RGT)
+                   for v in self.inner_untraced_vars()):
+                # tensor-typed untraced states only arise from rewrites
+                # (scan() threads explicit updates as traced states); BPTT
+                # through them would need their per-step values
+                return [
+                    grad_not_implemented(
+                        self, i, inp, "tensor-typed untraced scan state")
+                    for i, inp in enumerate(inputs)
+                ]
             if info.as_while:
                 return [
                     grad_not_implemented(
@@ -372,18 +387,12 @@ class Scan(Op, HasInnerGraph):
                 aug_outs = [aug_outs]
             base = info.n_states + info.n_untraced + info.n_nit_sot
             untraced_traces = aug_outs[base: base + info.n_untraced]
-        if info.as_while and self.truncate_gradient != -1:
-            return [
-                grad_not_implemented(self, i, inp,
-                                     "truncated grad through while-scan")
-                for i, inp in enumerate(inputs)
-            ]
         as_while = info.as_while
         if as_while:
-            # last output is steps_done (int); the trace beyond it is frozen
-            # padding.  BPTT masks the padded region: zero cotangents there,
-            # and the padded outputs' grads (which are grads of copies of the
-            # step T-1 value) are accumulated and injected at step T-1.
+            # last output is steps_done (int); trace rows beyond it are zero
+            # padding whose true Jacobian is zero — BPTT masks the region
+            # (reference scan/op.py:1827 truncates the buffers instead; the
+            # executed-prefix contract lives in scan/dynlen.py here)
             steps_done = outputs[-1]
             outputs = outputs[:-1]
             output_grads = output_grads[:-1]
@@ -393,6 +402,24 @@ class Scan(Op, HasInnerGraph):
         seqs = list(self.outer_seqs(inputs))
         inits = list(self.outer_inits(inputs))
         non_seqs = list(self.outer_non_seqs(inputs))
+
+        # inconsistent broadcast pattern between a state's initial value and
+        # the inner output makes the pullback ill-typed — raise like the
+        # reference (tests/scan/test_basic.py test_inconsistent_broadcast_error)
+        for k_chk, (init, taps) in enumerate(zip(inits, info.taps)):
+            m_chk = -min(taps)
+            core_shape = (init.type.shape
+                          if (m_chk == 1 and len(taps) == 1)
+                          else init.type.shape[1:])
+            out_shape = self.inner_state_outs()[k_chk].type.shape
+            for a, b in zip(core_shape, out_shape):
+                if a == 1 and b != 1:
+                    raise TypeError(
+                        f"scan state {k_chk}: the initial value has a "
+                        f"broadcastable dimension (shape {core_shape}) where "
+                        f"the inner function's output does not (shape "
+                        f"{out_shape}); the gradient graph cannot be built. "
+                        "Give the initial state the output's type.")
         state_traces = outputs[: info.n_states]
         nit_traces = outputs[info.n_states + info.n_untraced:]
 
@@ -407,6 +434,13 @@ class Scan(Op, HasInnerGraph):
             if isinstance(getattr(g, "type", None), (DisconnectedType, NullType)):
                 filled_grads.append(zeros_like(out))
             else:
+                if (g.type.ndim == out.type.ndim and g.type.ndim > 0
+                        and g.type.shape[0] == 1 and out.type.shape[0] != 1):
+                    # a broadcastable (1, ...) cotangent (e.g. from a mean
+                    # over a broadcast row) must be expanded to the full
+                    # trace length before the reverse scan consumes it as
+                    # a sequence — scan never broadcasts sequences
+                    g = tm.second(out, g)
                 filled_grads.append(g)
 
         # full state histories (init region + trace), one per state
@@ -431,7 +465,11 @@ class Scan(Op, HasInnerGraph):
                 # value h_k^{t+tap} for t = 0..T-1 is hist[t + m + tap]
                 sl = hists[k][m + tap: m + tap + n_steps_i]
                 rev_seqs.append(flip(sl, 0))
-        rev_seqs += [flip(s, 0) for s in seqs]
+        # sequences may be longer than n_steps (scan() clips at build time,
+        # but op-level constructions need not) — the reverse must flip only
+        # the CONSUMED prefix (reference scan/op.py:2533 slices before
+        # reversing; tests test_grad_multiple_seqs_different_nsteps)
+        rev_seqs += [flip(s[:n_steps_i], 0) for s in seqs]
         rev_seqs += [flip(u, 0) for u in untraced_traces]
         if as_while:
             from pytensor_tpu.tensor.basic import arange as _arange
@@ -461,24 +499,23 @@ class Scan(Op, HasInnerGraph):
             P = list(args[pos: pos + info.n_states]); pos += info.n_states
             wbars = list(args[pos: pos + info.n_non_seqs]); pos += info.n_non_seqs
             if as_while:
-                gaccs = list(args[pos: pos + info.n_states]); pos += info.n_states
-                gacc_nits = list(args[pos: pos + info.n_nit_sot]); pos += info.n_nit_sot
                 ns_vals = list(args[pos:-1])
                 T_done = args[-1]
+                # cotangents of never-executed (zero-padded) rows are
+                # discarded; with truncate_gradient=n only the last n
+                # EXECUTED steps keep cotangents AND the state chain (P)
+                # is cut below the window (standard TBPTT)
                 active = tm.lt(t_idx, T_done)
-                is_last = tm.eq(t_idx, T_done - 1)
-                g_states = [
-                    tm.switch(active,
-                              g + tm.switch(is_last, ga, zeros_like(ga)),
-                              zeros_like(g))
-                    for g, ga in zip(g_states, gaccs)
-                ]
-                g_nits = [
-                    tm.switch(active,
-                              g + tm.switch(is_last, ga, zeros_like(ga)),
-                              zeros_like(g))
-                    for g, ga in zip(g_nits, gacc_nits)
-                ]
+                if truncate != -1:
+                    below = tm.lt(t_idx, T_done - truncate)
+                    in_window = tm.and_(active, tm.invert(below))
+                    P = [tm.switch(below, zeros_like(p), p) for p in P]
+                else:
+                    in_window = active
+                g_states = [tm.switch(in_window, g, zeros_like(g))
+                            for g in g_states]
+                g_nits = [tm.switch(in_window, g, zeros_like(g))
+                          for g in g_nits]
             else:
                 ns_vals = list(args[pos:])
 
@@ -536,21 +573,6 @@ class Scan(Op, HasInnerGraph):
                     rows.append(shifted)
                 new_P.append(stack(rows, axis=0))
             new_wbars = [wb + g for wb, g in zip(wbars, ns_grads)]
-            if as_while:
-                new_gaccs = [
-                    ga + tm.switch(active, zeros_like(g0), g0)
-                    for ga, g0 in zip(gaccs,
-                                      list(args[:info.n_states]))
-                ]
-                new_gacc_nits = [
-                    ga + tm.switch(active, zeros_like(g0), g0)
-                    for ga, g0 in zip(
-                        gacc_nits,
-                        list(args[info.n_states:
-                                  info.n_states + info.n_nit_sot]))
-                ]
-                return (new_P + new_wbars + new_gaccs + new_gacc_nits
-                        + seq_grads)
             return new_P + new_wbars + seq_grads
 
         # initial carries: zero windows and zero non-seq accumulators
@@ -569,26 +591,21 @@ class Scan(Op, HasInnerGraph):
                 for i, inp in enumerate(inputs)
             ]
 
-        if truncate != -1:
+        if truncate != -1 and not as_while:
             # truncated BPTT: only the last `truncate` reverse steps run;
-            # contributions older than the window are dropped (standard TBPTT)
+            # contributions older than the window are dropped (standard
+            # TBPTT).  While-scans instead run the full reverse and mask
+            # by step index (the window ends at steps_done, not n_steps).
             rev_n_steps = tm.minimum(tm.cast(n_steps, "int64"),
                                      tm.cast(truncate, "int64"))
         else:
             rev_n_steps = n_steps
-        gacc0 = []
-        if as_while:
-            gacc0 = ([zeros_like(state_traces[k][0])
-                      for k in range(info.n_states)]
-                     + [zeros_like(nit_traces[m][0])
-                        for m in range(info.n_nit_sot)])
         rev_results, _ = scan(
             reverse_step,
             sequences=rev_seqs,
             outputs_info=(
                 [dict(initial=p, taps=[-1]) for p in P0]
                 + [dict(initial=w, taps=[-1]) for w in w0]
-                + [dict(initial=g, taps=[-1]) for g in gacc0]
                 + [None] * info.n_seqs
             ),
             non_sequences=(non_seqs + ([steps_done] if as_while else [])),
@@ -599,28 +616,45 @@ class Scan(Op, HasInnerGraph):
             rev_results = [rev_results]
         P_traces = rev_results[: info.n_states]
         w_traces = rev_results[info.n_states: info.n_states + info.n_non_seqs]
-        seq_grad_traces = rev_results[info.n_states + info.n_non_seqs
-                                      + len(gacc0):]
+        seq_grad_traces = rev_results[info.n_states + info.n_non_seqs:]
 
         # assemble input grads
+        from pytensor_tpu.tensor.basic import alloc as _alloc
+        from pytensor_tpu.tensor.basic import concatenate as _concat
+        from pytensor_tpu.tensor.shape import shape as _shape
+
+        def _zero_rows(template, n_rows):
+            zshape = [n_rows] + [_shape(template)[d]
+                                 for d in range(1, template.type.ndim)]
+            if template.type.ndim > 1:
+                return _alloc(zeros_like(template[0]), *zshape)
+            return _alloc(tm.cast(0.0, template.type.dtype), n_rows)
+
+        try:
+            static_T = int(get_scalar_constant_value(n_steps))
+        except NotScalarConstantError:
+            static_T = None
+
         grads = [DisconnectedType()()]  # n_steps
         for i, s in enumerate(seqs):
             g_seq = flip(seq_grad_traces[i], 0)
-            if truncate != -1:
-                # pad zeros for the steps outside the truncation window
-                from pytensor_tpu.tensor.basic import concatenate
-                from pytensor_tpu.tensor.shape import shape
-
+            if truncate != -1 and not as_while:
+                # zeros for the steps outside the truncation window
                 pad_len = tm.maximum(
                     tm.cast(n_steps, "int64") - tm.cast(truncate, "int64"),
                     tm.cast(0, "int64"),
                 )
-                zshape = [pad_len] + [shape(g_seq)[d] for d in range(1, g_seq.type.ndim)]
-                from pytensor_tpu.tensor.basic import alloc as _alloc
-
-                zero_pad = _alloc(zeros_like(g_seq[0]), *zshape) if g_seq.type.ndim > 1 \
-                    else _alloc(tm.cast(0.0, g_seq.type.dtype), pad_len)
-                g_seq = concatenate([zero_pad, g_seq], axis=0)
+                g_seq = _concat([_zero_rows(g_seq, pad_len), g_seq], axis=0)
+            if not (s.type.shape[0] is not None and static_T is not None
+                    and s.type.shape[0] == static_T):
+                # the sequence may be longer than n_steps: steps never
+                # consumed get zero gradient (reference clips sequences
+                # to n_steps before scanning)
+                tail = tm.maximum(
+                    tm.cast(_shape(s)[0], "int64") - n_steps_i,
+                    tm.cast(0, "int64"),
+                )
+                g_seq = _concat([g_seq, _zero_rows(g_seq, tail)], axis=0)
             grads.append(g_seq)
         for k, (init, taps) in enumerate(zip(inits, info.taps)):
             m = -min(taps)
@@ -738,8 +772,9 @@ def _register_xla():
             # Missing #3; reference scan/op.py as_while + the JAX
             # dispatch recipe link/jax/dispatch/scan.py:11).  Traced
             # outputs live in preallocated (T, ...) buffers (XLA needs
-            # static shapes); rows past the exit step are padded with
-            # the last emitted values to match the oracle's semantics.
+            # static shapes); rows past the exit step stay ZERO — the
+            # executed-prefix contract (scan/dynlen.py) re-cuts or masks
+            # them, and zero rows make linear reductions exact as-is.
             # Untraced (RNG) state threads through the carry like the
             # for-scan — no masking needed, so it is fully supported.
             n_ys = info.n_states + info.n_nit_sot
@@ -757,15 +792,13 @@ def _register_xla():
                                            n_state_like + info.n_nit_sot]))
             ys0 = tuple(jnp.zeros((T,) + p.shape, p.dtype)
                         for p in emitted_shapes)
-            last0 = tuple(jnp.zeros(p.shape, p.dtype)
-                          for p in emitted_shapes)
 
             def cond_fn(carry):
-                i, _w, _u, _ys, _last, cont = carry
+                i, _w, _u, _ys, cont = carry
                 return jnp.logical_and(cont, i < T)
 
             def body_fn(carry):
-                i, windows, untraced, ys, last, cont = carry
+                i, windows, untraced, ys, cont = carry
                 windows = list(windows)
                 args = [jax.lax.dynamic_index_in_dim(s, i, keepdims=False)
                         for s in seqs]
@@ -792,17 +825,12 @@ def _register_xla():
                     jax.lax.dynamic_update_index_in_dim(b, e, i, 0)
                     for b, e in zip(ys, emitted))
                 return (i + 1, tuple(new_windows), new_untraced, new_ys,
-                        emitted, jnp.logical_not(stop))
+                        jnp.logical_not(stop))
 
             carry0 = (jnp.asarray(0, "int32"), tuple(windows0),
-                      tuple(untraced0), ys0, last0, jnp.asarray(True))
-            i_f, _w, untraced_f, ys, last, _c = jax.lax.while_loop(
+                      tuple(untraced0), ys0, jnp.asarray(True))
+            i_f, _w, untraced_f, ys, _c = jax.lax.while_loop(
                 cond_fn, body_fn, carry0)
-            # pad rows [i_f, T) with the last emitted values
-            row_live = jnp.arange(T) < i_f
-            ys = tuple(
-                jnp.where(row_live.reshape((T,) + (1,) * l.ndim), b,
-                          l[None]) for b, l in zip(ys, last))
             steps_done = i_f.astype("int64")
             return (tuple(ys[: info.n_states]) + tuple(untraced_f)
                     + tuple(ys[info.n_states:]) + (steps_done,))

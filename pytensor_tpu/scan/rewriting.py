@@ -684,19 +684,35 @@ def scan_push_out_seqs(fgraph, node):
     if not keep:
         return False
     fresh = [fresh[i] for i in keep]
+    candidates = [candidates[i] for i in keep]
     outer_vals = [outer_vals[i] for i in keep]
 
+    # vectorize_graph adds a leading time axis only to values that truly
+    # vary with the sequence; shape-ops (Shape_i of a slice, MakeVector of
+    # them, ...) come back batch-INVARIANT with the core ndim — those must
+    # re-enter as non-sequences, not length-1 sequences
+    seq_fresh, seq_vals, ns_fresh, ns_vals = [], [], [], []
+    for f, c, v in zip(fresh, candidates, outer_vals):
+        if v.type.ndim == c.type.ndim + 1:
+            seq_fresh.append(f)
+            seq_vals.append(v)
+        elif v.type.ndim == c.type.ndim:
+            ns_fresh.append(f)
+            ns_vals.append(v)
+        else:
+            return False
+
     new_inner_inputs = (
-        inner_seqs + fresh
+        inner_seqs + seq_fresh
         + [v for g in op.inner_tap_vars() for v in g]
         + list(op.inner_untraced_vars())
-        + inner_non_seqs
+        + inner_non_seqs + ns_fresh
     )
     new_info = ScanInfo(
-        n_seqs=info.n_seqs + len(fresh),
+        n_seqs=info.n_seqs + len(seq_fresh),
         taps=info.taps,
         n_nit_sot=info.n_nit_sot,
-        n_non_seqs=info.n_non_seqs,
+        n_non_seqs=info.n_non_seqs + len(ns_fresh),
         as_while=False,
         n_untraced=info.n_untraced,
     )
@@ -705,10 +721,10 @@ def scan_push_out_seqs(fgraph, node):
                   truncate_gradient=op.truncate_gradient,
                   unroll=getattr(op, "unroll", None))
     new_outer = (
-        outer_seqs + outer_vals
+        outer_seqs + seq_vals
         + list(op.outer_inits(node.inputs))
         + list(op.outer_untraced_inits(node.inputs))
-        + outer_non_seqs
+        + outer_non_seqs + ns_vals
     )
     new_outs = new_op(node.inputs[0], *new_outer)
     if not isinstance(new_outs, list):

@@ -321,6 +321,42 @@ def _register_structural_vectorizers():
             return advanced_subtensor1.make_node(x, dyn[0])
         return vectorize_node_fallback(op, node, x, *dyn)
 
+    @_vectorize_node.register(Reshape)
+    def _vectorize_reshape(op, node, x, shp):
+        """Batched reshape keeps the batch dims and reshapes the core:
+        reshape(x, s) over batch -> reshape(x, (*batch_shape, *s)).  A
+        Blockwise{Reshape} would feed the (traced) batched shape vector to
+        the core op, which XLA rejects (shapes must be concrete)."""
+        from pytensor_tpu.graph.basic import Constant as _Const
+        from pytensor_tpu.tensor.basic import as_tensor_variable, join
+
+        x = as_tensor_variable(x)
+        shp = as_tensor_variable(shp)
+        x_b = x.type.ndim - node.inputs[0].type.ndim
+        shp_b = shp.type.ndim - node.inputs[1].type.ndim
+        if x_b == 0 and shp_b == 0:
+            return op.make_node(x, shp)
+        if shp_b > 0:
+            if isinstance(shp, _Const):
+                data = np.asarray(shp.data).reshape(-1, shp.type.shape[-1])
+                if not (data == data[0]).all():
+                    return vectorize_node_fallback(op, node, x, shp)
+                shp = as_tensor_variable(data[0])
+            elif all(s == 1 for s in shp.type.shape[:-1]):
+                shp = shp.reshape((shp.type.shape[-1],))
+            else:
+                return vectorize_node_fallback(op, node, x, shp)
+        from pytensor_tpu.tensor.basic import MakeVector as _MakeVector
+        from pytensor_tpu.tensor.math import cast as _cast
+        from pytensor_tpu.tensor.shape import Shape_i as _Shape_i
+
+        # element-wise MakeVector (not Join) so constant entries stay
+        # host-concrete under jit (see CAReduce/MakeVector lowering note)
+        entries = [_cast(_Shape_i(d)(x), "int64") for d in range(x_b)]
+        entries += [_cast(shp[i], "int64") for i in range(op.ndim)]
+        new_shp = _MakeVector("int64")(*entries)
+        return Reshape(x_b + op.ndim).make_node(x, new_shp)
+
     @_vectorize_node.register(Shape_i)
     def _vectorize_shape_i(op, node, x):
         bn = x.type.ndim - node.inputs[0].type.ndim

@@ -310,8 +310,10 @@ def _apply_across(ctor, names, kwargs):
     means one variable per character; an int means that many anonymous
     variables; several args mean one variable per arg."""
     if names and isinstance(names[0], int):
-        n = names[0]
-        return ctor(**kwargs) if n == 1 else [ctor(**kwargs) for _ in range(n)]
+        # an integer count always yields a LIST (the reference's
+        # ``names == 1`` scalar-return branch compares a tuple to an int
+        # and is dead code): ``x, = vectors(1)`` must unpack
+        return [ctor(**kwargs) for _ in range(names[0])]
     if len(names) == 1 and isinstance(names[0], str):
         names = names[0]
         if len(names) == 1:

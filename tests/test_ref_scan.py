@@ -182,7 +182,8 @@ class TestScanBasics:
         my_f = ptt.function([state, n_steps], output)
         st = rng.uniform()
         expected = np.array([st * 2 ** (k + 1) for k in range(5)])
-        np.testing.assert_allclose(np.asarray(my_f(asX(st), 5)), expected,
+        # function returns a list (return_list): index like the reference
+        np.testing.assert_allclose(np.asarray(my_f(asX(st), 5)[0]), expected,
                                    rtol=1e-5)
 
     def test_output_padding(self):
@@ -380,7 +381,8 @@ class TestScanGrads:
         [_out1, out2] = scan(step, sequences=v, return_updates=False)
         gv = grad(out2.sum(), [v])
         f = ptt.function([v], gv)
-        np.testing.assert_allclose(np.asarray(f(rng.random(5))), np.ones(5))
+        np.testing.assert_allclose(np.asarray(f(rng.random(5))[0]),
+                                   np.ones(5))
 
     def test_grad_bug_disconnected_input(self):
         W = ptt.shared(np.zeros((3, 3)), name="W")

@@ -83,10 +83,14 @@ def test_while_scan_rng_state():
     assert len(updates) == 1
     f = ptt.function([], walk, updates=updates)
     a, b = np.asarray(f()), np.asarray(f())
-    # monotone walk that crossed the threshold, then padded flat
+    # executed prefix only (reference semantics): strictly growing walk
+    # whose last entry is the first to cross the threshold
     assert a[-1] >= 3.0
+    assert (a[:-1] < 3.0).all()
     assert (np.diff(a) >= 0).all()
-    assert not np.allclose(a, b)  # rng state advanced between calls
+    # rng state advanced between calls: different walk (often a different
+    # executed length)
+    assert a.shape != b.shape or not np.allclose(a, b)
 
 
 def test_while_scan_early_exit_is_fast():
@@ -116,8 +120,9 @@ def test_while_scan_with_sequences_and_padding():
                       outputs_info=[pt.constant(0.0, dtype="float64")])
     res = compare_xla_and_py([x], out, [np.arange(1.0, 9.0)])
     tr = np.asarray(res[0])
-    # cumsum 1,3,6,10 -> stops after step 4; padding repeats 10
-    np.testing.assert_allclose(tr, [1, 3, 6, 10, 10, 10, 10, 10])
+    # cumsum 1,3,6,10 -> stops after step 4; only executed steps returned
+    # (reference scan/op.py:1827 executed-prefix semantics)
+    np.testing.assert_allclose(tr, [1, 3, 6, 10])
 
 
 def test_while_scan_mit_sot():
@@ -127,8 +132,8 @@ def test_while_scan_mit_sot():
         outputs_info=[dict(initial=init, taps=[-2, -1])], n_steps=12)
     res = compare_xla_and_py([], out, [])
     tr = np.asarray(res[0])
-    np.testing.assert_allclose(tr[:7], [2, 3, 5, 8, 13, 21, 34])
-    assert tr[-1] == 34.0  # padded with the final fib >= 30
+    # executed prefix: stops at the first fib >= 30
+    np.testing.assert_allclose(tr, [2, 3, 5, 8, 13, 21, 34])
 
 
 def test_scan_go_backwards():
@@ -310,19 +315,22 @@ def test_while_scan_xla_lowering_not_constant_folded():
     x0 = pt.dscalar("x0")
     out, _ = ptt.scan(lambda acc: (acc * 2, until(acc * 2 > 100)),
                       outputs_info=[x0], n_steps=20)
-    expect = [2.0 ** k for k in range(1, 8)] + [128.0] * 13
+    expect = [2.0 ** k for k in range(1, 8)]  # executed prefix only
     for mode in (None, "FAST_COMPILE"):
         f = ptt.function([x0], out, mode=mode)
         np.testing.assert_allclose(np.asarray(f(1.0)), expect)
-    # steps_done output (while-scans expose the executed step count)
-    steps = out.owner.outputs[-1]
+    # steps_done output (while-scans expose the executed step count as the
+    # second input of the user-facing TruncateToDone wrapper)
+    steps = out.owner.inputs[1]
     assert int(np.asarray(ptt.function([x0], steps)(1.0))) == 7
+    # and shape(out)[0] folds to the same count
+    assert int(np.asarray(ptt.function([x0], out.shape[0])(1.0))) == 7
 
 
 def test_while_scan_gradient():
-    """BPTT through a while-scan: padded region contributes zero seq grads,
-    padded output grads fold into the final executed step (reference
-    scan/op.py pullback handles while-loops the same way)."""
+    """BPTT through a while-scan with executed-prefix outputs: sequence
+    elements past termination get zero gradient (reference scan/op.py
+    pullback over the truncated trace)."""
     x = pt.dvector("x")
     y0 = pt.dscalar("y0")
     a = pt.dscalar("a")
@@ -342,7 +350,6 @@ def test_while_scan_gradient():
             trace.append(acc)
             if acc > 3.0:
                 break
-        trace = trace + [trace[-1]] * (len(xv_) - len(trace))
         return sum(trace) + trace[-1]
 
     eps = 1e-6
@@ -389,9 +396,6 @@ def test_while_scan_gradient_multitap_nit():
             h.append(nxt)
             if nxt > 2.0:
                 break
-        pad = 12 - len(trace)
-        trace += [trace[-1]] * pad
-        sqs += [sqs[-1]] * pad
         return sum(trace) + 2.0 * sum(sqs)
 
     eps = 1e-6
