@@ -1027,6 +1027,71 @@ def _kalman_sim(n_steps=64, k=4, p=2, dtype="float32"):
     return ys, T_true, Z_np
 
 
+BESSEL_N = 4096
+
+
+def ours_bessel(iters=24, k_inner=16):
+    """kve/ive-bearing elementwise update over a 4096 vector, k_inner
+    steps compiled into one on-device loop.  With the r4 host-callback
+    lowering every step paid a device->host round trip (~0.85 ms); the
+    native CF kernels (scalar/bessel.py) keep the whole loop on-chip."""
+    import jax
+    import jax.numpy as jnp
+
+    import pytensor_tpu as ptt
+    import pytensor_tpu.tensor as pt
+
+    x0 = jax.jit(lambda: jnp.cos(
+        jnp.arange(BESSEL_N, dtype=jnp.float32) * 0.37) * 0.5 + 2.0)()
+    v = ptt.shared(x0, name="v", shape=(BESSEL_N,))
+    y = 0.999 * v + 0.001 * pt.kve(1.0, v) * pt.ive(0.5, v)
+    f = ptt.train_loop([], y[0], {v: y}, n_steps=k_inner,
+                       name="bessel_loop")
+
+    def run_iter(k):
+        out = None
+        for _ in range(k):
+            out = f()
+        return out
+
+    dt = _time_chained(run_iter, warm_iters=1, iters=iters) / k_inner
+    return 1.0 / dt  # full-vector kve+ive evals/s
+
+
+def ref_bessel(iters=8):
+    pytensor, rt = _ref_modules()
+    import pytensor as pyt
+
+    x0 = (np.cos(np.arange(BESSEL_N) * 0.37) * 0.5 + 2.0)
+    v = pyt.shared(x0, name="v")
+    y = 0.999 * v + 0.001 * rt.kve(1.0, v) * rt.ive(0.5, v)
+    f = pytensor.function([], y[0], updates={v: y})
+    f.trust_input = True
+
+    def call():
+        f()
+
+    return 1.0 / _ref_time(call, iters)
+
+
+def ref_jax_bessel(k_inner=16, iters=24):
+    """Reference compiled with ITS JAX linker: Kve/Ive lower via its
+    jax dispatch (host callback there too, if present at all)."""
+    pytensor, rt = _ref_f32()
+    import jax.numpy as jnp
+
+    with pytensor.config.change_flags(floatX="float32"):
+        v = rt.fvector("v")
+        y = (np.float32(0.999) * v
+             + np.float32(0.001) * rt.kve(np.float32(1.0), v)
+             * rt.ive(np.float32(0.5), v))
+        f = pytensor.function([v], y, mode="JAX")
+    jit = _ref_jax_fn(f)
+    x0 = jnp.asarray((np.cos(np.arange(BESSEL_N) * 0.37) * 0.5 + 2.0)
+                     .astype("float32"))
+    return _time_fori_chain(lambda s: jit(s)[0], x0, k_inner, iters)
+
+
 def ours_kalman(n_steps=64, k=4, p=2, iters=24, k_inner=16):
     """Kalman-filter loglike+grad (scan over cholesky/triangular-solve
     steps) iterated as an SGD-on-T loop: the PyMC statespace shape."""
@@ -1154,6 +1219,8 @@ WORKLOADS = [
      ref_blockwise_chol, ref_jax_blockwise_chol, "steps/s"),
     ("kalman_filter_grad_64x4", ours_kalman, ref_kalman,
      ref_jax_kalman, "steps/s"),
+    ("bessel_kve_ive_4096", ours_bessel, ref_bessel, ref_jax_bessel,
+     "evals/s"),
 ]
 
 

@@ -241,20 +241,72 @@ xlog1py = _op("xlog1py", 2, lambda x, y: _sps().xlog1py(x, y),
                                 gz[0] * i[0] / (1 + i[1])],
               dtype_rule="float")
 
-# --- bessel (host fallbacks; XLA has no kernels) ---
-iv = _op("iv", 2, lambda v, x: _sps().iv(v, x), lambda v, x: _host("iv", v, x),
-         dtype_rule="float")
-ive = _op("ive", 2, lambda v, x: _sps().ive(v, x), lambda v, x: _host("ive", v, x),
+# --- bessel (on-device CF/series/asymptotic kernels, scalar/bessel.py —
+# the role of the reference's in-process Cephes; the old host callbacks
+# cost one ~0.85ms device->host round trip PER CALL inside jitted graphs) ---
+def _bessel():
+    from pytensor_tpu.scalar import bessel
+
+    return bessel
+
+
+def _iv_grad(i, o, gz):
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    v, x = i
+    gx = gz[0] * 0.5 * (tm.iv(v - 1.0, x) + tm.iv(v + 1.0, x))
+    return [grad_not_implemented(iv, 0, v, "grad wrt bessel order"), gx]
+
+
+def _ive_grad(i, o, gz):
+    # d/dx [I_v e^{-|x|}] = (ive(v-1,x)+ive(v+1,x))/2 - sign(x)*ive(v,x)
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    v, x = i
+    gx = gz[0] * (0.5 * (tm.ive(v - 1.0, x) + tm.ive(v + 1.0, x))
+                  - _tm().sign(x) * o[0])
+    return [grad_not_implemented(ive, 0, v, "grad wrt bessel order"), gx]
+
+
+def _jv_grad(i, o, gz):
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    v, x = i
+    gx = gz[0] * 0.5 * (tm.jv(v - 1.0, x) - tm.jv(v + 1.0, x))
+    return [grad_not_implemented(jv, 0, v, "grad wrt bessel order"), gx]
+
+
+def _kve_grad(i, o, gz):
+    # d/dx [K_v e^x] = kve(v,x) - (kve(v-1,x)+kve(v+1,x))/2
+    from pytensor_tpu.gradient import grad_not_implemented
+
+    tm = _tm()
+    v, x = i
+    gx = gz[0] * (o[0] - 0.5 * (tm.kve(v - 1.0, x) + tm.kve(v + 1.0, x)))
+    return [grad_not_implemented(kve, 0, v, "grad wrt bessel order"), gx]
+
+
+iv = _op("iv", 2, lambda v, x: _sps().iv(v, x),
+         lambda v, x: _bessel().iv_jax(v, x), _iv_grad, dtype_rule="float")
+ive = _op("ive", 2, lambda v, x: _sps().ive(v, x),
+          lambda v, x: _bessel().ive_jax(v, x), _ive_grad,
           dtype_rule="float")
-jv = _op("jv", 2, lambda v, x: _sps().jv(v, x), lambda v, x: _host("jv", v, x),
-         dtype_rule="float")
-kve = _op("kve", 2, lambda v, x: _sps().kve(v, x), lambda v, x: _host("kve", v, x),
+jv = _op("jv", 2, lambda v, x: _sps().jv(v, x),
+         lambda v, x: _bessel().jv_jax(v, x), _jv_grad, dtype_rule="float")
+yv = _op("yv", 2, lambda v, x: _sps().yv(v, x),
+         lambda v, x: _bessel().yv_jax(v, x), dtype_rule="float")
+kve = _op("kve", 2, lambda v, x: _sps().kve(v, x),
+          lambda v, x: _bessel().kve_jax(v, x), _kve_grad,
           dtype_rule="float")
 i0 = _op("i0", 1, lambda x: _sps().i0(x), lambda x: _jsp().i0(x), dtype_rule="float")
 i1 = _op("i1", 1, lambda x: _sps().i1(x), lambda x: _jsp().i1(x), dtype_rule="float")
 j0 = _op("j0", 1, lambda x: _sps().j0(x), lambda x: _jsp().bessel_jn(x, v=0, n_iter=30)[0]
          if hasattr(_jsp(), "bessel_jn") else _host("j0", x), dtype_rule="float")
-j1 = _op("j1", 1, lambda x: _sps().j1(x), lambda x: _host("j1", x), dtype_rule="float")
+j1 = _op("j1", 1, lambda x: _sps().j1(x), lambda x: _bessel().j1_jax(x),
+         dtype_rule="float")
 
 # --- hypergeometric (host fallback; reference uses a ScalarLoop C kernel) ---
 hyp2f1 = _op("hyp2f1", 4, lambda a, b, c, z: _sps().hyp2f1(a, b, c, z),
@@ -699,7 +751,7 @@ def _kv_grad(i, o, gz):
 
 
 kv = _op("kv", 2, lambda v, x: _sps().kv(v, x),
-         lambda v, x: _host("kv", v, x), _kv_grad, dtype_rule="float")
+         lambda v, x: _bessel().kv_jax(v, x), _kv_grad, dtype_rule="float")
 kn = kv  # integer-order alias (scipy kn(n, x) == kv(n, x) for int n)
 
 

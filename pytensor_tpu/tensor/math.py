@@ -145,6 +145,7 @@ logit = scalar_elemwise(psm.logit)
 iv = scalar_elemwise(psm.iv)
 ive = scalar_elemwise(psm.ive)
 jv = scalar_elemwise(psm.jv)
+yv = scalar_elemwise(psm.yv)
 kve = scalar_elemwise(psm.kve)
 kv = scalar_elemwise(psm.kv)
 kn = kv
