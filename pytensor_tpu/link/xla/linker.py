@@ -145,6 +145,23 @@ def _shape_port_indices(op) -> tuple[int, ...] | None:
         # the trace length is a buffer shape (scan/op.py:677 requires a
         # concrete step count at trace time)
         return (0,)
+    from pytensor_tpu.tensor.subtensor import DYN, IncSubtensor, Subtensor
+
+    if isinstance(op, (Subtensor, IncSubtensor)):
+        # dynamic SLICE BOUNDS determine the output/window shape and must
+        # be concrete at trace time; dynamic scalar indices stay traced
+        # (they lower to gathers/dynamic slices)
+        pos = 1 if isinstance(op, Subtensor) else 2
+        ports = []
+        for e in op.idx_list:
+            if e == DYN:
+                pos += 1
+            elif isinstance(e, tuple) and e and e[0] == "slice":
+                for comp in e[1:]:
+                    if comp == DYN:
+                        ports.append(pos)
+                        pos += 1
+        return tuple(ports)
     return None
 
 
@@ -166,12 +183,17 @@ def _static_input_indices(fgraph: FunctionGraph) -> tuple[int, ...]:
         for i, inp in enumerate(node.inputs):
             if i in ports and not isinstance(inp, Constant):
                 stack.append(inp)
+    from pytensor_tpu.tensor.shape import Shape, Shape_i
+
     while stack:
         v = stack.pop()
         if v in tainted:
             continue
         tainted.add(v)
-        if v.owner is not None:
+        if v.owner is not None and not isinstance(v.owner.op,
+                                                  (Shape, Shape_i)):
+            # Shape/Shape_i outputs are static under jit whatever their
+            # input VALUES are — never taint the data array behind them
             stack.extend(i for i in v.owner.inputs if not isinstance(i, Constant))
     out = []
     for idx, inp in enumerate(fgraph.inputs):

@@ -45,47 +45,323 @@ def local_useless_subtensor(fgraph, node):
 register_useless(local_useless_subtensor, name="local_useless_subtensor")
 
 
+def _unflatten_index(idx_list, dyn_inputs):
+    """idx_list (+ its dynamic node inputs) -> per-dim entries: int,
+    scalar Variable, or a ``slice`` whose parts are None/int/Variable."""
+    it = iter(dyn_inputs)
+    out = []
+    for e in idx_list:
+        if e == DYN:
+            out.append(next(it))
+        elif isinstance(e, (int, np.integer)):
+            out.append(int(e))
+        else:
+            _, a, b, c = e
+            a = next(it) if a == DYN else a
+            b = next(it) if b == DYN else b
+            c = next(it) if c == DYN else c
+            out.append(slice(a, b, c))
+    return out
+
+
+def _is_int(v):
+    return isinstance(v, (int, np.integer))
+
+
+def _merge_static_range(inner_sl, outer, n):
+    """Exact merge of ``x[inner_sl][outer]`` (all-constant bounds, static
+    dim length ``n``) using Python range arithmetic — any steps, any
+    signs.  ``outer`` is an int or slice.  Returns int | slice | None."""
+    parts = (inner_sl.start, inner_sl.stop, inner_sl.step)
+    if not all(p is None or _is_int(p) for p in parts):
+        return None
+    if isinstance(outer, slice):
+        oparts = (outer.start, outer.stop, outer.step)
+        if not all(p is None or _is_int(p) for p in oparts):
+            return None
+    elif not _is_int(outer):
+        return None
+    r = range(*inner_sl.indices(n))
+    try:
+        rr = r[outer]
+    except IndexError:
+        return None  # static OOB: leave for the op's own error contract
+    if isinstance(rr, int):
+        return rr
+    if len(rr) == 0:
+        return slice(0, 0, None)
+    start, stop, step = rr.start, rr.stop, rr.step
+    if step < 0 and stop < 0:
+        stop = None  # range stop -1 == "through index 0"
+    return slice(start, stop, None if step == 1 else step)
+
+
+def _merge_slices_shape_free(s1, s2):
+    """Merge two constant-bound slices (steps in {None, 1, -1}) without
+    knowing the dim length; None when the merge would need the shape.
+    Ports the semantics of the reference's
+    ``_merge_slice_into_slice_no_shape_ref``
+    (/root/reference/pytensor/tensor/rewriting/subtensor.py:652)."""
+    def norm(v):
+        if v is None or _is_int(v):
+            return v
+        return "sym"
+
+    a1, b1, c1 = norm(s1.start), norm(s1.stop), norm(s1.step)
+    a2, b2, c2 = norm(s2.start), norm(s2.stop), norm(s2.step)
+    if "sym" in (a1, b1, a2, b2) or c1 not in (None, 1, -1) or \
+            c2 not in (None, 1, -1):
+        return None
+    c1 = None if c1 == 1 else c1
+    c2 = None if c2 == 1 else c2
+
+    if c1 is None and c2 is None:
+        if a2 is None or a2 >= 0:
+            a2 = a2 or 0
+            if a1 is None or a1 >= 0:
+                a1 = a1 or 0
+                if b1 is None:
+                    if b2 is None:
+                        return slice(a1 + a2, None)
+                    return slice(a1 + a2, b2 if b2 < 0 else a1 + b2)
+                if b2 is None:
+                    return slice(a1 + a2, b1)
+                if b2 < 0:
+                    return slice(a1 + a2, b1 + b2) if b1 < 0 else None
+                if b1 > 0:
+                    return slice(a1 + a2, min(b1, a1 + b2))
+                return None
+            # a1 < 0: sound only when a2 == 0
+            if a2 != 0:
+                return None
+            if b1 is None:
+                if b2 is None:
+                    return slice(a1, None)
+                return slice(a1, b2) if b2 < 0 else None
+            if b1 < 0:
+                if b2 is None:
+                    return slice(a1, b1)
+                return slice(a1, b1 + b2) if b2 < 0 else None
+            return None
+        # a2 < 0
+        if (a1 is not None and a1 < 0) and b1 is None and \
+                (b2 is None or b2 < 0):
+            return slice(max(a1, a2), b2)
+        return None
+
+    if c1 is None and c2 == -1:
+        # [a1:b1][::-1] only
+        if a2 is None and b2 is None:
+            if b1 == 0:
+                return slice(0, 0, -1)
+            return slice(None if b1 is None else b1 - 1,
+                         None if a1 in (None, 0) else a1 - 1, -1)
+        return None
+
+    if c1 == -1 and c2 is None:
+        # [::-1][a2:b2] only
+        if a1 is None and b1 is None:
+            return slice(None if a2 is None else -a2 - 1,
+                         None if b2 is None else -b2 - 1, -1)
+        return None
+
+    # c1 == c2 == -1
+    if a1 is None and b1 is None:
+        if a2 is None and b2 is None:
+            return slice(None)
+        return slice(None if a2 is None else -a2 - 1,
+                     None if b2 is None else -b2 - 1, None)
+    if a2 is None and b2 is None:
+        if (a1 is None or a1 >= 0) and (b1 is None or b1 >= 0):
+            return slice(None if b1 is None else b1 + 1,
+                         None if a1 is None else a1 + 1, None)
+    return None
+
+
+# eager graph/arithmetic helpers: Python ints fold immediately, Variables
+# build switch/min/max graphs (which the constant folder finishes off)
+def _e_lt0(v):
+    from pytensor_tpu.tensor.math import lt
+
+    if _is_int(v):
+        return v < 0
+    return lt(v, 0)
+
+
+def _e_switch(cond, a, b):
+    from pytensor_tpu.tensor.math import switch
+
+    if cond is True:
+        return a
+    if cond is False:
+        return b
+    if a is b:
+        return a
+    return switch(cond, a, b)
+
+
+def _e_min(a, b):
+    from pytensor_tpu.tensor.math import minimum
+
+    if _is_int(a) and _is_int(b):
+        return min(a, b)
+    return minimum(a, b)
+
+
+def _e_max(a, b):
+    from pytensor_tpu.tensor.math import maximum
+
+    if _is_int(a) and _is_int(b):
+        return max(a, b)
+    return maximum(a, b)
+
+
+def _e_add(a, b):
+    if _is_int(a) and _is_int(b):
+        return a + b
+    return a + b  # Variable arithmetic builds the graph
+
+
+def _canon_bound(v, n, default):
+    """Canonical non-negative slice bound: None -> default; negative ->
+    max(v + n, 0); non-negative -> min(v, n).  Sign-eager for ints."""
+    if v is None:
+        return default
+    if _is_int(v):
+        return _e_max(_e_add(v, n), 0) if v < 0 else _e_min(v, n)
+    return _e_switch(_e_lt0(v), _e_max(_e_add(v, n), 0), _e_min(v, n))
+
+
+def _merge_symbolic_step1(s1, outer, n):
+    """Merge ``x[s1][outer]`` for step-1 slices with symbolic (or mixed)
+    bounds, given ``n`` = dim length (int or scalar Variable).  ``outer``
+    is a step-1 slice or a scalar index (int or Variable).  Returns the
+    merged slice / scalar index, or None.  Scalar merges follow the
+    reference's shape_unsafe contract (in-bounds indices stay correct;
+    /root/reference/pytensor/tensor/rewriting/subtensor.py:823)."""
+    if s1.step not in (None, 1):
+        return None
+    if isinstance(outer, slice):
+        if outer.step not in (None, 1):
+            return None
+        sa = _canon_bound(s1.start, n, 0)
+        sb = _canon_bound(s1.stop, n, n)
+        len2 = _e_max(sb - sa, 0)
+        oa = _canon_bound(outer.start, len2, 0)
+        ob = _canon_bound(outer.stop, len2, len2)
+        return slice(_e_add(sa, oa), _e_add(sa, ob), None)
+    # scalar outer index: positive counts from the effective start,
+    # negative counts from the effective stop (kept negative so it keeps
+    # resolving against the full length)
+    k = outer
+    if s1.start is None:
+        pos = k
+    else:
+        a = s1.start
+        if _is_int(a):
+            a_eff = _e_max(_e_add(a, n), 0) if a < 0 else a
+        else:
+            a_eff = _e_switch(_e_lt0(a), _e_max(_e_add(a, n), 0), a)
+        pos = _e_add(a_eff, k)
+    if s1.stop is None:
+        neg = k
+    else:
+        b = s1.stop
+        b_eff = b if (_is_int(b) and b < 0) else _e_min(b, n)
+        neg = _e_add(b_eff, k)
+    if _is_int(k):
+        return neg if k < 0 else pos
+    return _e_switch(_e_lt0(k), neg, pos)
+
+
 @node_rewriter([Subtensor])
 def local_subtensor_merge(fgraph, node):
-    """x[a:b][c:d] -> one Subtensor when both are static simple slices."""
+    """Merge ``Subtensor(Subtensor(x))`` into one indexing operation,
+    pairing inner/outer entries per dimension (reference
+    ``_local_subtensor_merge_rewrite``,
+    /root/reference/pytensor/tensor/rewriting/subtensor.py:925).
+    Strategies per dim, in order: exact range arithmetic when bounds and
+    the dim length are static; the shape-free constant-bound table for
+    steps +-1; symbolic step-1 slice/scalar merges via canonical-bound
+    switch trees."""
     inner_var = node.inputs[0]
-    if inner_var.owner is None or not isinstance(inner_var.owner.op, Subtensor):
+    if inner_var.owner is None or not isinstance(inner_var.owner.op,
+                                                 Subtensor):
         return False
     if len(fgraph.clients.get(inner_var, ())) != 1:
         return False
-    inner_op = inner_var.owner.op
-    outer_op = node.op
-    # only merge single-dim static positive slices with step 1
-    def simple(idx_list):
-        if len(idx_list) != 1:
-            return None
-        e = idx_list[0]
-        if not isinstance(e, tuple) or e[0] != "slice":
-            return None
-        _, a, b, c = e
-        if c not in (None, 1) or a == DYN or b == DYN:
-            return None
-        if (a is not None and a < 0) or (b is not None and b < 0):
-            return None
-        return (a or 0, b)
+    x = inner_var.owner.inputs[0]
+    indices_inner = _unflatten_index(inner_var.owner.op.idx_list,
+                                     inner_var.owner.inputs[1:])
+    indices_outer = _unflatten_index(node.op.idx_list, node.inputs[1:])
 
-    inner = simple(inner_op.idx_list)
-    outer = simple(outer_op.idx_list)
-    if inner is None or outer is None:
+    merged = []
+    residual = []
+    pos_outer = 0
+    any_merged = False
+    exhausted = False
+    for pos_inner, e1 in enumerate(indices_inner):
+        if pos_outer >= len(indices_outer):
+            merged.extend(indices_inner[pos_inner:])
+            exhausted = True
+            break
+        if not isinstance(e1, slice):
+            merged.append(e1)  # scalar index: consumes dim, no output dim
+            continue
+        e2 = indices_outer[pos_outer]
+        pos_outer += 1
+        if isinstance(e2, slice) and e2 == slice(None, None, None):
+            merged.append(e1)
+            residual.append(slice(None))
+            continue
+        n_static = x.type.shape[pos_inner]
+        m = None
+        if n_static is not None and isinstance(e2, (slice, int, np.integer)):
+            m = _merge_static_range(e1, e2, n_static)
+        if m is None and isinstance(e2, slice):
+            m = _merge_slices_shape_free(e1, e2)
+        if m is None:
+            if n_static is not None:
+                n = n_static
+            else:
+                from pytensor_tpu.tensor.shape import Shape_i
+
+                n = Shape_i(pos_inner)(x)
+            m = _merge_symbolic_step1(e1, e2, n)
+        if m is not None:
+            any_merged = True
+            merged.append(m)
+            if isinstance(m, slice):
+                residual.append(slice(None))
+        else:
+            merged.append(e1)
+            residual.append(e2)
+    if not exhausted and indices_outer[pos_outer:]:
+        # outer entries beyond the inner idx_list index x's untouched dims
+        any_merged = True
+        merged.extend(indices_outer[pos_outer:])
+    if not any_merged:
         return None
-    ia, ib = inner
-    oa, ob = outer
-    na = ia + oa
-    if ib is None:
-        nb = None if ob is None else ia + ob
-    else:
-        nb = ib if ob is None else min(ib, ia + ob)
-    out = Subtensor([("slice", na if na else None, nb, None)])(
-        inner_var.owner.inputs[0]
-    )
-    if not node.outputs[0].type.is_super(out.type):
+
+    while residual and isinstance(residual[-1], slice) and \
+            residual[-1] == slice(None, None, None):
+        residual.pop()
+    out = x[tuple(merged)]
+    if residual:
+        out = out[tuple(residual)]
+    ref = node.outputs[0]
+    if out.type.dtype != ref.type.dtype or out.type.ndim != ref.type.ndim:
         return False
-    copy_stack_trace(node.outputs[0], out)
+    if not ref.type.is_super(out.type):
+        # the merged form can lose optimistic static-shape info (e.g.
+        # negative merged bounds over an unknown dim); reassert the
+        # original contract so the replacement type-checks
+        from pytensor_tpu.tensor.shape import specify_shape
+
+        out = specify_shape(out, ref.type.shape)
+        if not ref.type.is_super(out.type):
+            return False
+    copy_stack_trace(ref, out)
     return [out]
 
 
@@ -1351,7 +1627,10 @@ def local_useless_slice_parts(fgraph, node):
     for e in node.op.idx_list:
         if isinstance(e, tuple) and e and e[0] == "slice":
             _, a, b, c = e
-            if a == 0:
+            fwd = c is None or (isinstance(c, int) and c > 0)
+            if a == 0 and fwd:
+                # start=0 is only the default for FORWARD steps; with a
+                # negative step it selects the single element 0
                 a, changed = None, True
             if c == 1:
                 c, changed = None, True
