@@ -299,7 +299,32 @@ def main():
         payload["suite"] = suite
     if latency:
         payload["compile_latency"] = latency
-    print(json.dumps(payload))
+    # Full detail goes to a file; the FINAL stdout line must stay compact
+    # (<1.5KB) because the driver captures only the last ~2000 chars of
+    # output — r3/r4's full payloads were silently truncated to
+    # "parsed": null in BENCH_r0N.json.
+    with open("BENCH_FULL.json", "w") as fh:
+        json.dump(payload, fh, indent=2)
+    compact = {
+        "metric": "radon leapfrog evals/s (TPU) vs ref C-VM",
+        "value": payload["value"],
+        "unit": "evals/sec",
+        "vs_baseline": payload["vs_baseline"],
+    }
+    if suite:
+        compact["suite"] = {
+            name: [entry.get("ours"), entry.get("vs_ref_jax")]
+            for name, entry in suite.items()
+        }
+    if latency:
+        compact["warm_first_call_s"] = latency.get("warm_first_call_s")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:
+        # drop per-row detail rather than overflow the tail capture
+        compact.pop("suite", None)
+        compact["suite_file"] = "BENCH_FULL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 
