@@ -165,7 +165,35 @@ class Elemwise(Op):
     def make_node(self, *inputs):
         from pytensor_tpu.tensor.basic import as_tensor_variable
 
-        inputs = [as_tensor_variable(i) for i in inputs]
+        # Python float literals are weak-typed (JAX semantics): when a
+        # sibling operand is a float tensor WIDER than floatX, convert
+        # the literal at that width.  Under floatX=float32 a bare
+        # ``x_f64 * 2.0/sqrt(pi)`` would otherwise round the constant
+        # through float32 and silently poison the float64 graph (the
+        # output dtype is unchanged — mul(f64, f32const) already
+        # upcast to f64; only the constant's precision improves).
+        weak_dtype = None
+        if any(isinstance(i, float) for i in inputs):
+            from pytensor_tpu.config import config
+
+            widest = None
+            for i in inputs:
+                dt = getattr(getattr(i, "type", None), "dtype", None)
+                if dt is None and isinstance(i, (np.ndarray, np.generic)):
+                    dt = str(i.dtype)
+                if dt and dt.startswith("float"):
+                    if widest is None or (np.dtype(dt).itemsize
+                                          > np.dtype(widest).itemsize):
+                        widest = dt
+            if widest is not None and (np.dtype(widest).itemsize
+                                       > np.dtype(config.floatX).itemsize):
+                weak_dtype = widest
+        inputs = [
+            as_tensor_variable(i, dtype=weak_dtype)
+            if weak_dtype is not None and isinstance(i, float)
+            else as_tensor_variable(i)
+            for i in inputs
+        ]
         nin = self.scalar_op.nin
         if nin != -1 and len(inputs) != nin:
             raise ValueError(

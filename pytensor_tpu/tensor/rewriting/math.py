@@ -187,6 +187,10 @@ def local_neg_neg(fgraph, node):
 
 
 register_canonicalize(local_neg_neg, name="local_neg_neg")
+# also in specialize: later-phase rewrites (odds-sigmoid, reciprocal-of-
+# 1+exp) emit fresh neg(neg(x)) / log(exp(x)) that canonicalize has
+# already finished cleaning
+register_specialize(local_neg_neg, name="local_neg_neg")
 
 
 @node_rewriter([Elemwise])
@@ -202,6 +206,7 @@ def local_log_exp(fgraph, node):
 
 
 register_canonicalize(local_log_exp, name="local_log_exp")
+register_specialize(local_log_exp, name="local_log_exp")
 
 
 @node_rewriter([Elemwise])
@@ -1484,3 +1489,1068 @@ def local_sum_of_makevector(fgraph, node):
 
 
 register_specialize(local_sum_of_makevector, name="local_sum_of_makevector")
+
+
+# ---------------------------------------------------------------------------
+# erf / erfc family (reference rewriting/math.py local_one_plus_erf,
+# local_one_minus_erf, local_erf_minus_one, local_one_minus_erfc,
+# local_erf_neg_minus_one, local_log_erfc, local_grad_log_erfc_neg;
+# behavior pinned by /root/reference/tests/tensor/rewriting/test_math.py
+# TestLocalErf/TestLocalErfc)
+# ---------------------------------------------------------------------------
+
+def _split_pm_one(node):
+    """For add/sub nodes: return (sign_of_one, other) when one operand is
+    the constant +-1: add(1, t) -> (+1, t); sub(1, t) -> (+1, -t-slot);
+    handled per caller.  Returns (const_val, other, other_is_rhs)."""
+    if len(node.inputs) != 2:
+        return None
+    a, b = node.inputs
+    va, vb = _unique_value(a), _unique_value(b)
+    if va is not None and va in (1, -1, 1.0, -1.0):
+        return (float(va), b, True)
+    if vb is not None and vb in (1, -1, 1.0, -1.0):
+        return (float(vb), a, False)
+    return None
+
+
+def _strip_neg(v):
+    """Peel neg(x) / mul(-1, x) -> (flipped, x)."""
+    if v.owner is not None and _is_ew(v.owner, "neg"):
+        return True, v.owner.inputs[0]
+    if v.owner is not None and _is_ew(v.owner, "mul") \
+            and len(v.owner.inputs) == 2:
+        for i, j in ((0, 1), (1, 0)):
+            c = _unique_value(v.owner.inputs[i])
+            if c is not None and c in (-1, -1.0):
+                return True, v.owner.inputs[j]
+    return False, v
+
+
+@node_rewriter([Elemwise])
+def local_one_pm_erf(fgraph, node):
+    """1 + erf(x) -> erfc(-x); 1 - erf(x) -> erfc(x);
+    erf(x) - 1 -> -erfc(x); -1 + erfc(-x) composes via
+    local_odd_fn_of_neg."""
+    name = node.op.scalar_op.name
+    if name not in ("add", "sub"):
+        return False
+    split = _split_pm_one(node)
+    if split is None:
+        return False
+    cval, other, one_first = split
+    neg_other, core = _strip_neg(other)
+    if core.owner is None:
+        return False
+    if _is_ew(core.owner, "erf"):
+        x = core.owner.inputs[0]
+        # effective expression: c1*1 + c2*erf(x) with c2 = +-1
+        if name == "add":
+            one_sign, erf_sign = cval, (-1.0 if neg_other else 1.0)
+        elif one_first:   # sub(1, t) = 1 - t
+            one_sign, erf_sign = cval, (1.0 if neg_other else -1.0)
+        else:             # sub(t, 1) = t - 1
+            one_sign, erf_sign = -cval, (-1.0 if neg_other else 1.0)
+        if one_sign == 1.0 and erf_sign == 1.0:
+            res = tm.erfc(-x)
+        elif one_sign == 1.0 and erf_sign == -1.0:
+            res = tm.erfc(x)
+        elif one_sign == -1.0 and erf_sign == 1.0:
+            res = -tm.erfc(x)
+        else:  # -1 - erf(x) = -erfc(-x)
+            res = -tm.erfc(-x)
+        res = _same_type_out(node, res)
+        return [res] if res is not None else False
+    if _is_ew(core.owner, "erfc"):
+        x = core.owner.inputs[0]
+        if name == "add":
+            one_sign, e_sign = cval, (-1.0 if neg_other else 1.0)
+        elif one_first:
+            one_sign, e_sign = cval, (1.0 if neg_other else -1.0)
+        else:
+            one_sign, e_sign = -cval, (-1.0 if neg_other else 1.0)
+        # 1 - erfc(x) -> erf(x); -1 + erfc(x) -> -erf(x)
+        if one_sign == 1.0 and e_sign == -1.0:
+            res = tm.erf(x)
+        elif one_sign == -1.0 and e_sign == 1.0:
+            res = -tm.erf(x)
+        else:
+            return False
+        res = _same_type_out(node, res)
+        return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_one_pm_erf, name="local_one_pm_erf")
+register_specialize(local_one_pm_erf, name="local_one_pm_erf")
+
+
+def _erfc_thresholds(dtype):
+    if dtype in ("float32", "float16", "bfloat16"):
+        return 9.0
+    return 26.0
+
+
+def _is_clamped_min(v):
+    """True when v is minimum(x, const): marks an already-stabilized
+    erfc argument (recursion guard)."""
+    return (v.owner is not None and _is_ew(v.owner, "minimum")
+            and any(_unique_value(i) is not None for i in v.owner.inputs))
+
+
+@node_rewriter([Elemwise])
+def local_log_erfc(fgraph, node):
+    """log(erfc(x)) -> switch(x < T, log(erfc(min(x, T))), asymptotic).
+
+    erfc underflows around x=26.64 (f64) / 10.05 (f32); beyond the
+    threshold use -x^2 - log(x) - log(pi)/2 + log1p(-1/(2x^2) + 3/(4x^4)
+    - 15/(8x^6)) (reference rewriting/math.py:3080).  The safe branch's
+    argument is clamped to T so it never underflows AND so this rewrite
+    does not re-match its own output."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "erfc"):
+        return False
+    x = inner.inputs[0]
+    if x.type.dtype.startswith(("int", "uint", "bool")):
+        return False
+    if _is_clamped_min(x):
+        return False
+    T = _erfc_thresholds(node.outputs[0].type.dtype)
+    xs = tm.minimum(x, T)
+    x2 = tm.sqr(x)
+    stab = (-x2 - tm.log(tm.abs(x) + 1e-300) - 0.5 * float(np.log(np.pi))
+            + tm.log1p(-1 / (2 * x2) + 3 / (4 * tm.sqr(x2))
+                       - 15 / (8 * x2 * tm.sqr(x2))))
+    res = tm.switch(x < T, tm.log(tm.erfc(xs)), stab)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log_erfc, name="local_log_erfc")
+
+
+def _is_neg_sqr_of(t, x):
+    """True when t == -(x**2) structurally: flattens nested neg/mul
+    trees and constant -1 factors, accepting sqr(x) or x*x as the
+    square (grad graphs spell ``-i*i`` as mul(neg(x), x))."""
+    if t.owner is None:
+        return False
+    sign = 1.0
+    stack = [t]
+    factors = []
+    for _ in range(16):
+        if not stack:
+            break
+        v = stack.pop()
+        if v.owner is not None and _is_ew(v.owner, "neg"):
+            sign = -sign
+            stack.append(v.owner.inputs[0])
+        elif v.owner is not None and _is_ew(v.owner, "mul"):
+            stack.extend(v.owner.inputs)
+        else:
+            c = _unique_value(v)
+            if c is not None:
+                if float(c) not in (1.0, -1.0):
+                    return False
+                sign *= float(c)
+            else:
+                factors.append(v)
+    if stack or sign != -1.0:
+        return False
+    if len(factors) == 1:
+        u = factors[0]
+        return (u.owner is not None and _is_ew(u.owner, "sqr")
+                and u.owner.inputs[0] is x)
+    if len(factors) == 2:
+        return factors[0] is x and factors[1] is x
+    return False
+
+
+@node_rewriter([Elemwise])
+def local_grad_log_erfc_neg(fgraph, node):
+    """([y*]exp(-x^2))/erfc(x) -> switch to the asymptotic
+    sqrt(pi)*x/(1 - 1/(2x^2) + 3/(4x^4) - 15/(8x^6)) beyond the erfc
+    underflow threshold (the grad of log(erfc(x));
+    reference rewriting/math.py:3126)."""
+    if not _is_ew(node, "true_div"):
+        return False
+    num, den = node.inputs
+    if den.owner is None or not _is_ew(den.owner, "erfc"):
+        return False
+    x = den.owner.inputs[0]
+    if _is_clamped_min(x) or x.type.dtype.startswith(("int", "uint", "bool")):
+        return False
+    # num = exp(t) or mul(y..., exp(t)) with t == -(x**2)
+    y_factors = []
+    exp_v = None
+    if num.owner is not None and _is_ew(num.owner, "exp"):
+        exp_v = num
+    elif num.owner is not None and _is_ew(num.owner, "mul"):
+        for i in num.owner.inputs:
+            if exp_v is None and i.owner is not None \
+                    and _is_ew(i.owner, "exp") \
+                    and _is_neg_sqr_of(i.owner.inputs[0], x):
+                exp_v = i
+            else:
+                y_factors.append(i)
+    if exp_v is None or not _is_neg_sqr_of(exp_v.owner.inputs[0], x):
+        return False
+    T = _erfc_thresholds(x.type.dtype)
+    xs = tm.minimum(x, T)
+    safe = tm.exp(-tm.sqr(xs)) / tm.erfc(xs)
+    x2 = tm.sqr(x)
+    stab = (x * float(np.sqrt(np.pi))
+            / (1 - 1 / (2 * x2) + 3 / (4 * tm.sqr(x2))
+               - 15 / (8 * x2 * tm.sqr(x2))))
+    core = tm.switch(x < T, safe, stab)
+    if not y_factors:
+        res = core
+    else:
+        y = y_factors[0] if len(y_factors) == 1 else tm.mul(*y_factors)
+        res = y * core
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_stabilize(local_grad_log_erfc_neg, name="local_grad_log_erfc_neg")
+register_specialize(local_grad_log_erfc_neg, name="local_grad_log_erfc_neg")
+
+
+def _flat_mul_factors(v, depth=0):
+    """Flatten nested mul/neg trees into (sign, [factors])."""
+    if depth > 6 or v.owner is None:
+        return 1.0, [v]
+    if _is_ew(v.owner, "neg"):
+        s, fs = _flat_mul_factors(v.owner.inputs[0], depth + 1)
+        return -s, fs
+    if _is_ew(v.owner, "mul"):
+        sign = 1.0
+        factors = []
+        for i in v.owner.inputs:
+            s, fs = _flat_mul_factors(i, depth + 1)
+            sign *= s
+            factors.extend(fs)
+        return sign, factors
+    return 1.0, [v]
+
+
+@node_rewriter([Elemwise])
+def local_grad_log_erfc_neg_mul(fgraph, node):
+    """mul(..., true_div(y, erfc(x)), ..., exp(-x^2), ...) — the shape
+    actual pullback graphs take (the exp factor multiplies OUTSIDE the
+    division) — rewritten to the stabilized switch form.  Complements
+    local_grad_log_erfc_neg, which needs the exp inside the numerator."""
+    if not _is_ew(node, "mul"):
+        return False
+    sign, factors = _flat_mul_factors(node.outputs[0])
+    div_i = exp_i = None
+    x = None
+    for i, f in enumerate(factors):
+        if div_i is None and f.owner is not None \
+                and _is_ew(f.owner, "true_div") \
+                and f.owner.inputs[1].owner is not None \
+                and _is_ew(f.owner.inputs[1].owner, "erfc"):
+            cand = f.owner.inputs[1].owner.inputs[0]
+            if not _is_clamped_min(cand) \
+                    and not cand.type.dtype.startswith(("int", "uint",
+                                                        "bool")):
+                div_i, x = i, cand
+    if div_i is None:
+        return False
+    for i, f in enumerate(factors):
+        if i != div_i and f.owner is not None and _is_ew(f.owner, "exp") \
+                and _is_neg_sqr_of(f.owner.inputs[0], x):
+            exp_i = i
+            break
+    if exp_i is None:
+        return False
+    T = _erfc_thresholds(x.type.dtype)
+    xs = tm.minimum(x, T)
+    safe = tm.exp(-tm.sqr(xs)) / tm.erfc(xs)
+    x2 = tm.sqr(x)
+    stab = (x * float(np.sqrt(np.pi))
+            / (1 - 1 / (2 * x2) + 3 / (4 * tm.sqr(x2))
+               - 15 / (8 * x2 * tm.sqr(x2))))
+    core = tm.switch(x < T, safe, stab)
+    rest = [f for i, f in enumerate(factors) if i not in (div_i, exp_i)]
+    num = factors[div_i].owner.inputs[0]
+    if _unique_value(num) not in (1, 1.0):
+        rest.append(num)
+    res = core if not rest else tm.mul(*rest, core)
+    if sign < 0:
+        res = -res
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_stabilize(local_grad_log_erfc_neg_mul,
+                   name="local_grad_log_erfc_neg_mul")
+register_specialize(local_grad_log_erfc_neg_mul,
+                    name="local_grad_log_erfc_neg_mul")
+
+
+# ---------------------------------------------------------------------------
+# sigmoid / exp specializations (reference local_reciprocal_1_plus_exp,
+# local_sigm_times_exp, local_logit_sigmoid, odds-sigmoid patterns;
+# pinned by tests/tensor/rewriting/test_math.py TestSigmoidRewrites)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_reciprocal_1_plus_exp(fgraph, node):
+    """reciprocal(1 + exp(x)) -> sigmoid(-x); c/(1 + exp(x)) with c = +-1
+    -> +-sigmoid(-x)."""
+    name = node.op.scalar_op.name
+    if name == "reciprocal":
+        den, c = node.inputs[0], 1.0
+    elif name == "true_div" and len(node.inputs) == 2:
+        c = _unique_value(node.inputs[0])
+        if c is None or float(c) not in (1.0, -1.0):
+            return False
+        c = float(c)
+        den = node.inputs[1]
+    else:
+        return False
+    if den.owner is None or not _is_ew(den.owner, "add") \
+            or len(den.owner.inputs) != 2:
+        return False
+    a, b = den.owner.inputs
+    for one, e in ((a, b), (b, a)):
+        if _unique_value(one) in (1, 1.0) and e.owner is not None \
+                and _is_ew(e.owner, "exp"):
+            x = e.owner.inputs[0]
+            res = tm.sigmoid(-x) if c == 1.0 else -tm.sigmoid(-x)
+            res = _same_type_out(node, res)
+            return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_reciprocal_1_plus_exp,
+                   name="local_reciprocal_1_plus_exp")
+register_specialize(local_reciprocal_1_plus_exp,
+                    name="local_reciprocal_1_plus_exp")
+
+
+@node_rewriter([Elemwise])
+def local_sigm_times_exp(fgraph, node):
+    """sigmoid(-x) * exp(x) -> sigmoid(x); sigmoid(x) * exp(-x) ->
+    sigmoid(-x) (pairwise inside a flat mul)."""
+    if not _is_ew(node, "mul"):
+        return False
+    ins = list(node.inputs)
+    sig_idx = [i for i, v in enumerate(ins)
+               if v.owner is not None and _is_ew(v.owner, "sigmoid")]
+    exp_idx = [i for i, v in enumerate(ins)
+               if v.owner is not None and _is_ew(v.owner, "exp")]
+    for si in sig_idx:
+        s_arg = ins[si].owner.inputs[0]
+        s_neg, s_core = _strip_neg(s_arg)
+        for ei in exp_idx:
+            e_arg = ins[ei].owner.inputs[0]
+            e_neg, e_core = _strip_neg(e_arg)
+            merged = None
+            if s_neg and not e_neg and s_core is e_arg:
+                merged = tm.sigmoid(e_arg)       # sig(-x)*exp(x)
+            elif e_neg and not s_neg and e_core is s_arg:
+                merged = tm.sigmoid(-s_arg)      # sig(x)*exp(-x)
+            if merged is not None:
+                rest = [v for i, v in enumerate(ins) if i not in (si, ei)]
+                res = merged if not rest else tm.mul(*rest, merged)
+                res = _same_type_out(node, res)
+                return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_sigm_times_exp, name="local_sigm_times_exp")
+register_specialize(local_sigm_times_exp, name="local_sigm_times_exp")
+
+
+@node_rewriter([Elemwise])
+def local_odds_sigmoid(fgraph, node):
+    """sigmoid(x) / sigmoid(-x) -> exp(x)  (the odds ratio
+    sigmoid/(1-sigmoid); 1-sigmoid has already been canonicalized to
+    sigmoid(-x) by local_one_minus_sigmoid).  1 - sigmoid cancels to
+    exactly 0 for x >~ 37 so the unrewritten ratio hits inf long before
+    exp(x) overflows."""
+    if not _is_ew(node, "true_div"):
+        return False
+    num, den = node.inputs
+    if num.owner is None or den.owner is None \
+            or not _is_ew(num.owner, "sigmoid") \
+            or not _is_ew(den.owner, "sigmoid"):
+        return False
+    a = num.owner.inputs[0]
+    b = den.owner.inputs[0]
+    a_neg, a_core = _strip_neg(a)
+    b_neg, b_core = _strip_neg(b)
+    if (b_neg and not a_neg and b_core is a) \
+            or (a_neg and not b_neg and a_core is b):
+        res = _same_type_out(node, tm.exp(a))
+        return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_odds_sigmoid, name="local_odds_sigmoid")
+register_stabilize(local_odds_sigmoid, name="local_odds_sigmoid")
+
+
+@node_rewriter([Elemwise])
+def local_sigmoid_of_logit(fgraph, node):
+    """sigmoid(log(x / (1 - x))) -> x (also via logit())."""
+    if not _is_ew(node, "sigmoid"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "logit"):
+        res = _same_type_out(node, inner.inputs[0])
+        return [res] if res is not None else False
+    if inner is None or not _is_ew(inner, "log"):
+        return False
+    div = inner.inputs[0].owner
+    if div is None or not _is_ew(div, "true_div"):
+        return False
+    x, den = div.inputs
+    d = den.owner
+    if d is not None and _is_ew(d, "sub") and len(d.inputs) == 2 \
+            and _unique_value(d.inputs[0]) in (1, 1.0) \
+            and d.inputs[1] is x:
+        res = _same_type_out(node, x)
+        return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_sigmoid_of_logit, name="local_sigmoid_of_logit")
+
+
+@node_rewriter([Elemwise])
+def local_logit_of_sigmoid(fgraph, node):
+    """log(sigmoid(x) / sigmoid(-x)) -> x; logit(sigmoid(x)) -> x."""
+    name = node.op.scalar_op.name
+    if name == "logit":
+        inner = node.inputs[0].owner
+        if inner is not None and _is_ew(inner, "sigmoid"):
+            res = _same_type_out(node, inner.inputs[0])
+            return [res] if res is not None else False
+        return False
+    if name != "log":
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "exp"):
+        # log(exp(x)) -> x: covered by local_log_exp; skip
+        return False
+    return False
+
+
+register_specialize(local_logit_of_sigmoid, name="local_logit_of_sigmoid")
+
+
+# ---------------------------------------------------------------------------
+# log/exp stabilizations (reference local_logdiffexp, log_kv/log_iv
+# stabilization, log/sign of reciprocal and constant divisions)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_logdiffexp(fgraph, node):
+    """log(exp(x) - exp(y)) -> x + log1mexp(y - x)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "sub") or len(inner.inputs) != 2:
+        return False
+    ex, ey = inner.inputs
+    if ex.owner is None or ey.owner is None \
+            or not _is_ew(ex.owner, "exp") or not _is_ew(ey.owner, "exp"):
+        return False
+    x = ex.owner.inputs[0]
+    y = ey.owner.inputs[0]
+    res = _same_type_out(node, x + tm.log1mexp(y - x))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_logdiffexp, name="local_logdiffexp")
+
+
+@node_rewriter([Elemwise])
+def local_log_kv_iv(fgraph, node):
+    """log(kv(v, x)) -> log(kve(v, x)) - x (kv underflows ~700 for f64);
+    log(iv(v, x)) -> log(ive(v, x)) + x (iv overflows)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None:
+        return False
+    if _is_ew(inner, "kv"):
+        v, x = inner.inputs
+        res = _same_type_out(node, tm.log(tm.kve(v, x)) - x)
+        return [res] if res is not None else False
+    if _is_ew(inner, "iv"):
+        v, x = inner.inputs
+        res = _same_type_out(node, tm.log(tm.ive(v, x)) + x)
+        return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_log_kv_iv, name="local_log_kv_iv")
+
+
+def _pos_const(v):
+    c = _unique_value(v)
+    if c is None:
+        return None
+    c = float(c)
+    return c if c > 0 else None
+
+
+@node_rewriter([Elemwise])
+def local_log_reciprocal_or_div_const(fgraph, node):
+    """log(1/x) -> -log(x); log(c/x) -> log(c) - log(x) (c > 0 const);
+    log(x/c) -> log(x) - log(c)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None:
+        return False
+    if _is_ew(inner, "reciprocal"):
+        res = _same_type_out(node, -tm.log(inner.inputs[0]))
+        return [res] if res is not None else False
+    if _is_ew(inner, "true_div") and len(inner.inputs) == 2:
+        num, den = inner.inputs
+        out_dt = node.outputs[0].type.dtype
+        cn = _pos_const(num)
+        if cn is not None:
+            if cn == 1.0:
+                res = -tm.log(den)
+            else:
+                # fold the constant's log at the OUTPUT dtype (a bare
+                # Python float would round through floatX=float32)
+                res = np.asarray(np.log(np.float64(cn)),
+                                 dtype=out_dt) - tm.log(den)
+            res = _same_type_out(node, res)
+            return [res] if res is not None else False
+        cd = _pos_const(den)
+        if cd is not None:
+            res = tm.log(num) - np.asarray(np.log(np.float64(cd)),
+                                           dtype=out_dt)
+            res = _same_type_out(node, res)
+            return [res] if res is not None else False
+    return False
+
+
+register_stabilize(local_log_reciprocal_or_div_const,
+                   name="local_log_reciprocal_or_div_const")
+register_specialize(local_log_reciprocal_or_div_const,
+                    name="local_log_reciprocal_or_div_const")
+
+
+@node_rewriter([Elemwise])
+def local_sign_reciprocal_or_div_const(fgraph, node):
+    """sign(1/x) -> sign(x); sign(c/x) -> sign(c)*sign(x);
+    sign(x/c) -> sign(c)*sign(x) (c a nonzero constant)."""
+    if not _is_ew(node, "sign"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None:
+        return False
+    if _is_ew(inner, "reciprocal"):
+        res = _same_type_out(node, tm.sign(inner.inputs[0]))
+        return [res] if res is not None else False
+    if _is_ew(inner, "true_div") and len(inner.inputs) == 2:
+        num, den = inner.inputs
+        for c_v, other in ((num, den), (den, num)):
+            c = _unique_value(c_v)
+            if c is not None and float(c) != 0.0:
+                s = tm.sign(other)
+                res = s if float(c) > 0 else -s
+                res = _same_type_out(node, res)
+                return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_sign_reciprocal_or_div_const,
+                    name="local_sign_reciprocal_or_div_const")
+register_stabilize(local_sign_reciprocal_or_div_const,
+                   name="local_sign_reciprocal_or_div_const")
+
+
+# ---------------------------------------------------------------------------
+# add/sub-of-neg specializations and sqr/sqrt inverses
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_sub_neg_to_add(fgraph, node):
+    """x - (-y) -> x + y."""
+    if not _is_ew(node, "sub") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if y.owner is not None and _is_ew(y.owner, "neg"):
+        res = _same_type_out(node, x + y.owner.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_sub_neg_to_add, name="local_sub_neg_to_add")
+
+
+@node_rewriter([Elemwise])
+def local_add_neg_to_sub(fgraph, node):
+    """x + (-y) -> x - y; (-x) + y -> y - x."""
+    if not _is_ew(node, "add") or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if y.owner is not None and _is_ew(y.owner, "neg") \
+            and _unique_value(y.owner.inputs[0]) is None:
+        res = _same_type_out(node, x - y.owner.inputs[0])
+        return [res] if res is not None else False
+    if x.owner is not None and _is_ew(x.owner, "neg") \
+            and _unique_value(x.owner.inputs[0]) is None:
+        res = _same_type_out(node, y - x.owner.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_add_neg_to_sub, name="local_add_neg_to_sub")
+
+
+@node_rewriter([Elemwise])
+def local_sqr_of_sqrt(fgraph, node):
+    """sqr(sqrt(x)) -> switch(x >= 0, x, nan) (preserves the sqrt's
+    domain error signal)."""
+    if not _is_ew(node, "sqr"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_ew(inner, "sqrt"):
+        x = inner.inputs[0]
+        res = tm.switch(tm.ge(x, 0), x,
+                        np.asarray(np.nan, dtype=node.outputs[0].type.dtype))
+        res = _same_type_out(node, res)
+        return [res] if res is not None else False
+    return False
+
+
+register_specialize(local_sqr_of_sqrt, name="local_sqr_of_sqrt")
+
+
+# ---------------------------------------------------------------------------
+# polygamma specialization + x/abs(x) -> sign(x)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_polygamma_specialize(fgraph, node):
+    """polygamma(0, x) -> psi(x); polygamma(1, x) -> tri_gamma(x)
+    (cheaper dedicated kernels)."""
+    if not _is_ew(node, "polygamma"):
+        return False
+    n, x = node.inputs
+    c = _unique_value(n)
+    if c is None:
+        return False
+    if int(c) == 0:
+        res = _same_type_out(node, tm.psi(x))
+    elif int(c) == 1:
+        res = _same_type_out(node, tm.tri_gamma(x))
+    else:
+        return False
+    return [res] if res is not None else False
+
+
+register_specialize(local_polygamma_specialize,
+                    name="local_polygamma_specialize")
+
+
+def _split_const_factors(v):
+    """Flatten v = const * core: returns (const, [non-const factors])."""
+    if v.owner is not None and _is_ew(v.owner, "mul"):
+        const = 1.0
+        rest = []
+        for i in v.owner.inputs:
+            c = _unique_value(i)
+            if c is not None:
+                const *= float(c)
+            else:
+                rest.append(i)
+        return const, rest
+    if v.owner is not None and _is_ew(v.owner, "neg"):
+        c, rest = _split_const_factors(v.owner.inputs[0])
+        return -c, rest
+    if v.owner is not None and _is_ew(v.owner, "true_div"):
+        num, den = v.owner.inputs
+        cd = _unique_value(den)
+        if cd is not None and float(cd) != 0:
+            c, rest = _split_const_factors(num)
+            return c / float(cd), rest
+    c = _unique_value(v)
+    if c is not None:
+        return float(c), []
+    return 1.0, [v]
+
+
+@node_rewriter([Elemwise])
+def local_div_abs_to_sign(fgraph, node):
+    """(c1*x) / (c2*abs(c3*x)) -> (c1/(c2*|c3|)) * sign(x) — finite at
+    x = 0 where the unrewritten division is 0/0 (reference
+    AlgebraicCanonizer behavior, test_abs_mul_div)."""
+    if not _is_ew(node, "true_div"):
+        return False
+    num, den = node.inputs
+    cn, num_f = _split_const_factors(num)
+    cd, den_f = _split_const_factors(den)
+    if len(num_f) != 1 or len(den_f) != 1 or cd == 0.0:
+        return False
+    a = den_f[0]
+    if a.owner is None or not _is_ew(a.owner, "abs"):
+        return False
+    ca, abs_f = _split_const_factors(a.owner.inputs[0])
+    if len(abs_f) != 1 or abs_f[0] is not num_f[0] or ca == 0.0:
+        return False
+    x = num_f[0]
+    k = cn / (cd * abs(ca))
+    res = tm.sign(x) if k == 1.0 else (
+        np.asarray(k, dtype=node.outputs[0].type.dtype) * tm.sign(x))
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_div_abs_to_sign, name="local_div_abs_to_sign")
+register_specialize(local_div_abs_to_sign, name="local_div_abs_to_sign")
+
+
+# ---------------------------------------------------------------------------
+# switch merging, zero/one division, pow grouping, functional inverses,
+# shape-vs-zero comparisons, reduce-of-join (reference
+# local_merge_switch_same_cond, local_zero_div, local_div_by_one,
+# local_mul_pow_to_pow_add, local_func_inv, local_useless_elemwise_
+# comparison shape cases, local_reduce_join)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_merge_switch_same_cond(fgraph, node):
+    """op(switch(c, a, b), switch(c, x, y), ...) ->
+    switch(c, op(a, x, ...), op(b, y, ...)): one select instead of N."""
+    name = node.op.scalar_op.name
+    if name == "switch":
+        return False
+    cond = None
+    n_switch = 0
+    for i in node.inputs:
+        if i.owner is not None and _is_ew(i.owner, "switch"):
+            if cond is None:
+                cond = i.owner.inputs[0]
+                n_switch = 1
+            elif i.owner.inputs[0] is cond:
+                n_switch += 1
+    if cond is None or n_switch < 2:
+        return False
+    trues, falses = [], []
+    for i in node.inputs:
+        if i.owner is not None and _is_ew(i.owner, "switch") \
+                and i.owner.inputs[0] is cond:
+            trues.append(i.owner.inputs[1])
+            falses.append(i.owner.inputs[2])
+        else:
+            trues.append(i)
+            falses.append(i)
+    op = node.op
+    res = tm.switch(cond, op(*trues), op(*falses))
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_merge_switch_same_cond,
+                      name="local_merge_switch_same_cond")
+
+
+@node_rewriter([Elemwise])
+def local_zero_div(fgraph, node):
+    """0 / x -> 0 (true_div and int_div)."""
+    if node.op.scalar_op.name not in ("true_div", "int_div") \
+            or len(node.inputs) != 2:
+        return False
+    num = node.inputs[0]
+    c = _unique_value(num)
+    if c is None or float(c) != 0.0:
+        return False
+    # NEVER zeros_like(node.outputs[0]) here: that references the node
+    # being replaced and loops the equilibrium rewriter
+    zero = as_tensor_variable(
+        np.asarray(0, dtype=node.outputs[0].type.dtype))
+    res = _same_type_out(node, zero)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_zero_div, name="local_zero_div")
+
+
+@node_rewriter([Elemwise])
+def local_div_by_one(fgraph, node):
+    """x // 1 -> x; x / 1 -> x (dtype-preserving)."""
+    if node.op.scalar_op.name not in ("int_div", "true_div") \
+            or len(node.inputs) != 2:
+        return False
+    c = _unique_value(node.inputs[1])
+    if c is None or float(c) != 1.0:
+        return False
+    num = node.inputs[0]
+    if num.type.dtype != node.outputs[0].type.dtype:
+        if node.op.scalar_op.name == "true_div":
+            return False  # true_div upcasts ints; keep the cast semantics
+        num = cast(num, node.outputs[0].type.dtype)
+    res = _same_type_out(node, num)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_div_by_one, name="local_div_by_one")
+
+
+@node_rewriter([Elemwise])
+def local_div_exp_to_mul_exp(fgraph, node):
+    """y / exp(x) -> y * exp(-x); 1 / exp(x) -> exp(-x) (mul fuses
+    better than div and feeds local_mul_exp_to_exp_add)."""
+    if not _is_ew(node, "true_div") or len(node.inputs) != 2:
+        return False
+    num, den = node.inputs
+    if den.owner is None or not _is_ew(den.owner, "exp"):
+        return False
+    if num.owner is not None and _is_ew(num.owner, "exp"):
+        return False  # exp/exp handled by local_mul_exp_to_exp_add
+    en = tm.exp(-den.owner.inputs[0])
+    c = _unique_value(num)
+    res = en if (c is not None and float(c) == 1.0) else num * en
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_div_exp_to_mul_exp, name="local_div_exp_to_mul_exp")
+
+
+@node_rewriter([Elemwise])
+def local_log_neg_expm1(fgraph, node):
+    """log(-expm1(x)) -> log1mexp(x) (also reaches log(-(exp(x)-1))
+    after expm1 canonicalization)."""
+    if not _is_ew(node, "log"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_ew(inner, "neg"):
+        return False
+    em = inner.inputs[0].owner
+    if em is None or not _is_ew(em, "expm1"):
+        return False
+    res = _same_type_out(node, tm.log1mexp(em.inputs[0]))
+    return [res] if res is not None else False
+
+
+register_stabilize(local_log_neg_expm1, name="local_log_neg_expm1")
+
+
+# functional-inverse pairs: outer(inner(x)) == x on the inner's range.
+# Only pairs that are true inverses for all real inputs the INNER op
+# accepts (matching the reference's local_func_inv table).
+_INVERSE_PAIRS = {
+    ("deg2rad", "rad2deg"), ("rad2deg", "deg2rad"),
+    ("cosh", "arccosh"), ("arcsinh", "sinh"), ("sinh", "arcsinh"),
+    ("arctanh", "tanh"), ("tanh", "arctanh"),
+    ("neg", "neg"), ("reciprocal", "reciprocal"),
+    ("conj", "conj"), ("arccosh", "cosh"),
+    ("log1p", "expm1"), ("expm1", "log1p"),
+}
+
+
+@node_rewriter([Elemwise])
+def local_func_inverse(fgraph, node):
+    """outer(inner(x)) -> x for functional-inverse pairs (deg2rad/
+    rad2deg, sinh/arcsinh, tanh/arctanh, cosh/arccosh, log1p/expm1,
+    self-inverses)."""
+    name = node.op.scalar_op.name
+    inner = node.inputs[0].owner if node.inputs else None
+    if inner is None or not isinstance(inner.op, Elemwise):
+        return False
+    pair = (name, inner.op.scalar_op.name)
+    if pair not in _INVERSE_PAIRS:
+        return False
+    x = inner.inputs[0]
+    out = node.outputs[0]
+    if x.type.dtype != out.type.dtype:
+        # float(int) round trips are exact for the small table above;
+        # keep the float output dtype
+        x = cast(x, out.type.dtype)
+    res = _same_type_out(node, x)
+    return [res] if res is not None else False
+
+
+register_specialize(local_func_inverse, name="local_func_inverse")
+
+
+@node_rewriter([Elemwise])
+def local_xor_self(fgraph, node):
+    """xor(x, x) -> 0."""
+    if node.op.scalar_op.name != "xor" or len(node.inputs) != 2:
+        return False
+    x, y = node.inputs
+    if x is not y:
+        return False
+    from pytensor_tpu.tensor.basic import zeros_like
+
+    res = _same_type_out(node, zeros_like(x))
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_xor_self, name="local_xor_self")
+
+
+def _is_nonneg(v, depth=0):
+    """Structurally non-negative: Shape/Shape_i outputs, non-negative
+    constants, and add/mul/maximum over such."""
+    from pytensor_tpu.tensor.shape import Shape, Shape_i
+
+    if depth > 4:
+        return False
+    c = _unique_value(v)
+    if c is not None:
+        return float(c) >= 0
+    if isinstance(v, Constant):
+        data = np.asarray(v.data)
+        return data.size > 0 and bool((data >= 0).all())
+    if v.owner is None:
+        return v.type.dtype.startswith("uint") or v.type.dtype == "bool"
+    if isinstance(v.owner.op, (Shape, Shape_i)):
+        return True
+    if isinstance(v.owner.op, Elemwise) \
+            and v.owner.op.scalar_op.name in ("add", "mul", "maximum",
+                                              "minimum", "abs"):
+        return all(_is_nonneg(i, depth + 1) for i in v.owner.inputs)
+    if isinstance(v.owner.op, DimShuffle):
+        return _is_nonneg(v.owner.inputs[0], depth + 1)
+    return False
+
+
+@node_rewriter([Elemwise])
+def local_shape_cmp_zero(fgraph, node):
+    """Comparisons/extrema of structurally non-negative values (shapes)
+    against 0: lt(s, 0) -> 0, ge(s, 0) -> 1, maximum(s, 0) -> s,
+    minimum(s, 0) -> 0, eq(s, -1) -> 0."""
+    name = node.op.scalar_op.name
+    if name not in ("lt", "gt", "le", "ge", "maximum", "minimum", "eq") \
+            or len(node.inputs) != 2:
+        return False
+    from pytensor_tpu.tensor.basic import zeros_like
+
+    a, b = node.inputs
+    ca, cb = _unique_value(a), _unique_value(b)
+    out_dt = node.outputs[0].type.dtype
+    # constants built standalone (NOT zeros_like(node.outputs[0]),
+    # which would reference the node being replaced and loop)
+    zero = as_tensor_variable(np.asarray(0, dtype=out_dt))
+    one = as_tensor_variable(np.asarray(1, dtype=out_dt))
+    res = None
+    if cb is not None and float(cb) == 0.0 and _is_nonneg(a):
+        if name == "lt":
+            res = zero
+        elif name == "ge":
+            res = one
+        elif name == "maximum":
+            res = a
+        elif name == "minimum":
+            res = zeros_like(a)
+    elif ca is not None and float(ca) == 0.0 and _is_nonneg(b):
+        if name == "gt":
+            res = zero
+        elif name == "le":
+            res = one
+        elif name == "maximum":
+            res = b
+        elif name == "minimum":
+            res = zeros_like(b)
+    elif name == "eq":
+        for s, c in ((a, cb), (b, ca)):
+            if c is not None and float(c) < 0 and _is_nonneg(s):
+                res = zero
+                break
+    if res is None:
+        return False
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_shape_cmp_zero, name="local_shape_cmp_zero")
+
+
+@node_rewriter([Elemwise])
+def local_mul_pow_to_pow_add(fgraph, node):
+    """a^x * a^y -> a^(x+y) inside a flat mul, grouping repeated bases
+    (and composing with the exp grouping)."""
+    if not _is_ew(node, "mul") or len(node.inputs) < 2:
+        return False
+    groups = {}
+    others = []
+    order = []
+    for i in node.inputs:
+        if i.owner is not None and _is_ew(i.owner, "pow"):
+            base, expo = i.owner.inputs
+            key = id(base)
+            if key not in groups:
+                groups[key] = (base, [])
+                order.append(key)
+            groups[key][1].append(expo)
+        else:
+            others.append(i)
+    if not any(len(exps) > 1 for _, exps in groups.values()):
+        return False
+    factors = list(others)
+    for key in order:
+        base, exps = groups[key]
+        factors.append(base ** (exps[0] if len(exps) == 1 else tm.add(*exps)))
+    res = factors[0] if len(factors) == 1 else tm.mul(*factors)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_mul_pow_to_pow_add, name="local_mul_pow_to_pow_add")
+
+
+@node_rewriter([CAReduce])
+def local_reduce_join(fgraph, node):
+    """reduce(join(0, a[None], b[None], ...), axis=0) -> elemwise
+    op(a, b, ...) for sum/prod/max/min: no concat buffer (reference
+    local_reduce_join)."""
+    if node.op.axis not in ((0,),):
+        return False
+    name = node.op.scalar_op.name
+    if name not in ("add", "mul", "maximum", "minimum"):
+        return False
+    j = node.inputs[0]
+    from pytensor_tpu.tensor.basic import Join
+
+    if j.owner is None or not isinstance(j.owner.op, Join):
+        return False
+    ax = j.owner.inputs[0]
+    ax_c = _unique_value(ax)
+    if ax_c is None or int(ax_c) != 0:
+        return False
+    parts = []
+    for p in j.owner.inputs[1:]:
+        # each part must be a length-1 slab along axis 0:
+        # expand_dims (DimShuffle x->(1,...)) or static shape[0] == 1
+        if p.owner is not None and isinstance(p.owner.op, DimShuffle) \
+                and p.owner.op.new_order[0] == "x":
+            inner = p.owner.inputs[0]
+            if p.owner.op.new_order[1:] == tuple(range(inner.type.ndim)):
+                parts.append(inner)
+                continue
+        if p.type.shape[0] == 1:
+            parts.append(p[0])
+            continue
+        return False
+    if len(parts) < 2:
+        return False
+    fn = {"add": tm.add, "mul": tm.mul,
+          "maximum": tm.maximum, "minimum": tm.minimum}[name]
+    res = fn(*parts)
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_reduce_join, name="local_reduce_join")
