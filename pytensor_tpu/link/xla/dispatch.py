@@ -323,6 +323,17 @@ def register_all():
         def split(x, axis, splits):
             a = int(_concrete(axis, "Split axis"))
             sp = np.asarray(_concrete(splits, "Split sizes"))
+            if len(sp) != n:
+                raise ValueError(
+                    f"Length of splits is not equal to n_splits: "
+                    f"{len(sp)} vs {n}")
+            if np.any(sp < 0):
+                raise ValueError("Split sizes cannot be negative")
+            dim = jnp.shape(x)[a % jnp.ndim(x)]
+            if int(np.sum(sp)) != int(dim):
+                raise ValueError(
+                    "Split sizes do not sum up to input length along "
+                    f"axis: {int(dim)} (got {int(np.sum(sp))})")
             idx = np.cumsum(sp[:-1])
             return tuple(jnp.split(x, idx, axis=a))
 
@@ -584,6 +595,15 @@ def register_all():
 
         def adv_incsub1(x, y, ilist):
             x = jnp.asarray(x)
+            y = jnp.asarray(y)
+            # no-runtime-broadcast contract (jax .at[] broadcasts
+            # silently; the reference raises — shapes are concrete at
+            # trace time so this is a free compile-time check)
+            if node is not None:
+                expected = (jnp.shape(jnp.atleast_1d(ilist))[0],
+                            *jnp.shape(x)[1:])
+                AdvancedIncSubtensor1._check_runtime_broadcast(
+                    node, jnp.shape(y), expected)
             if set_mode:
                 return x.at[ilist].set(y)
             if ignore_dups:

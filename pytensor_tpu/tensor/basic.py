@@ -337,12 +337,18 @@ def _infer_static_shape(shape):
     from pytensor_tpu.tensor.shape import Shape_i
 
     if isinstance(shape, Variable):
-        if shape.type.ndim != 1:
+        if shape.type.ndim == 0:
+            # a scalar shape means a 1-d result (numpy ones(5) semantics;
+            # reference tests/link/jax/test_scalar.py test_add_scalars)
+            shape = [shape]
+        elif shape.type.ndim != 1:
             raise TypeError("symbolic shape must be a vector")
-        n = shape.type.shape[0]
-        if n is None:
-            raise TypeError("symbolic shape vector must have a static length")
-        shape = [shape[i] for i in range(n)]
+        else:
+            n = shape.type.shape[0]
+            if n is None:
+                raise TypeError(
+                    "symbolic shape vector must have a static length")
+            shape = [shape[i] for i in range(n)]
     svars = []
     static = []
     for s in shape:
@@ -667,6 +673,21 @@ class Split(Op):
 
 
 def split(x, splits_size, n_splits, axis=0):
+    # a statically known splits_size length must match n_splits — fail at
+    # graph build (the reference's JAX linker only catches it at runtime:
+    # tests/link/jax/test_tensor_basic.py test_runtime_errors)
+    if isinstance(splits_size, (list, tuple)):
+        if len(splits_size) != int(n_splits):
+            raise ValueError(
+                f"Length of splits is not equal to n_splits: "
+                f"{len(splits_size)} vs {n_splits}")
+    elif isinstance(splits_size, Variable) \
+            and splits_size.type.ndim == 1 \
+            and splits_size.type.shape[0] is not None \
+            and splits_size.type.shape[0] != int(n_splits):
+        raise ValueError(
+            f"Length of splits is not equal to n_splits: "
+            f"{splits_size.type.shape[0]} vs {n_splits}")
     out = Split(n_splits)(x, axis, splits_size)
     if n_splits == 1:
         return [out]

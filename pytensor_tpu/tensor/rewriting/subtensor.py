@@ -464,6 +464,11 @@ def local_scatter_add_to_onehot_dot(fgraph, node):
     # full slices / the leading axis); contract it against the one-hot rows
     if y.type.ndim != x.type.ndim:
         return False
+    if y.type.shape[axis] != idx_v.size:
+        # unknown (or mismatched) static length: keep the scatter path so
+        # the runtime no-broadcast contract can raise its ValueError
+        # (tensordot would fail with an opaque shape TypeError instead)
+        return False
     res = tensordot(y, oh, axes=[[axis], [0]])
     res = moveaxis(res, -1, axis)
     if any(d is not None for d in out.type.shape):

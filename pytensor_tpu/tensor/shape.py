@@ -111,6 +111,12 @@ class SpecifyShape(Op):
         x = as_tensor_variable(x)
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
+        if (len(shape) == 1 and isinstance(shape[0], Variable)
+                and shape[0].type.ndim == 1):
+            # a shape VECTOR (e.g. specify_shape(x, other.shape)) unpacks
+            # into one scalar per dim (reference
+            # tests/link/jax/test_shape.py test_jax_specify_shape)
+            shape = tuple(shape[0][i] for i in range(x.type.ndim))
         if len(shape) != x.type.ndim:
             raise ValueError(f"specify_shape: got {len(shape)} dims for {x.type}")
         svars = []

@@ -383,8 +383,30 @@ class AdvancedIncSubtensor1(Op):
         out = TensorType(x.type.dtype, x.type.shape)()
         return Apply(self, [x, y, ilist], [out])
 
+    @staticmethod
+    def _check_runtime_broadcast(node, y_shape, expected_shape):
+        """A dim of y may only stretch if its STATIC shape is 1 (the
+        Elemwise no-runtime-broadcast contract; reference
+        tests/link/jax/test_subtensor.py
+        test_jax_AdvancedIncSubtensor1_runtime_broadcast)."""
+        y_static = node.inputs[1].type.shape
+        off = len(expected_shape) - len(y_shape)
+        if off < 0:
+            return
+        for d, (ys, es) in enumerate(zip(y_shape, expected_shape[off:])):
+            if ys == 1 and es not in (1, None) and y_static[d] != 1:
+                raise ValueError(
+                    "Runtime broadcasting not allowed. "
+                    f"AdvancedIncSubtensor1 value has runtime shape "
+                    f"{tuple(y_shape)}, target region {tuple(expected_shape)}. "
+                    "If broadcasting was intended, use "
+                    "`specify_broadcastable` on the value."
+                )
+
     def perform(self, node, inputs, output_storage):
         x, y, i = inputs
+        self._check_runtime_broadcast(
+            node, np.shape(y), (len(np.atleast_1d(i)),) + x.shape[1:])
         out = np.array(x, copy=True)
         if self.set_instead_of_inc:
             out[i] = y
@@ -888,6 +910,17 @@ def _getitem(x, args):
 def set_subtensor(dest, src, inplace=False):
     """Return dest's base tensor with the indexed region set to src."""
     return _inc_or_set(dest, src, set_instead_of_inc=True)
+
+
+def advanced_inc_subtensor1(x, y, ilist, ignore_duplicates=False):
+    """x with x[ilist] += y (reference advanced_inc_subtensor1)."""
+    return AdvancedIncSubtensor1(ignore_duplicates=ignore_duplicates)(
+        x, y, ilist)
+
+
+def advanced_set_subtensor1(x, y, ilist):
+    """x with x[ilist] = y (reference advanced_set_subtensor1)."""
+    return AdvancedIncSubtensor1(set_instead_of_inc=True)(x, y, ilist)
 
 
 def inc_subtensor(dest, src, inplace=False, set_instead_of_inc=False,
