@@ -568,9 +568,15 @@ t_build = time.perf_counter() - t0
 Xv = rng.random((n, d)).astype("f4"); yv = (rng.random(n) < .5).astype("f4")
 wv = np.zeros(d, "f4"); bv = np.float32(0)
 import jax
-# split the first call with the AOT API: trace/lower, XLA compile (the
-# part the persistent cache can serve), then execute + fetch through the
-# tunnel (pure runtime cost no cache can remove)
+# the REAL first call: on warm processes the AOT executable cache
+# (xla__aot_cache) serves a pickled compiled executable, skipping trace
+# AND compile entirely (reference ModuleCache role)
+t0 = time.perf_counter()
+jax.device_get(np.asarray(f(Xv, yv, wv, bv)[0]))
+t_real = time.perf_counter() - t0
+# split a second build with the AOT API: trace/lower stays honest
+# (python work), XLA compile is now cache-assisted (in-process +
+# persistent), exec+fetch is the tunnel RTT no cache can remove
 t0 = time.perf_counter()
 lowered = f.vm.lower(Xv, yv, wv, bv)
 t_trace = time.perf_counter() - t0
@@ -580,7 +586,7 @@ t_compile = time.perf_counter() - t0
 t0 = time.perf_counter()
 jax.device_get(compiled(Xv, yv, wv, bv)[0])
 t_exec = time.perf_counter() - t0
-print(f"RESULT {t_import:.4f} {t_build:.4f} {t_trace:.4f} {t_compile:.4f} {t_exec:.4f}")
+print(f"RESULT {t_import:.4f} {t_build:.4f} {t_trace:.4f} {t_compile:.4f} {t_exec:.4f} {t_real:.4f}")
 """
 
 
@@ -609,14 +615,18 @@ def compile_latency_report():
                     capture_output=True, text=True, timeout=900)
                 line = [ln for ln in r.stdout.splitlines()
                         if ln.startswith("RESULT")][-1]
-                imp, build, trace, comp, execf = (
+                imp, build, trace, comp, execf, real = (
                     float(x) for x in line.split()[1:])
                 out[f"{label}_import_s"] = round(imp, 3)
                 out[f"{label}_function_build_s"] = round(build, 3)
                 out[f"{label}_trace_s"] = round(trace, 3)
                 out[f"{label}_xla_compile_s"] = round(comp, 3)
                 out[f"{label}_exec_fetch_s"] = round(execf, 3)
-                out[f"{label}_first_call_s"] = round(trace + comp + execf, 3)
+                # measured wall time of Function.__call__ #1 (AOT cache
+                # path); the trace+comp+exec sum is the no-AOT estimate
+                out[f"{label}_first_call_s"] = round(real, 3)
+                out[f"{label}_first_call_no_aot_s"] = round(
+                    trace + comp + execf, 3)
             except Exception as e:
                 out[f"{label}_error"] = repr(e)[:200]
                 return out

@@ -249,6 +249,13 @@ config.add(
     StrParam("", doc="Persistent XLA compilation cache dir ('' = disabled)."),
 )
 config.add(
+    "xla__aot_cache",
+    BoolParam(True, doc="With xla__cache_dir set, also pickle compiled "
+                        "executables (jax serialize_executable) keyed by "
+                        "graph signature: warm processes skip trace AND "
+                        "compile (reference ModuleCache role)."),
+)
+config.add(
     "pallas__fusion",
     BoolParam(False, doc="Emit Pallas kernels for fused elemwise subgraphs (else rely on XLA fusion)."),
 )

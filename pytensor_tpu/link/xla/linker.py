@@ -274,6 +274,129 @@ class XlaLinker(Linker):
 
             return call_static
         jitted = jax.jit(fn, donate_argnums=donate or (), **kwargs)
+        if (config.xla__cache_dir and config.xla__aot_cache
+                and self.in_shardings is None and self.out_shardings is None
+                and self.mesh is None):
+            return _aot_cached_call(jitted, carry, self.fgraph,
+                                    donate or (), prec)
         if carry:
             return lambda *args: jitted(*args, *carry)
         return jitted
+
+
+def _aot_graph_sig(fgraph) -> str:
+    """Structural signature with FULL constant-byte hashing (the
+    debugmode one truncates constants to 16 bytes — fine for structural
+    comparison, unacceptable for an executable-cache key where a
+    collision silently returns wrong results)."""
+    import hashlib
+
+    in_pos = {v: i for i, v in enumerate(fgraph.inputs)}
+    memo = {}
+
+    def sig(v):
+        if v in memo:
+            return memo[v]
+        if v in in_pos:
+            s = f"in{in_pos[v]}[{v.type}]"
+        elif isinstance(v, Constant):
+            try:
+                body = hashlib.sha256(
+                    np.ascontiguousarray(np.asarray(v.data)).tobytes()
+                ).hexdigest()
+            except Exception:
+                body = repr(v.data)
+            s = f"const[{v.type}]{body}"
+        elif v.owner is None:
+            s = f"free[{v.type}]"
+        else:
+            node = v.owner
+            op = node.op
+            inner = getattr(op, "fgraph", None)
+            op_s = (f"{type(op).__name__}<{_aot_graph_sig(inner)}>"
+                    if inner is not None else str(op))
+            args = ",".join(sig(i) for i in node.inputs)
+            s = f"{op_s}({args})#{node.outputs.index(v)}"
+        memo[v] = s
+        return s
+
+    return ";".join(sig(o) for o in fgraph.outputs)
+
+
+def _aot_cached_call(jitted, carry, fgraph, donate, prec):
+    """AOT executable cache: pickle compiled executables keyed by graph
+    signature + call shapes so warm PROCESSES skip trace AND compile
+    (reference link/c/cmodule.py:612 ModuleCache role — it pickles the
+    whole compiled module; here jax.experimental.serialize_executable
+    plays that part).  Any failure falls back to the plain jit path."""
+    import hashlib
+    import os
+    import pickle
+
+    import jax
+
+    state = {"sig": None}
+    loaded = {}
+
+    def _key(full_args):
+        if state["sig"] is None:
+            import jaxlib
+
+            base = [
+                _aot_graph_sig(fgraph),
+                jax.__version__,
+                getattr(jaxlib, "__version__", "?"),
+                jax.default_backend(),
+                str(jax.config.jax_enable_x64),
+                str(tuple(donate)),
+                str(prec),
+            ]
+            state["sig"] = hashlib.sha256(
+                "|".join(base).encode()).hexdigest()[:24]
+        shapes = ",".join(
+            f"{getattr(a, 'dtype', type(a).__name__)}{getattr(a, 'shape', ())}"
+            for a in full_args)
+        h = hashlib.sha256(shapes.encode()).hexdigest()[:16]
+        return f"{state['sig']}-{h}"
+
+    def call(*args):
+        full = (*args, *carry)
+        try:
+            key = _key(full)
+        except Exception:
+            return jitted(*full)
+        compiled = loaded.get(key)
+        if compiled is None:
+            from jax.experimental import serialize_executable as _se
+
+            path = os.path.join(config.xla__cache_dir, f"aot-{key}.pkl")
+            if os.path.exists(path):
+                try:
+                    with open(path, "rb") as fh:
+                        payload, in_tree, out_tree = pickle.load(fh)
+                    compiled = _se.deserialize_and_load(
+                        payload, in_tree, out_tree)
+                except Exception:
+                    compiled = None  # stale/foreign entry: recompile
+            if compiled is None:
+                compiled = jitted.lower(*full).compile()
+                try:
+                    os.makedirs(config.xla__cache_dir, exist_ok=True)
+                    tmp = f"{path}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        pickle.dump(_se.serialize(compiled), fh)
+                    os.replace(tmp, path)  # atomic vs concurrent builders
+                except Exception:
+                    pass
+            loaded[key] = compiled
+        try:
+            return compiled(*full)
+        except Exception:
+            # donated-buffer reuse, device mismatch, ...: the jit path
+            # owns all those semantics
+            loaded.pop(key, None)
+            return jitted(*full)
+
+    call.lower = lambda *args: jitted.lower(*args, *carry)
+    call.jit_fn = jitted
+    return call

@@ -477,18 +477,31 @@ maximum = _op("maximum", 2, np.maximum, lambda a, b: _jnp().maximum(a, b),
 minimum = _op("minimum", 2, np.minimum, lambda a, b: _jnp().minimum(a, b),
               _minimum_grad, commutative=True)
 
+def _int_only(opname):
+    def rule(*dts):
+        for dt in dts:
+            if str(dt).startswith(("float", "complex")):
+                raise TypeError(
+                    f"{opname} does not accept {dt} operands "
+                    "(numpy bitwise semantics)")
+        return upcast(*dts)
+    return rule
+
+
 # logical / bitwise
 and_ = _op("and_", 2, np.bitwise_and, lambda a, b: _jnp().bitwise_and(a, b),
            lambda i, o, gz: [_zero_like(i[0]), _zero_like(i[1])],
-           identity="except_bool_one", commutative=True)
+           identity="except_bool_one", commutative=True,
+           dtype_rule=_int_only("bitwise_and"))
 or_ = _op("or_", 2, np.bitwise_or, lambda a, b: _jnp().bitwise_or(a, b),
           lambda i, o, gz: [_zero_like(i[0]), _zero_like(i[1])],
-          identity=0, commutative=True)
+          identity=0, commutative=True, dtype_rule=_int_only("bitwise_or"))
 xor = _op("xor", 2, np.bitwise_xor, lambda a, b: _jnp().bitwise_xor(a, b),
           lambda i, o, gz: [_zero_like(i[0]), _zero_like(i[1])],
-          identity=0, commutative=True)
+          identity=0, commutative=True, dtype_rule=_int_only("bitwise_xor"))
 invert = _op("invert", 1, np.invert, lambda a: _jnp().invert(a),
-             lambda i, o, gz: [_zero_like(i[0])])
+             lambda i, o, gz: [_zero_like(i[0])],
+             dtype_rule=_int_only("invert"))
 left_shift = _op("left_shift", 2, np.left_shift, lambda a, b: _jnp().left_shift(a, b))
 right_shift = _op("right_shift", 2, np.right_shift, lambda a, b: _jnp().right_shift(a, b))
 

@@ -373,6 +373,13 @@ class Argmax(Op):
         if self.axis is None:
             out_shape = ()
         else:
+            for a in self.axis:
+                if not (-x.type.ndim <= a < x.type.ndim):
+                    # silently wrapping (a % ndim) would reduce the WRONG
+                    # axis — numpy raises AxisError here
+                    raise ValueError(
+                        f"argmax axis {a} out of range for "
+                        f"{x.type.ndim}-d input")
             axes = tuple(sorted(a % x.type.ndim for a in self.axis))
             if axes != self.axis:
                 # resolve negative axes into a canonical instance

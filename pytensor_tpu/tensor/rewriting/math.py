@@ -2554,3 +2554,102 @@ def local_reduce_join(fgraph, node):
 
 
 register_specialize(local_reduce_join, name="local_reduce_join")
+
+
+# ---------------------------------------------------------------------------
+# dot-to-mul and sumsqr-to-dot (reference rewriting/math.py local_dot_to_mul
+# :456, local_sumsqr2dot:763; pinned by tests/tensor/rewriting/test_math.py)
+# ---------------------------------------------------------------------------
+
+def _dot_to_mul_tracks():
+    from pytensor_tpu.tensor.blockwise import Blockwise
+    from pytensor_tpu.tensor.math import Dot
+
+    return [Blockwise, Dot]
+
+
+@node_rewriter(_dot_to_mul_tracks())
+def local_dot_to_mul(fgraph, node):
+    """dot(a (..,m,1), b (..,1,n)) with a length-1 contracted dim ->
+    broadcast mul: no summation happens, and the elemwise form fuses.
+    Core (unbatched) outer products are kept as Dot (a degenerate
+    dot_general is still one MXU op; mul would materialize the full
+    (m, n) intermediate for any consumer chain)."""
+    from pytensor_tpu.tensor.blockwise import Blockwise
+    from pytensor_tpu.tensor.math import Dot
+
+    op = node.op
+    if isinstance(op, Blockwise):
+        if not isinstance(op.core_op, Dot) \
+                or op.signature != "(m,k),(k,n)->(m,n)":
+            return False
+        batched = True
+    elif isinstance(op, Dot):
+        batched = False
+    else:
+        return False
+    a, b = node.inputs
+    if a.type.ndim < 2 or b.type.ndim < 2:
+        return False
+    a_shape = a.type.shape
+    b_shape = b.type.shape
+    if not (a_shape[-1] == 1 or b_shape[-2] == 1):
+        return False
+    if not batched and not (a_shape[-2] == 1 or b_shape[-1] == 1):
+        # unbatched outer product: keep as Dot (see docstring)
+        return False
+    from pytensor_tpu.tensor.shape import specify_shape
+
+    if a_shape[-1] != 1:
+        a = specify_shape(a, (None,) * (a.type.ndim - 1) + (1,))
+    if b_shape[-2] != 1:
+        b = specify_shape(b, (None,) * (b.type.ndim - 2) + (1, None))
+    out = node.outputs[0]
+    res = tm.mul(a, b)
+    if res.type.dtype != out.type.dtype or not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_dot_to_mul, name="local_dot_to_mul")
+register_specialize(local_dot_to_mul, name="local_dot_to_mul")
+
+
+@node_rewriter([CAReduce])
+def local_sumsqr2dot(fgraph, node):
+    """sqr(W.dimshuffle('x',0,1) * G.dimshuffle(0,'x',1)).sum(axis=(1,2))
+    -> dot(sqr(G), sqr(W).sum(axis=0)): the (n, r, c) broadcast product
+    never materializes (reference local_sumsqr2dot)."""
+    if node.op.scalar_op.name != "add" or node.op.axis != (1, 2):
+        return False
+    sq = node.inputs[0]
+    if sq.owner is None or not _is_ew(sq.owner, "sqr"):
+        return False
+    m = sq.owner.inputs[0]
+    if m.owner is None or not _is_ew(m.owner, "mul") \
+            or len(m.owner.inputs) != 2:
+        return False
+    W = G = None
+    for v in m.owner.inputs:
+        if v.owner is not None and isinstance(v.owner.op, DimShuffle):
+            order = v.owner.op.new_order
+            if order == ("x", 0, 1):
+                W = v.owner.inputs[0]
+            elif order == (0, "x", 1):
+                G = v.owner.inputs[0]
+    if W is None or G is None:
+        return False
+    from pytensor_tpu.tensor.math import _dot
+
+    res = _dot(tm.sqr(G), tm.sqr(W).sum(axis=0))
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = cast(res, out.type.dtype)
+    if not out.type.is_super(res.type):
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_sumsqr2dot, name="local_sumsqr2dot")

@@ -335,6 +335,17 @@ class AdvancedSubtensor1(Op):
             raise TypeError("AdvancedSubtensor1 index must be a vector")
         if not ilist.type.dtype.startswith(("int", "uint")):
             raise TypeError("index must be integer typed")
+        from pytensor_tpu.graph.basic import Constant as _Const
+
+        dim = x.type.shape[0]
+        if dim is not None and isinstance(ilist, _Const):
+            # a CONSTANT index against a static dim is checkable at graph
+            # build (XLA clamps at runtime; numpy raises — catch it here)
+            iv = np.asarray(ilist.data)
+            if iv.size and (iv.min() < -dim or iv.max() >= dim):
+                raise IndexError(
+                    f"index {int(iv.min()) if iv.min() < -dim else int(iv.max())} "
+                    f"out of bounds for axis 0 with size {dim}")
         out_shape = (ilist.type.shape[0], *x.type.shape[1:])
         return Apply(self, [x, ilist], [TensorType(x.type.dtype, out_shape)()])
 

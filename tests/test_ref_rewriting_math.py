@@ -470,3 +470,112 @@ class TestReduceJoin:
         vb = RNG.standard_normal((2, 3))
         np.testing.assert_allclose(
             np.asarray(f(va, vb)), np.stack([va, vb]).sum(axis=2))
+
+
+class TestBatchedMatmulToCore:
+    """Reference test_local_batched_matmul_to_core_matmul."""
+
+    def _blockwise_ops(self, f):
+        from pytensor_tpu.tensor.blockwise import Blockwise
+
+        return [n for n in f.fgraph.toposort()
+                if isinstance(n.op, Blockwise)]
+
+    def test_x_batched(self):
+        rng = np.random.default_rng(4433)
+        x = pt.tensor("x", shape=(None, 3, 2), dtype="float64")
+        y = pt.tensor("y", shape=(2, 2), dtype="float64")
+        f = ptt.function([x, y], x @ y)
+        assert not self._blockwise_ops(f)
+        xv = rng.normal(size=(5, 3, 2))
+        yv = rng.normal(size=(2, 2))
+        np.testing.assert_allclose(np.asarray(f(xv, yv)), xv @ yv)
+
+    def test_y_batched(self):
+        rng = np.random.default_rng(4434)
+        x = pt.tensor("x", shape=(1, 3, 2), dtype="float64")
+        y = pt.tensor("y", shape=(5, 2, 2), dtype="float64")
+        f = ptt.function([x, y], x @ y)
+        assert not self._blockwise_ops(f)
+        xv = rng.normal(size=(1, 3, 2))
+        yv = rng.normal(size=(5, 2, 2))
+        np.testing.assert_allclose(np.asarray(f(xv, yv)), xv @ yv)
+
+    def test_both_batched_not_rewritten_but_correct(self):
+        rng = np.random.default_rng(4435)
+        x = pt.tensor("x", shape=(None, 3, 2), dtype="float64")
+        y = pt.tensor("y", shape=(5, 2, 2), dtype="float64")
+        f = ptt.function([x, y], x @ y)
+        xv = rng.normal(size=(5, 3, 2))
+        yv = rng.normal(size=(5, 2, 2))
+        np.testing.assert_allclose(np.asarray(f(xv, yv)), xv @ yv)
+
+
+class TestDotToMul:
+    def _dot_count(self, f):
+        from pytensor_tpu.tensor.blockwise import Blockwise
+        from pytensor_tpu.tensor.math import Dot
+
+        return sum(isinstance(n.op, (Dot, Blockwise))
+                   for n in f.fgraph.toposort())
+
+    @pytest.mark.parametrize(
+        "a_shape,b_shape,expect_rewrite",
+        [
+            ((1, 1), (1, 3), True),
+            ((3, 1), (1, 1), True),
+            ((1, 1), (1, 1), True),
+            ((3, 1), (1, 3), False),  # core outer: kept for the MXU
+        ],
+    )
+    def test_core(self, a_shape, b_shape, expect_rewrite):
+        a = pt.tensor("a", shape=a_shape, dtype="float64")
+        b = pt.tensor("b", shape=b_shape, dtype="float64")
+        f = ptt.function([a, b], a @ b)
+        assert (self._dot_count(f) == 0) == expect_rewrite
+        rng = np.random.default_rng(1)
+        av = rng.normal(size=a_shape)
+        bv = rng.normal(size=b_shape)
+        np.testing.assert_allclose(np.asarray(f(av, bv)), av @ bv,
+                                   rtol=1e-12)
+
+    def test_batched_outer_rewritten(self):
+        a = pt.tensor("a", shape=(4, 3, 1), dtype="float64")
+        b = pt.tensor("b", shape=(4, 1, 3), dtype="float64")
+        f = ptt.function([a, b], a @ b)
+        assert self._dot_count(f) == 0
+        rng = np.random.default_rng(2)
+        av = rng.normal(size=(4, 3, 1))
+        bv = rng.normal(size=(4, 1, 3))
+        np.testing.assert_allclose(np.asarray(f(av, bv)), av @ bv,
+                                   rtol=1e-12)
+
+    def test_unspecified_length_1(self):
+        """Reference test_local_dot_to_mul_unspecified_length_1: the
+        unknown dim is pinned with specify_shape, not silently assumed."""
+        x = pt.matrix("x", shape=(5, 1), dtype="float64")
+        y = pt.matrix("y", shape=(None, 1), dtype="float64")
+        f = ptt.function([x, y], x @ y)
+        assert self._dot_count(f) == 0
+        np.testing.assert_allclose(
+            np.asarray(f(np.ones((5, 1)), np.ones((1, 1)) * 5)),
+            np.ones((5, 1)) * 5)
+
+
+class TestSumsqr2Dot:
+    def test_basic(self):
+        from pytensor_tpu.tensor.math import Dot
+
+        W = pt.dmatrix("W")
+        G = pt.dmatrix("G")
+        y = pt.sqr(W.dimshuffle("x", 0, 1) * G.dimshuffle(0, "x", 1)) \
+            .sum(axis=(1, 2))
+        f = ptt.function([W, G], y)
+        assert any(isinstance(n.op, Dot) for n in f.fgraph.toposort())
+        rng = np.random.default_rng(3)
+        w_val = rng.random((4, 3))
+        g_val = rng.random((5, 3))
+        np.testing.assert_allclose(
+            np.asarray(f(w_val, g_val)),
+            np.dot(np.square(g_val), np.square(w_val).sum(axis=0)),
+            rtol=1e-10)
