@@ -159,86 +159,129 @@ def scan(
             )
         )
 
-    # --- build inner input variables, call fn, parse; retried when the
-    # inner output dtype upcasts past the initial's dtype (reference
-    # scan/op.py copy_var_format: the STATE adopts the output dtype, the
-    # initial is upcast into it; a downcast stays an error)
+    # --- build inner input variables, call fn ONCE, parse; when an inner
+    # output dtype upcasts past the initial's dtype, the traced graph is
+    # CLONED with widened tap variables instead of re-invoking fn (which
+    # may have side effects: RandomStream shared creation, python
+    # counters — reference scan/op.py reconciles via copy_var_format)
     state_dtype_override: dict[int, str] = {}
     from pytensor_tpu.scalar.basic import upcast as _upcast
 
-    for _attempt in range(4):
-        inner_seqs = []
-        for s in seq_vars:
-            styp = TensorType(s.type.dtype, s.type.shape[1:])
-            inner_seqs.append(styp(f"{s.name or 'seq'}[t]"))
-        inner_taps = []
-        recurrent_idx = []
-        rec_pos = 0
+    def _build_taps():
+        taps_groups = []
+        rec = 0
         for idx, st in enumerate(states):
             if st is None:
                 continue
-            recurrent_idx.append(idx)
             init, taps = st
-            dt = state_dtype_override.get(rec_pos, init.type.dtype)
+            dt = state_dtype_override.get(rec, init.type.dtype)
             m = -min(taps)
             if m == 1 and len(taps) == 1:
                 core_type = TensorType(dt, init.type.shape)
             else:
                 core_type = TensorType(dt, init.type.shape[1:])
-            inner_taps.append([core_type(f"state{idx}[t{tap}]") for tap in taps])
-            rec_pos += 1
+            taps_groups.append(
+                [core_type(f"state{idx}[t{tap}]") for tap in taps])
+            rec += 1
+        return taps_groups
 
-        inner_non_seqs = [w.type(f"{w.name or 'w'}") for w in non_seq_vars]
+    for _attempt in range(4):
+        if _attempt == 0:
+            inner_seqs = []
+            for s in seq_vars:
+                styp = TensorType(s.type.dtype, s.type.shape[1:])
+                inner_seqs.append(styp(f"{s.name or 'seq'}[t]"))
+            inner_taps = _build_taps()
+            recurrent_idx = [i for i, st in enumerate(states)
+                             if st is not None]
+            inner_non_seqs = [w.type(f"{w.name or 'w'}")
+                              for w in non_seq_vars]
 
-        # --- call the user fn
-        args = list(inner_seqs)
-        for group in inner_taps:
-            args.extend(group)
-        args.extend(inner_non_seqs)
-        raw = fn(*args)
-
-        condition = None
-        explicit_updates = OrderedUpdates()
-
-        def _collect_updates(u):
-            pairs = u.items() if isinstance(u, (dict, OrderedUpdates)) else u
-            for k, v in pairs:
-                # only coerce values whose TARGET is tensor-typed; RNG (and
-                # other non-tensor) updates keep the original Variable
-                if isinstance(getattr(k, "type", None), TensorType):
-                    explicit_updates[k] = as_tensor_variable(v)
-                elif isinstance(v, Variable):
-                    explicit_updates[k] = v
-                else:
-                    raise TypeError(
-                        f"scan update for {k} must be a symbolic Variable "
-                        f"of type {getattr(k, 'type', None)}, got {v!r}")
-
-        if isinstance(raw, (dict, OrderedUpdates)) or (
-            _is_updates(raw) and not isinstance(raw, tuple)
-        ):
-            # fn returned only an updates mapping
-            outputs_raw = []
-            _collect_updates(raw)
-        elif isinstance(raw, tuple) and len(raw) in (2, 3) and (
-            isinstance(raw[-1], until) or _is_updates(raw[-1]) or (len(raw) == 3)
-        ) and not all(isinstance(r, Variable) for r in raw):
-            # forms: (outputs, updates), (outputs, until), (outputs, updates, until)
-            outputs_raw = raw[0]
-            for extra in raw[1:]:
-                if isinstance(extra, until):
-                    condition = extra.condition
-                elif _is_updates(extra) or isinstance(extra, (dict, OrderedUpdates)):
-                    _collect_updates(extra)
-                else:
-                    raise TypeError(f"unexpected scan fn return component {extra}")
-        elif isinstance(raw, until):
-            outputs_raw = []
-            condition = raw.condition
+            # --- call the user fn (exactly once)
+            args = list(inner_seqs)
+            for group in inner_taps:
+                args.extend(group)
+            args.extend(inner_non_seqs)
+            raw = fn(*args)
         else:
-            outputs_raw = raw
-        inner_outputs_user = _listify(outputs_raw)
-        inner_outputs_user = [as_tensor_variable(o) for o in inner_outputs_user]
+            # dtype reconciliation pass: swap widened tap variables into
+            # the already-traced graph (clone_with_new_inputs re-infers
+            # every downstream type)
+            from pytensor_tpu.graph.replace import graph_replace
+
+            new_taps = _build_taps()
+            mapping = [
+                (old, new)
+                for og, ng in zip(inner_taps, new_taps)
+                for old, new in zip(og, ng)
+                if old.type != new.type
+            ]
+            exprs = list(inner_outputs_user)
+            n_user = len(exprs)
+            upd_keys = list(explicit_updates)
+            exprs += [explicit_updates[k] for k in upd_keys]
+            if condition is not None:
+                exprs.append(condition)
+            repl = graph_replace(exprs, mapping, strict=False) \
+                if mapping else exprs
+            inner_outputs_user = list(repl[:n_user])
+            for k, v in zip(upd_keys, repl[n_user:n_user + len(upd_keys)]):
+                explicit_updates[k] = v
+            if condition is not None:
+                condition = repl[-1]
+            inner_taps = new_taps
+
+        if _attempt == 0:
+            condition = None
+            explicit_updates = OrderedUpdates()
+
+            def _collect_updates(u):
+                pairs = u.items() \
+                    if isinstance(u, (dict, OrderedUpdates)) else u
+                for k, v in pairs:
+                    # only coerce values whose TARGET is tensor-typed; RNG
+                    # (and other non-tensor) updates keep the original
+                    # Variable
+                    if isinstance(getattr(k, "type", None), TensorType):
+                        explicit_updates[k] = as_tensor_variable(v)
+                    elif isinstance(v, Variable):
+                        explicit_updates[k] = v
+                    else:
+                        raise TypeError(
+                            f"scan update for {k} must be a symbolic "
+                            f"Variable of type {getattr(k, 'type', None)}, "
+                            f"got {v!r}")
+
+            if isinstance(raw, (dict, OrderedUpdates)) or (
+                _is_updates(raw) and not isinstance(raw, tuple)
+            ):
+                # fn returned only an updates mapping
+                outputs_raw = []
+                _collect_updates(raw)
+            elif isinstance(raw, tuple) and len(raw) in (2, 3) and (
+                isinstance(raw[-1], until) or _is_updates(raw[-1])
+                or (len(raw) == 3)
+            ) and not all(isinstance(r, Variable) for r in raw):
+                # forms: (outputs, updates), (outputs, until),
+                # (outputs, updates, until)
+                outputs_raw = raw[0]
+                for extra in raw[1:]:
+                    if isinstance(extra, until):
+                        condition = extra.condition
+                    elif _is_updates(extra) or isinstance(
+                            extra, (dict, OrderedUpdates)):
+                        _collect_updates(extra)
+                    else:
+                        raise TypeError(
+                            f"unexpected scan fn return component {extra}")
+            elif isinstance(raw, until):
+                outputs_raw = []
+                condition = raw.condition
+            else:
+                outputs_raw = raw
+            inner_outputs_user = _listify(outputs_raw)
+            inner_outputs_user = [
+                as_tensor_variable(o) for o in inner_outputs_user]
 
         n_outs = len(inner_outputs_user)
         if outputs_info and len(states) != n_outs:
