@@ -621,7 +621,7 @@ def compile_latency_report():
             try:
                 r = subprocess.run(
                     [sys.executable, "-c", _COMPILE_SNIPPET], env=env,
-                    capture_output=True, text=True, timeout=900)
+                    capture_output=True, text=True, timeout=600)
                 line = [ln for ln in r.stdout.splitlines()
                         if ln.startswith("RESULT")][-1]
                 vals = [float(x) for x in line.split()[1:]]
@@ -639,8 +639,10 @@ def compile_latency_report():
                     out[f"{label}_first_call_no_aot_s"] = round(
                         trace + comp + execf, 3)
             except Exception as e:
+                # an intermittent axon cold-dispatch stall in one
+                # subprocess must not lose the other three measurements
                 out[f"{label}_error"] = repr(e)[:200]
-                return out
+                continue
         # headline: the warm-process first call (what a user actually
         # waits for after the cache is populated)
         out["warm_first_call_s"] = out.get("aot_warm_first_call_s")
