@@ -45,6 +45,9 @@ FACTS = (
     "orthogonal",
     "permutation",
     "zero",
+    # index vocabulary: the entries name distinct positions (reference
+    # unique_indices assumption; gates inc<->set scatter rewrites)
+    "unique_indices",
 )
 
 # fact -> facts that imply it (a DAG; checked when direct inference is

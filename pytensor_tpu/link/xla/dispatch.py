@@ -625,7 +625,14 @@ def register_all():
                 idx.append(None)
             else:
                 _, a, b, c = e
-                idx.append(slice(a, b, c))
+                a2 = next(it) if a == DYN else a
+                b2 = next(it) if b == DYN else b
+                c2 = next(it) if c == DYN else c
+                idx.append(slice(
+                    None if a2 is None else int(_concrete(a2, "slice bound")),
+                    None if b2 is None else int(_concrete(b2, "slice bound")),
+                    None if c2 is None else int(_concrete(c2, "slice bound")),
+                ))
         return tuple(idx)
 
     @xla_funcify.register(AdvancedSubtensor)

@@ -162,6 +162,25 @@ def _shape_port_indices(op) -> tuple[int, ...] | None:
                         ports.append(pos)
                         pos += 1
         return tuple(ports)
+    from pytensor_tpu.tensor.subtensor import (
+        AdvancedIncSubtensor,
+        AdvancedSubtensor,
+    )
+
+    if isinstance(op, (AdvancedSubtensor, AdvancedIncSubtensor)):
+        # same rule for slice bounds mixed with advanced indices; the
+        # advanced ARRAYS themselves stay traced (gather/scatter lowering)
+        pos = 1 if isinstance(op, AdvancedSubtensor) else 2
+        ports = []
+        for e in op.idx_list:
+            if e == DYN:
+                pos += 1
+            elif isinstance(e, tuple) and e and e[0] == "slice":
+                for comp in e[1:]:
+                    if comp == DYN:
+                        ports.append(pos)
+                        pos += 1
+        return tuple(ports)
     return None
 
 

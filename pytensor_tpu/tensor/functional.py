@@ -232,11 +232,29 @@ def stacklists(arg):
 
 
 def tril_indices(n, k=0, m=None):
+    """Constant sizes fold to numpy; symbolic sizes build
+    ``Nonzero(tri-mask)``, whose coordinate outputs are distinct by
+    construction (reference tril_indices: symbolic path via Nonzero)."""
+    from pytensor_tpu.graph.basic import Variable
+    from pytensor_tpu.tensor.basic import nonzero, tri
+
+    if isinstance(n, Variable) or isinstance(m, Variable) \
+            or isinstance(k, Variable):
+        return nonzero(tri(n, m, k, dtype="bool"))
     r, c = np.tril_indices(n, k, m)
     return as_tensor_variable(r), as_tensor_variable(c)
 
 
 def triu_indices(n, k=0, m=None):
+    from pytensor_tpu.graph.basic import Variable
+    from pytensor_tpu.tensor.basic import nonzero, tri
+
+    if isinstance(n, Variable) or isinstance(m, Variable) \
+            or isinstance(k, Variable):
+        # upper triangle with diagonal offset k == NOT lower strictly
+        # below it: ~tri(n, m, k - 1)
+        mask = ~tri(n, m, k - 1, dtype="bool")
+        return nonzero(mask)
     r, c = np.triu_indices(n, k, m)
     return as_tensor_variable(r), as_tensor_variable(c)
 

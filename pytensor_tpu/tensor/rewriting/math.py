@@ -626,9 +626,15 @@ def local_0_dot_x(fgraph, node):
     x, y = node.inputs
     if _unique_value(x) == 0 or _unique_value(y) == 0:
         out = node.outputs[0]
-        shp = [shape(x)[0], shape(y)[1]][: out.type.ndim] if out.type.ndim else []
-        if out.type.ndim == 1:
+        # output dims: x's leading dim when x is a matrix, then y's
+        # trailing dim when y is a matrix (never index shape(v)[1] of a
+        # vector -- static-shape indexing raises at graph build)
+        if out.type.ndim == 0:
+            shp = []
+        elif out.type.ndim == 1:
             shp = [shape(x)[0]] if x.type.ndim == 2 else [shape(y)[1]]
+        else:
+            shp = [shape(x)[0], shape(y)[1]]
         res = zeros(shp, dtype=out.type.dtype) if shp else \
             cast(as_tensor_variable(0.0), out.type.dtype)
         if res.type.ndim == out.type.ndim and any(d is not None

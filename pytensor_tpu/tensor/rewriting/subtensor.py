@@ -316,7 +316,16 @@ def local_subtensor_merge(fgraph, node):
             continue
         n_static = x.type.shape[pos_inner]
         m = None
-        if n_static is not None and isinstance(e2, (slice, int, np.integer)):
+        if e1 == slice(None, None, -1) and not isinstance(e2, slice):
+            # x[::-1][i] == x[-1 - i] for every in-bounds i of either
+            # sign, and out-of-bounds i maps out of bounds (reference
+            # TestLocalSubtensorMerge::test_const2/test_scalar2)
+            if isinstance(e2, (int, np.integer)):
+                m = int(-1 - e2)
+            else:
+                m = -1 - e2
+        if m is None and n_static is not None \
+                and isinstance(e2, (slice, int, np.integer)):
             m = _merge_static_range(e1, e2, n_static)
         if m is None and isinstance(e2, slice):
             m = _merge_slices_shape_free(e1, e2)
@@ -709,21 +718,53 @@ register_canonicalize(local_subtensor_of_makevector,
                       name="local_subtensor_of_makevector")
 
 
+def _full_reversed_slice(e):
+    """('slice', None, None, -1): the whole axis, reversed."""
+    return (isinstance(e, tuple) and e and e[0] == "slice"
+            and e[1] is None and e[2] is None and e[3] == -1)
+
+
 @node_rewriter([IncSubtensor])
 def local_useless_inc_subtensor(fgraph, node):
-    """set_subtensor(x[full slices], y) -> y when the types line up."""
-    if not node.op.set_instead_of_inc:
-        return False
-    shape = node.inputs[0].type.shape
-    if not all(_full_slice(e, shape[i] if i < len(shape) else None)
-               for i, e in enumerate(node.op.idx_list)):
-        return False
-    y = node.inputs[1]
+    """Writes covering every position of the buffer drop the scatter
+    (reference test_local_useless_inc_subtensor): each index entry is a
+    full or fully-reversed slice, so ``set(x[idx], y) -> y[idx]`` and
+    ``inc(x[idx], y) -> x + y[idx]`` (reversal is self-inverse, so the
+    same idx_list maps y's positions back)."""
+    x, y = node.inputs[0], node.inputs[1]
+    shape = x.type.shape
+    entries = []
+    any_rev = False
+    for i, e in enumerate(node.op.idx_list):
+        dim = shape[i] if i < len(shape) else None
+        if _full_slice(e, dim):
+            entries.append(("slice", None, None, None))
+        elif _full_reversed_slice(e):
+            entries.append(("slice", None, None, -1))
+            any_rev = True
+        else:
+            return False
     out = node.outputs[0]
-    if y.type.dtype == out.type.dtype and out.type.is_super(y.type):
-        copy_stack_trace(out, y)
-        return [y]
-    return False
+    if y.type.ndim != x.type.ndim:
+        return False
+    if any_rev:
+        while entries and _full_slice(entries[-1]):
+            entries.pop()
+        y_view = Subtensor(tuple(entries))(y)
+    else:
+        y_view = y
+    if node.op.set_instead_of_inc:
+        res = y_view
+        if res.type.dtype != out.type.dtype or not out.type.is_super(
+                res.type):
+            return False
+    else:
+        res = x + y_view
+        if res.type.dtype != out.type.dtype or not out.type.is_super(
+                res.type):
+            return False
+    copy_stack_trace(out, res)
+    return [res]
 
 
 register_useless(local_useless_inc_subtensor, name="local_useless_inc_subtensor")
@@ -1013,20 +1054,34 @@ register_specialize(local_subtensor_of_join, name="local_subtensor_of_join")
 
 @node_rewriter([Subtensor])
 def local_subtensor_of_specify_shape(fgraph, node):
-    """x_specified[idx] -> x[idx] (the SpecifyShape information is
-    already baked into the output type; reference
-    subtensor_lift.py:1077)."""
-    from pytensor_tpu.tensor.shape import SpecifyShape
+    """x_specified[idx] -> x[idx] when the output type keeps the static
+    info, else (reference subtensor_lift.py:1077) lift integer-only
+    indexing through and re-specify the trailing dims:
+    ``specify_shape(x, s)[i_1..i_n] -> specify_shape(x[i_1..i_n],
+    s[n:])``.  Slices stay under the SpecifyShape — numpy clips slice
+    bounds, so without the runtime check the sliced length is weaker
+    than the declared type."""
+    from pytensor_tpu.tensor.shape import SpecifyShape, specify_shape
 
     x = node.inputs[0]
     if x.owner is None or not isinstance(x.owner.op, SpecifyShape):
         return False
     inner = x.owner.inputs[0]
     new_out = Subtensor(node.op.idx_list)(inner, *node.inputs[1:])
-    if not node.outputs[0].type.is_super(new_out.type):
+    if node.outputs[0].type.is_super(new_out.type):
+        copy_stack_trace(node.outputs[0], new_out)
+        return [new_out]
+    if any(isinstance(e, tuple) for e in node.op.idx_list):
+        return False  # slice entries: the check still guards their length
+    shape_args = x.owner.inputs[1:]
+    if new_out.type.ndim == 0:
+        copy_stack_trace(node.outputs[0], new_out)
+        return [new_out]
+    res = specify_shape(new_out, shape_args[len(node.op.idx_list):])
+    if not node.outputs[0].type.is_super(res.type):
         return False
-    copy_stack_trace(node.outputs[0], new_out)
-    return [new_out]
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
 
 
 register_specialize(local_subtensor_of_specify_shape,
@@ -1325,42 +1380,151 @@ def _underlying_const(v):
     return get_underlying_scalar_constant_value(v, raise_not_constant=False)
 
 
+def _mixed_sign(data):
+    """Positive and negative entries together may alias (0 and -dim name
+    the same position), so value-distinctness stops proving
+    position-distinctness (reference rewriting/subtensor.py:294)."""
+    return bool((data >= 0).any() and (data < 0).any())
+
+
+def _arange_provably_unique(start, stop, step, shift=0):
+    """Whether ``arange(start, stop, step) + shift`` provably names each
+    position at most once: its entries are distinct VALUES by
+    construction, so the only aliasing channel is sign wraparound
+    (reference ``_arange_provably_unique``)."""
+    from pytensor_tpu.assumptions import FactState, holds
+    from pytensor_tpu.graph.basic import Constant
+
+    def const(v):
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, Constant) and np.ndim(v.data) == 0:
+            return int(v.data)
+        return None
+
+    cstart, cstop, cstep = const(start), const(stop), const(step)
+    if cstart is not None and cstop is not None and cstep is not None:
+        vals = np.arange(cstart, cstop, cstep) + shift
+        return vals.size == 0 or not _mixed_sign(vals)
+
+    def non_neg(v):
+        c = const(v)
+        if c is not None:
+            return c >= 0
+        if getattr(v.type, "dtype", "").startswith("uint"):
+            return True
+        return holds(v, "non_negative") == FactState.TRUE
+
+    if cstep is None:
+        return False
+    if cstep > 0:
+        # ascending: entries >= start + shift
+        c = const(start)
+        if c is not None:
+            return c + shift >= 0
+        return shift >= 0 and non_neg(start)
+    # descending: entries > stop + shift (first entry is start + shift)
+    c = const(stop)
+    if c is not None:
+        return c + shift >= -1
+    if shift >= -1 and non_neg(stop):
+        return True
+    # or all-negative: entries <= start + shift < 0
+    c = const(start)
+    return c is not None and c + shift < 0
+
+
+def _index_provably_unique(idx):
+    """Whether a single advanced index selects each position on its axis
+    at most once (reference rewriting/subtensor.py:243): constants with
+    single-signed duplicate-free values, boolean masks (each position
+    tested once), ``arange`` forms that provably don't wrap around zero
+    (possibly shifted by a constant), axis-preserving views of such, and
+    indices the user declared ``unique_indices`` via ``assume``."""
+    from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import ARange
+    from pytensor_tpu.tensor.elemwise import DimShuffle, Elemwise
+
+    if getattr(idx.type, "ndim", 0) == 0:
+        return True
+    if idx.type.dtype == "bool":
+        return True
+    if isinstance(idx, Constant):
+        data = np.asarray(idx.data)
+        if _mixed_sign(data):
+            return False
+        return len(np.unique(data)) == data.size
+    if "unique_indices" in getattr(idx.tag, "assumptions", ()):
+        return True
+    owner = idx.owner
+    if owner is None:
+        return False
+    # constant shift of an arange: arange(...) +/- c
+    if isinstance(owner.op, Elemwise) and \
+            getattr(owner.op.scalar_op, "name", "") in ("add", "sub") and \
+            len(owner.inputs) == 2:
+        name = owner.op.scalar_op.name
+        for a, b in (owner.inputs, owner.inputs[::-1]):
+            if a.owner is not None and isinstance(a.owner.op, ARange):
+                cshift = _underlying_const(b)
+                if cshift is None or not float(cshift).is_integer():
+                    continue
+                cshift = int(cshift)
+                if name == "sub":
+                    if b is owner.inputs[1]:
+                        cshift = -cshift
+                    else:
+                        continue  # c - arange reverses sign: skip
+                return _arange_provably_unique(*a.owner.inputs, shift=cshift)
+        return False
+    if isinstance(owner.op, ARange):
+        return _arange_provably_unique(*owner.inputs)
+    if isinstance(owner.op, DimShuffle):
+        # DimShuffle reorders, inserts size-1 dims, or drops size-1 dims:
+        # all keep the value multiset
+        return _index_provably_unique(owner.inputs[0])
+    return False
+
+
 def _indices_jointly_unique(node_or_ilist):
     """True when a write op's index coordinates are provably duplicate-free.
 
     Basic IncSubtensor indices (ints/slices) are always unique.  Advanced
-    integer-array indices must be CONSTANT and have duplicate-free joint
-    coordinate tuples (checked by materializing the broadcast of the index
-    arrays)."""
+    integer-array indices are unique when every index is duplicate-free on
+    its own axis (then the broadcast joint tuples are distinct), when they
+    are all the coordinate outputs of one ``Nonzero`` (distinct by
+    construction, e.g. symbolic ``tril_indices``), or when they are all
+    constants whose stacked coordinate tuples have no duplicates
+    (reference rewriting/subtensor.py:303).  Symbolic slice bounds among
+    ``inputs[2:]`` are 0-d and basic — never mistaken for advanced
+    indices."""
     from pytensor_tpu.graph.basic import Constant
+    from pytensor_tpu.tensor.basic import Nonzero
 
     node = node_or_ilist
     if isinstance(node.op, IncSubtensor):
         return True
-    if isinstance(node.op, AdvancedIncSubtensor1):
-        ilist = node.inputs[2]
-        if not isinstance(ilist, Constant):
-            return False
-        vals = np.asarray(ilist.data)
-        return len(np.unique(vals)) == vals.size
-    # AdvancedIncSubtensor: every tensor index must be a constant int
-    # array; slices are unique per-axis
-    arrays = []
-    for i in node.inputs[2:]:
-        if not isinstance(i, Constant):
-            return False
-        data = np.asarray(i.data)
-        if data.dtype == np.bool_:
-            return True if len(node.inputs) == 3 else False  # sole mask
-        arrays.append(data)
-    if not arrays:
+    adv = [i for i in node.inputs[2:] if getattr(i.type, "ndim", 0) > 0]
+    if all(_index_provably_unique(i) for i in adv):
         return True
-    try:
-        coords = np.broadcast_arrays(*arrays)
-    except ValueError:
-        return False
-    flat = np.stack([c.reshape(-1) for c in coords], axis=-1)
-    return len(np.unique(flat, axis=0)) == flat.shape[0]
+    if len(adv) > 1:
+        owners = {i.owner for i in adv}
+        if len(owners) == 1:
+            owner = next(iter(owners))
+            if owner is not None and isinstance(owner.op, Nonzero) and \
+                    set(adv) == set(owner.outputs):
+                return True
+        if all(isinstance(i, Constant) for i in adv):
+            datas = [np.asarray(i.data) for i in adv]
+            if any(_mixed_sign(d) for d in datas):
+                return False
+            try:
+                coords = np.broadcast_arrays(*datas)
+            except ValueError:
+                return False
+            flat = np.stack([c.reshape(-1) for c in coords], axis=-1)
+            return len(np.unique(flat, axis=0)) == flat.shape[0]
+    return False
 
 
 def _matching_read_of(node, write_types):
@@ -1491,6 +1655,71 @@ register_canonicalize(local_incsubtensor_of_zeros_to_setsubtensor,
                       name="local_incsubtensor_of_zeros_to_setsubtensor")
 
 
+from pytensor_tpu.tensor.elemwise import Elemwise as _Elemwise
+
+
+@node_rewriter([_Elemwise])
+def local_add_of_sparse_write(fgraph, node):
+    """``x + set/inc(zeros, v, idx) -> x[idx].inc(v)`` (reference
+    rewriting/subtensor.py local_add_of_sparse_write): the dense zeros
+    buffer + full-size add collapses into one scatter-add on ``x``.  On
+    TPU this is the gradient-accumulation pattern (sums of scatters into
+    zeros); serializing it lets XLA update one HBM buffer in place
+    instead of materializing k full-size temporaries.
+
+    inc-into-zeros folds unconditionally (inc applies the same
+    per-position delta whether the base is zeros-then-added or ``x``
+    itself, so duplicate indices accumulate identically).  set-into-zeros
+    needs provably duplicate-free indices: a dense set is last-wins,
+    while the folded inc would accumulate at repeated positions."""
+    if getattr(node.op.scalar_op, "name", "") != "add":
+        return False
+    out = node.outputs[0]
+    for k, w in enumerate(node.inputs):
+        wnode = w.owner
+        if wnode is None or not isinstance(
+                wnode.op,
+                (IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1)):
+            continue
+        if len(fgraph.clients.get(w, ())) != 1:
+            continue
+        from pytensor_tpu.assumptions import FactState, holds_in
+
+        if holds_in(fgraph, wnode.inputs[0], "zero") != FactState.TRUE:
+            continue
+        if wnode.op.set_instead_of_inc and \
+                not _indices_jointly_unique(wnode):
+            continue
+        from pytensor_tpu.tensor.math import add as _add
+
+        others = [i for j, i in enumerate(node.inputs) if j != k]
+        x = others[0] if len(others) == 1 else _add(*others)
+        if x.type.ndim != w.type.ndim:
+            continue
+        if isinstance(wnode.op, AdvancedIncSubtensor1):
+            new_op = AdvancedIncSubtensor1(
+                set_instead_of_inc=False,
+                ignore_duplicates=wnode.op.ignore_duplicates)
+        elif isinstance(wnode.op, AdvancedIncSubtensor):
+            new_op = AdvancedIncSubtensor(wnode.op.idx_list,
+                                          set_instead_of_inc=False)
+        else:
+            new_op = IncSubtensor(wnode.op.idx_list, set_instead_of_inc=False)
+        try:
+            res = new_op(x, *wnode.inputs[1:])
+        except (TypeError, ValueError):
+            continue
+        if not out.type.is_super(res.type):
+            continue
+        copy_stack_trace(out, res)
+        return [res]
+    return False
+
+
+register_specialize(local_add_of_sparse_write,
+                    name="local_add_of_sparse_write")
+
+
 @node_rewriter([IncSubtensor, AdvancedIncSubtensor, AdvancedIncSubtensor1])
 def local_setsubtensor_of_constants(fgraph, node):
     """set_subtensor(fill(c)[idx], fill(c)) -> the operand unchanged
@@ -1523,8 +1752,6 @@ def local_read_of_write_same_indices(fgraph, node):
     wnode = _matching_read_of(node, write_types)
     if wnode is None:
         return False
-    if not _indices_jointly_unique(wnode):
-        return False
     x, v = wnode.inputs[0], wnode.inputs[1]
     out = node.outputs[0]
 
@@ -1534,22 +1761,36 @@ def local_read_of_write_same_indices(fgraph, node):
         return type(node.op)(node.op.idx_list)(x, *node.inputs[1:])
 
     if wnode.op.set_instead_of_inc:
+        # the set path needs no uniqueness: duplicate writes are
+        # last-wins, and the read returns the surviving values -- the
+        # reference fires this unconditionally under shape_unsafe
+        # (reference :2020)
+        from pytensor_tpu.tensor.basic import cast as _cast
+
         res = v
+        if res.type.dtype != out.type.dtype:
+            res = _cast(res, out.type.dtype)
+        if res.type.ndim != out.type.ndim or any(
+                res.type.shape[d] == 1 and out.type.shape[d] != 1
+                for d in range(out.type.ndim)):
+            # v is a broadcast-smaller update (fewer dims, or size-1 dims
+            # the region may exceed): fill it to the read's shape
+            # (elemwise; no reference back to the replaced out)
+            from pytensor_tpu.tensor.math import second
+
+            res = second(read_of_x(), res)
+        elif not out.type.is_super(res.type):
+            # same shape, weaker statics: recover them without a read
+            from pytensor_tpu.tensor.shape import specify_shape
+
+            res = specify_shape(res, out.type.shape)
         if not out.type.is_super(res.type):
-            if v.type.ndim == out.type.ndim:
-                # same rank, weaker statics: recover them without a read
-                from pytensor_tpu.tensor.shape import specify_shape
-
-                res = specify_shape(v, out.type.shape)
-            if not out.type.is_super(res.type):
-                # v is a broadcast-smaller update: fill it to the read's
-                # shape (elemwise; no reference back to the replaced out)
-                from pytensor_tpu.tensor.math import second
-
-                res = second(read_of_x(), v)
-            if not out.type.is_super(res.type):
-                return False
+            return False
     else:
+        # inc reads back base + delta, which is order-independent only
+        # for duplicate-free indices
+        if not _indices_jointly_unique(wnode):
+            return False
         res = read_of_x() + v
         if not out.type.is_super(res.type):
             return False
@@ -1557,9 +1798,9 @@ def local_read_of_write_same_indices(fgraph, node):
     return [res]
 
 
-register_canonicalize(local_read_of_write_same_indices,
+register_canonicalize(local_read_of_write_same_indices, "shape_unsafe",
                       name="local_read_of_write_same_indices")
-register_specialize(local_read_of_write_same_indices,
+register_specialize(local_read_of_write_same_indices, "shape_unsafe",
                     name="local_read_of_write_same_indices")
 
 
@@ -1620,49 +1861,120 @@ register_canonicalize(local_write_of_write_same_indices,
 # lowers to per-row DMA while a slice is a strided window.
 # ---------------------------------------------------------------------------
 
-@node_rewriter([Subtensor])
+def _is_shape_of_dim(var, x, d, fgraph=None):
+    """Whether ``var`` is symbolically ``x.shape[d]`` (the reference's
+    local_useless_slice does the same bound-vs-shape match at :516):
+    either a direct ``Shape_i`` of ``x``, or — through the fgraph's
+    ShapeFeature — structurally equal to x's symbolic dim-d entry (so
+    ``exp(x)[:x.shape[0]]`` still matches after the slice is lifted onto
+    ``exp``'s output)."""
+    from pytensor_tpu.tensor.shape import Shape_i
+
+    owner = getattr(var, "owner", None)
+    if (owner is not None and isinstance(owner.op, Shape_i)
+            and owner.op.i == d and owner.inputs[0] is x):
+        return True
+    if fgraph is None:
+        return False
+    sf = getattr(fgraph, "shape_feature", None)
+    if sf is None:
+        from pytensor_tpu.tensor.rewriting.shape import ShapeFeature
+
+        sf = ShapeFeature()
+        fgraph.attach_feature(sf)
+    entry = sf.get_shape(x, d)
+    if entry is None or isinstance(entry, int):
+        return False
+    return sf._entry_eq(entry, var)
+
+
 def local_useless_slice_parts(fgraph, node):
-    """Canonicalize static slice parts: start=0 -> None, step=1 -> None,
-    stop >= static dim -> None (reference :516).  Exposes merges and the
-    full-slice removals to the other rules."""
+    """Canonicalize slice parts: start=0 -> None, step=1 -> None,
+    stop >= static dim -> None, symbolic stop == x.shape[d] -> None
+    (reference :516).  Exposes merges and the full-slice removals to the
+    other rules."""
     x = node.inputs[0]
     changed = False
     new_idx = []
+    dyn_it = iter(node.inputs[1:])
     d = 0
     for e in node.op.idx_list:
         if isinstance(e, tuple) and e and e[0] == "slice":
             _, a, b, c = e
+            a = next(dyn_it) if a == DYN else a
+            b = next(dyn_it) if b == DYN else b
+            c = next(dyn_it) if c == DYN else c
             fwd = c is None or (isinstance(c, int) and c > 0)
+            bwd = isinstance(c, int) and c < 0
+            dim = x.type.shape[d] if d < x.type.ndim else None
             if a == 0 and fwd:
                 # start=0 is only the default for FORWARD steps; with a
                 # negative step it selects the single element 0
                 a, changed = None, True
             if c == 1:
                 c, changed = None, True
-            dim = x.type.shape[d] if d < x.type.ndim else None
-            if isinstance(b, int) and dim is not None and b >= dim \
-                    and (c is None or (isinstance(c, int) and c > 0)):
+            if isinstance(b, int) and dim is not None and b >= dim and fwd:
                 b, changed = None, True
+            if fwd and b is not None and not isinstance(b, int) \
+                    and _is_shape_of_dim(b, x, d, fgraph):
+                # x[a:x.shape[d]] covers through the end of the axis
+                b, changed = None, True
+            if bwd:
+                # backward defaults: start=-1 (or dim-1), stop=-dim-1
+                if a == -1 or (isinstance(a, int) and dim is not None
+                               and a == dim - 1):
+                    a, changed = None, True
+                if isinstance(b, int) and dim is not None and b == -dim - 1:
+                    b, changed = None, True
             new_idx.append(("slice", a, b, c))
+            d += 1
+        elif e == DYN:
+            new_idx.append(next(dyn_it))
             d += 1
         else:
             new_idx.append(e)
             d += 1
+    while new_idx and _full_slice(new_idx[-1]):
+        # a trailing full slice is a no-op placeholder
+        new_idx.pop()
+        changed = True
     if not changed:
         return False
     out = node.outputs[0]
-    if all(_full_slice(e) for e in new_idx):
+    if not new_idx:
         res = node.inputs[0]
     else:
-        res = Subtensor(new_idx)(*node.inputs)
+        from pytensor_tpu.graph.basic import Variable
+
+        idx_out, dyns = [], []
+        for e in new_idx:
+            if isinstance(e, tuple) and e and e[0] == "slice":
+                parts = []
+                for p in e[1:]:
+                    if isinstance(p, Variable):
+                        dyns.append(p)
+                        parts.append(DYN)
+                    else:
+                        parts.append(p)
+                idx_out.append(("slice", *parts))
+            elif isinstance(e, Variable):
+                dyns.append(e)
+                idx_out.append(DYN)
+            else:
+                idx_out.append(e)
+        res = Subtensor(tuple(idx_out))(x, *dyns)
     if not out.type.is_super(res.type):
         return False
     copy_stack_trace(out, res)
     return [res]
 
 
+local_useless_slice_parts = node_rewriter([Subtensor])(
+    local_useless_slice_parts)
 register_canonicalize(local_useless_slice_parts,
                       name="local_useless_slice_parts")
+register_specialize(local_useless_slice_parts,
+                    name="local_useless_slice_parts")
 
 
 @node_rewriter([Subtensor])
@@ -1743,6 +2055,17 @@ register_specialize(local_subtensor_remove_broadcastable_index,
 def _constant_arange_step1(v):
     """(start, n) when v is a constant 1-d int array equal to
     arange(start, start+n); else None."""
+    m = _constant_arange(v)
+    if m is None or m[2] != 1:
+        return None
+    start, n, _ = m
+    return start, n
+
+
+def _constant_arange(v):
+    """(start, n, step) when v is a constant 1-d non-negative int array
+    equal to arange(start, start + n*step, step) for some step != 0;
+    else None (reference _constant_is_arange:354)."""
     from pytensor_tpu.graph.basic import Constant
 
     if not isinstance(v, Constant):
@@ -1751,11 +2074,17 @@ def _constant_arange_step1(v):
     if data.ndim != 1 or data.size == 0 or data.dtype.kind not in "iu":
         return None
     start = int(data[0])
-    if start < 0:
+    if int(data.min()) < 0:
+        return None  # negative entries wrap; a forward slice can't
+    if data.size == 1:
+        return start, 1, 1
+    step = int(data[1]) - start
+    if step == 0:
         return None
-    if not np.array_equal(data, np.arange(start, start + data.size)):
+    if not np.array_equal(data, np.arange(start, start + data.size * step,
+                                          step)):
         return None
-    return start, int(data.size)
+    return start, int(data.size), step
 
 
 @node_rewriter([AdvancedSubtensor1, AdvancedSubtensor])
@@ -1786,18 +2115,25 @@ def local_adv_idx_to_slice(fgraph, node):
             d += 1
         if len(indices) != 1:
             return False
-    m = _constant_arange_step1(indices[0])
+    m = _constant_arange(indices[0])
     if m is None:
         return False
-    start, n = m
+    start, n, step = m
     axis = positions[0]
     dim = x.type.shape[axis] if axis < x.type.ndim else None
-    if dim is not None and start + n > dim:
-        return False  # the gather would be out of bounds: keep its error
     if dim is None:
         return False  # cannot prove in-bounds -> slice would silently clip
-    idx_list = [("slice", None, None, None)] * axis + \
-        [("slice", start or None, start + n, None)]
+    last = start + (n - 1) * step
+    if max(start, last) >= dim:
+        return False  # the gather would be out of bounds: keep its error
+    if step > 0:
+        sl = ("slice", start or None, last + 1, step if step != 1 else None)
+    else:
+        # descending: a non-negative stop would cut short; a would-be
+        # negative stop must be None so the slice doesn't wrap
+        stop = last + step
+        sl = ("slice", start, stop if stop >= 0 else None, step)
+    idx_list = [("slice", None, None, None)] * axis + [sl]
     res = Subtensor(idx_list)(x)
     out = node.outputs[0]
     if not out.type.is_super(res.type):
@@ -2047,7 +2383,7 @@ def _const_1d_int_index(v):
     return data.astype(np.int64)
 
 
-@node_rewriter([AdvancedSubtensor1])
+@node_rewriter([AdvancedSubtensor1, Subtensor])
 def local_advanced_read_of_write_constant_indices(fgraph, node):
     """x[w_idx].set/inc(v)[r_idx] with CONSTANT index vectors -> a
     host-computed lookup (reference rewriting/subtensor.py:2127,
@@ -2056,7 +2392,9 @@ def local_advanced_read_of_write_constant_indices(fgraph, node):
     set: full coverage -> v[lookup]; none -> x[r_idx]; partial -> mix.
     inc: requires duplicate-free writes; full -> x[r_idx] + v[lookup].
     Kills both the scatter and the gather when the graph writes then
-    reads disjoint or aligned constant index sets.
+    reads disjoint or aligned constant index sets.  Also matches an
+    axis-0 constant-slice read (what ``local_adv_idx_to_slice`` turns a
+    constant arange read into).
     """
     from pytensor_tpu.tensor.basic import alloc, as_tensor_variable, cast
 
@@ -2064,7 +2402,20 @@ def local_advanced_read_of_write_constant_indices(fgraph, node):
     if inner.owner is None or \
             not isinstance(inner.owner.op, AdvancedIncSubtensor1):
         return False
-    r_arr = _const_1d_int_index(node.inputs[1])
+    if isinstance(node.op, Subtensor):
+        # a single constant axis-0 slice over a statically-sized write
+        idx_list = node.op.idx_list
+        dim = inner.type.shape[0] if inner.type.ndim else None
+        if (len(node.inputs) != 1 or dim is None or len(idx_list) != 1
+                or not (isinstance(idx_list[0], tuple)
+                        and idx_list[0][0] == "slice")):
+            return False
+        _, a, b, c = idx_list[0]
+        if any(x is not None and not isinstance(x, int) for x in (a, b, c)):
+            return False
+        r_arr = np.arange(dim, dtype=np.int64)[slice(a, b, c)]
+    else:
+        r_arr = _const_1d_int_index(node.inputs[1])
     if r_arr is None or (r_arr < 0).any():
         return False
     base, v = inner.owner.inputs[0], inner.owner.inputs[1]

@@ -200,11 +200,10 @@ def _static_slice_len(start, stop, step, dim):
     if start == DYN or stop == DYN or step == DYN:
         return None
     if dim is None:
-        # fully static bounds can still give a length if both nonnegative
-        if (
-            start is not None and start >= 0 and stop is not None and stop >= 0
-        ):
-            return len(range(start, stop, step or 1))
+        # numpy CLIPS slice bounds to the axis length, so with the dim
+        # unknown even fully static bounds give no static length
+        # (x[:5] of a 3-row input has 3 rows; claiming 5 poisons every
+        # downstream consumer of the static type)
         return None
     return len(range(*slice(start, stop, step).indices(dim)))
 
@@ -542,12 +541,22 @@ class AdvancedSubtensor(Op):
                     d += 1
             else:
                 _, a, b, c = e
+                parts, any_dyn = [], False
+                for p in (a, b, c):
+                    if p == DYN:
+                        next(it)  # the 0-d bound input; length unknown
+                        any_dyn = True
+                        parts.append(None)
+                    else:
+                        parts.append(p)
                 entry_kinds.append("keep")
                 if d >= x.type.ndim:
                     raise IndexError(
                         f"too many indices for tensor: tensor is "
                         f"{x.type.ndim}-dimensional, but {d + 1} were indexed")
-                out_entries.append(_static_slice_len(a, b, c, xshape[d]))
+                out_entries.append(
+                    None if any_dyn
+                    else _static_slice_len(*parts, xshape[d]))
                 d += 1
         if d > x.type.ndim:
             raise IndexError(
@@ -585,6 +594,9 @@ class AdvancedSubtensor(Op):
                 idx.append(None)
             else:
                 _, a, b, c = e
+                a = int(np.asarray(next(it))) if a == DYN else a
+                b = int(np.asarray(next(it))) if b == DYN else b
+                c = int(np.asarray(next(it))) if c == DYN else c
                 idx.append(slice(a, b, c))
         return tuple(idx)
 
@@ -878,7 +890,6 @@ def _getitem(x, args):
             idx_list.append("none")
         elif isinstance(a, slice):
             entry = ["slice"]
-            allstatic = True
             for part in (a.start, a.stop, a.step):
                 kind, v = _norm_int(part)
                 if kind == "none":
@@ -886,9 +897,11 @@ def _getitem(x, args):
                 elif kind == "static":
                     entry.append(v)
                 else:
-                    raise NotImplementedError(
-                        "dynamic slice bounds mixed with advanced indexing"
-                    )
+                    # dynamic bound: a 0-d tensor input, consumed from the
+                    # same input stream as the advanced arrays in idx_list
+                    # traversal order (start, stop, step within an entry)
+                    entry.append(DYN)
+                    tensors.append(v)
             idx_list.append(tuple(entry))
         elif isinstance(a, (list, np.ndarray)) or (
             isinstance(a, Variable) and getattr(a.type, "ndim", 0) >= 0
@@ -940,9 +953,28 @@ def inc_subtensor(dest, src, inplace=False, set_instead_of_inc=False,
                        ignore_duplicates=ignore_duplicates)
 
 
+def _full_buffer_write(dest, src, set_instead_of_inc):
+    """x[:] / x[:, :] short-circuit to x at graph-build time, so a write
+    to the full buffer arrives with no indexing node.  The reference
+    builds the useless Subtensor and rewrites it away
+    (rewriting/subtensor.py local_useless_inc_subtensor); here the
+    collapsed form is built directly: set -> broadcast(src, shape),
+    inc -> dest + src."""
+    from pytensor_tpu.tensor.basic import second
+
+    src_v = as_tensor_variable(src)
+    if src_v.type.ndim > dest.type.ndim:
+        raise TypeError(
+            f"increment has {src_v.type.ndim} dims, more than the "
+            f"destination's {dest.type.ndim}")
+    if set_instead_of_inc:
+        return second(dest, src_v)
+    return dest + second(dest, src_v)
+
+
 def _inc_or_set(dest, src, set_instead_of_inc, ignore_duplicates=False):
     if dest.owner is None:
-        raise TypeError("dest must be the result of an indexing operation")
+        return _full_buffer_write(dest, src, set_instead_of_inc)
     op = dest.owner.op
     src_v = as_tensor_variable(src)
     if src_v.type.ndim > dest.type.ndim:
@@ -974,7 +1006,9 @@ def _inc_or_set(dest, src, set_instead_of_inc, ignore_duplicates=False):
         # allow set_subtensor(x.T[...], v) patterns via inverse transpose
         inner = _inc_or_set(dest.owner.inputs[0], src, set_instead_of_inc)
         return inner
-    raise TypeError(f"dest must be an indexing result, got {op}")
+    # any other producer: the dest IS the full buffer (x[:, :] built it
+    # with no indexing node)
+    return _full_buffer_write(dest, src, set_instead_of_inc)
 
 
 def take(x, indices, axis=None, mode="raise"):

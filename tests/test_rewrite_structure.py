@@ -364,12 +364,31 @@ class TestSubtensorLiftExtra:
     def test_subtensor_of_specify_shape(self):
         from pytensor_tpu.tensor.shape import specify_shape
 
+        # slice index: the SpecifyShape stays (numpy clips slice bounds,
+        # so x[2:5] of an unknown-dim x is NOT statically length-3
+        # without the runtime check; reference subtensor_lift.py:1093
+        # also bails on slices) but the numerics hold
         x = pt.tensor("x", dtype="float64", shape=(None,))
         f = compiled([x], specify_shape(x, (7,))[2:5])
-        assert "SpecifyShape" not in [type(n.op).__name__
-                                      for n in f.fgraph.apply_nodes]
         np.testing.assert_allclose(np.asarray(f(np.arange(7.0))),
                                    [2.0, 3.0, 4.0])
+        # integer index: lifts through, re-specifying trailing dims
+        xm = pt.tensor("xm", dtype="float64", shape=(None, None))
+        f2 = compiled([xm], specify_shape(xm, (5, 7))[2])
+        ops2 = [type(n.op).__name__ for n in f2.fgraph.apply_nodes]
+        sub2 = [n for n in f2.fgraph.apply_nodes
+                if type(n.op).__name__ == "Subtensor"]
+        assert sub2 and sub2[0].inputs[0].owner is None  # reads xm directly
+        assert "SpecifyShape" in ops2  # trailing dim 7 still checked
+        np.testing.assert_allclose(
+            np.asarray(f2(np.arange(35.0).reshape(5, 7))),
+            np.arange(35.0).reshape(5, 7)[2])
+        # scalar result: no SpecifyShape left at all
+        xv = pt.tensor("xv", dtype="float64", shape=(None,))
+        f3 = compiled([xv], specify_shape(xv, (7,))[3])
+        assert "SpecifyShape" not in [type(n.op).__name__
+                                      for n in f3.fgraph.apply_nodes]
+        np.testing.assert_allclose(np.asarray(f3(np.arange(7.0))), 3.0)
 
     def test_extract_diag_of_eye(self):
         f = compiled([], pt.diagonal(pt.eye(5)))

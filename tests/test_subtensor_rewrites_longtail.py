@@ -158,13 +158,21 @@ class TestReadOfWrite:
         assert not any(isinstance(op, AdvancedIncSubtensor1)
                        for op in _ops(res))
 
-    def test_advanced1_symbolic_index_not_rewritten(self):
+    def test_advanced1_symbolic_set_rewritten_inc_not(self):
+        """set read-of-write needs no uniqueness (last-wins values are
+        what the read returns; reference fires it under shape_unsafe),
+        while inc with a possibly-duplicated symbolic index must stay."""
         x = pt.dvector("x")
         v = pt.dvector("v")
         idx = pt.lvector("idx")
         expr = pt.set_subtensor(x[idx], v)[idx]
         res = opt(expr)
-        assert any(isinstance(op, AdvancedIncSubtensor1) for op in _ops(res))
+        assert not any(isinstance(op, AdvancedIncSubtensor1)
+                       for op in _ops(res))
+        expr_inc = pt.inc_subtensor(x[idx], v)[idx]
+        res_inc = opt(expr_inc)
+        assert any(isinstance(op, AdvancedIncSubtensor1)
+                   for op in _ops(res_inc))
 
     def test_different_indices_not_rewritten(self):
         x = pt.dvector("x")
