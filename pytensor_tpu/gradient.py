@@ -187,6 +187,32 @@ def _populate_and_collect(
                 ogs_filled.append(z if not _is_disconnected(z) else g)
             else:
                 ogs_filled.append(g)
+        # Null output-grad propagation (reference gradient.py:1354-1360):
+        # L_op never sees a NullType cotangent (it is replaced by zeros);
+        # afterwards any input grad that is not Disconnected and whose
+        # input is connected (per connection_pattern) to a null output
+        # grad is overridden with that null.
+        null_idx = [j for j, g in enumerate(ogs_filled) if _is_null(g)]
+        null_conn = None
+        if null_idx:
+            try:
+                conn = node.op.connection_pattern(node)
+            except Exception:
+                conn = None
+            null_conn = [
+                next((ogs_filled[j] for j in null_idx
+                      if conn is None or conn[i][j]), None)
+                for i in range(len(node.inputs))
+            ]
+            filled2 = []
+            for o, g in zip(node.outputs, ogs_filled):
+                if _is_null(g):
+                    z = _zeros_like_var(o)
+                    filled2.append(z if not _is_disconnected(z)
+                                   else DisconnectedType()())
+                else:
+                    filled2.append(g)
+            ogs_filled = filled2
         try:
             igs = node.op.L_op(node.inputs, node.outputs, ogs_filled)
         except NotImplementedError:
@@ -197,6 +223,12 @@ def _populate_and_collect(
                 f"{node.op}.L_op returned {len(igs)} gradients for "
                 f"{len(node.inputs)} inputs"
             )
+        if null_conn is not None:
+            igs = [
+                ng if (ng is not None and g is not None
+                       and not _is_disconnected(g)) else g
+                for g, ng in zip(igs, null_conn)
+            ]
         for inp, g in zip(node.inputs, igs):
             if g is None:
                 g = DisconnectedType()()

@@ -68,6 +68,18 @@ class History(Feature):
         del fgraph.revert
         del self.history[fgraph]
 
+    def __getstate__(self):
+        # recorded edits are revert closures (process-local, and keyed by
+        # live fgraphs); a fresh process starts with an empty history
+        d = self.__dict__.copy()
+        d["history"] = {}
+        return d
+
+    def unpickle(self, fgraph):
+        self.history.setdefault(fgraph, [])
+        fgraph.checkpoint = lambda: len(self.history[fgraph])
+        fgraph.revert = lambda checkpoint: self.revert(fgraph, checkpoint)
+
     def on_change_input(self, fgraph, node, i, old_var, new_var, reason=None):
         if self.history[fgraph] is None:
             return
@@ -96,6 +108,10 @@ class Validator(Feature):
     def on_detach(self, fgraph):
         del fgraph.validate
         del fgraph.consistent
+
+    def unpickle(self, fgraph):
+        fgraph.validate = lambda: self.validate_(fgraph)
+        fgraph.consistent = lambda: self.consistent_(fgraph)
 
     def validate_(self, fgraph):
         return fgraph.execute_callbacks("validate")
@@ -134,6 +150,14 @@ class ReplaceValidate(History, Validator):
         Validator.on_detach(self, fgraph)
         del fgraph.replace_validate
         del fgraph.replace_all_validate
+
+    def unpickle(self, fgraph):
+        History.unpickle(self, fgraph)
+        Validator.unpickle(self, fgraph)
+        fgraph.replace_validate = lambda r, new_r, reason=None, **kw: \
+            self.replace_validate(fgraph, r, new_r, reason=reason, **kw)
+        fgraph.replace_all_validate = lambda repl, reason=None, **kw: \
+            self.replace_all_validate(fgraph, repl, reason=reason, **kw)
 
     def replace_validate(self, fgraph, r, new_r, reason=None, **kwargs):
         self.replace_all_validate(fgraph, [(r, new_r)], reason=reason, **kwargs)

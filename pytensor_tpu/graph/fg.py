@@ -273,6 +273,24 @@ class FunctionGraph:
     def has_feature(self, ftype) -> bool:
         return any(isinstance(f, ftype) for f in self._features)
 
+    def __getstate__(self):
+        """Features bind bound-lambda helpers onto the fgraph
+        (checkpoint/revert/validate/replace_validate...); those are
+        process-local closures the features re-create on unpickle
+        (reference graph/features.py pickle_rm_attr protocol)."""
+        d = self.__dict__.copy()
+        for feature in self._features:
+            for attr in getattr(feature, "pickle_rm_attr", ()):
+                d.pop(attr, None)
+        return d
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        for feature in self._features:
+            unpickle = getattr(feature, "unpickle", None)
+            if unpickle is not None:
+                unpickle(self)
+
     def execute_callbacks(self, name: str, *args, **kwargs):
         for feature in self._features:
             fn = getattr(feature, name, None)

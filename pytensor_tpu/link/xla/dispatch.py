@@ -876,18 +876,43 @@ def register_all():
         nb = op.node_batch_ndim(node)
 
         def blockwise(*args):
-            # broadcast batch dims to a common shape, then vmap nb times
+            # broadcast batch dims to a common shape, then vmap nb times.
+            # Args whose own batch dims are ALL broadcast (size 1 / absent)
+            # stay UNBATCHED (in_axes=None): value-dependent core inputs
+            # (Scan n_steps, shape/size args) then remain trace-time
+            # concrete instead of becoming BatchTracers, and XLA sees the
+            # broadcast instead of a materialized copy.
             in_core, _ = op._core_ndims()
-            batch_shapes = [a.shape[: a.ndim - c] for a, c in zip(args, in_core)]
+            batch_shapes = [a.shape[: a.ndim - c]
+                            for a, c in zip(args, in_core)]
             batch_shape = np.broadcast_shapes(*batch_shapes)
-            bargs = [
-                jnp.broadcast_to(a, batch_shape + a.shape[a.ndim - c:])
-                for a, c in zip(args, in_core)
-            ]
+            invariant = [all(d == 1 for d in bs) for bs in batch_shapes]
+            prepped = []
+            for a, c, bs, inv in zip(args, in_core, batch_shapes, invariant):
+                if inv:
+                    if bs:  # strip the broadcast batch dims down to core
+                        a = jnp.reshape(a, a.shape[len(bs):]) \
+                            if isinstance(a, _jax_types) \
+                            else np.reshape(a, np.shape(a)[len(bs):])
+                    prepped.append(a)
+                else:
+                    prepped.append(jnp.broadcast_to(
+                        a, batch_shape + a.shape[a.ndim - c:]))
+            if all(invariant):
+                res = core_fn(*prepped)
+
+                def _expand(r):
+                    return jnp.reshape(jnp.asarray(r),
+                                       batch_shape + jnp.shape(r))
+
+                if isinstance(res, tuple):
+                    return tuple(_expand(r) for r in res)
+                return _expand(res)
+            axes = [None if inv else 0 for inv in invariant]
             fn = core_fn
             for _ in range(nb):
-                fn = jax.vmap(fn)
-            return fn(*bargs)
+                fn = jax.vmap(fn, in_axes=axes)
+            return fn(*prepped)
 
         return blockwise
 

@@ -181,6 +181,13 @@ def _shape_port_indices(op) -> tuple[int, ...] | None:
                         ports.append(pos)
                         pos += 1
         return tuple(ports)
+    from pytensor_tpu.tensor.blockwise import Blockwise
+
+    if isinstance(op, Blockwise):
+        # batched core op: inputs map 1:1, and a shape port of the core is
+        # a shape port of the batched node (the lowering keeps broadcast-
+        # invariant args unbatched so their values stay concrete)
+        return _shape_port_indices(op.core_op)
     return None
 
 

@@ -194,14 +194,21 @@ def scan(
             inner_taps = _build_taps()
             recurrent_idx = [i for i, st in enumerate(states)
                              if st is not None]
-            inner_non_seqs = [w.type(f"{w.name or 'w'}")
-                              for w in non_seq_vars]
+            # non-sequences are passed to fn as the OUTER variables (the
+            # reference does the same: scan/basic.py:808 `args = inner_seqs
+            # + ordered_args + non_seqs`, placeholders swapped in by
+            # clone_replace at :1066).  This keeps outer-graph connectivity
+            # visible at trace time — e.g. grad(gy[i], x) inside the body
+            # where gy = grad(y, x) was built outside (reference
+            # test_basic.py test_inner_grad) — and the post-trace clone
+            # below rebinds them to fresh inner placeholders.
+            inner_non_seqs = []
 
             # --- call the user fn (exactly once)
             args = list(inner_seqs)
             for group in inner_taps:
                 args.extend(group)
-            args.extend(inner_non_seqs)
+            args.extend(non_seq_vars)
             raw = fn(*args)
         else:
             # dtype reconciliation pass: swap widened tap variables into
@@ -356,12 +363,18 @@ def scan(
             )
     upd_exprs = [explicit_updates[k] for k in upd_targets]
 
-    output_roots = set(graph_inputs(inner_outputs))
+    # explicit non-sequences block the traversal: the traced graph embeds
+    # the OUTER variables, and anything behind them belongs to the outer
+    # graph, not the loop body (it reaches the body through the non-seq)
+    explicit_ns_set = set(non_seq_vars)
+    output_roots = set(graph_inputs(inner_outputs, blockers=non_seq_vars))
     implicit = []
     inner_set = set(inner_inputs)
-    for v in graph_inputs(inner_outputs + upd_exprs):
+    for v in graph_inputs(inner_outputs + upd_exprs, blockers=non_seq_vars):
         if isinstance(v, Constant):
             continue
+        if v in explicit_ns_set:
+            continue  # explicit non-sequence: placeholder swapped below
         if v not in inner_set and v not in implicit:
             if (v.owner is None and not isinstance(v, SharedVariable)
                     and v not in output_roots):
@@ -377,7 +390,11 @@ def scan(
                     "attribute of scan."
                 )
             if strict and v not in upd_target_set:
-                raise ValueError(f"scan(strict=True): implicit input {v}")
+                # the reference raises MissingInputError for strict-mode
+                # violations (scan/basic.py strict=True; pinned by
+                # tests/scan/test_basic.py test_strict_mode)
+                raise MissingInputError(
+                    f"scan(strict=True): implicit input {v}")
             implicit.append(v)
 
     rng_implicit = [
@@ -396,24 +413,29 @@ def scan(
     upd_state_targets = []  # tensor-typed update targets -> traced states
     upd_state_in = []
     upd_state_out = []
-    if rng_implicit or implicit or upd_targets:
+    if rng_implicit or implicit or upd_targets or non_seq_vars:
         from pytensor_tpu.graph.basic import clone_get_equiv
 
+        ns_placeholders = [v.type(f"{v.name or 'w'}") for v in non_seq_vars]
         placeholders = [v.type() for v in implicit]
         rng_placeholders = [v.type() for v in rng_implicit]
         upd_placeholders = [v.type() for v in upd_targets]
-        memo = dict(zip(implicit + rng_implicit + upd_targets,
-                        placeholders + rng_placeholders + upd_placeholders))
+        memo = dict(zip(
+            non_seq_vars + implicit + rng_implicit + upd_targets,
+            ns_placeholders + placeholders + rng_placeholders
+            + upd_placeholders))
         memo = clone_get_equiv(
-            inner_inputs + implicit + rng_implicit + upd_targets,
+            inner_inputs + non_seq_vars + implicit + rng_implicit
+            + upd_targets,
             inner_outputs + upd_exprs,
             copy_inputs=False, copy_orphans=False, memo=memo,
         )
         inner_outputs = [memo[o] for o in inner_outputs]
         upd_exprs = [memo.get(e, e) for e in upd_exprs]
-        inner_inputs = [memo.get(i, i) for i in inner_inputs] + placeholders
+        inner_inputs = ([memo.get(i, i) for i in inner_inputs]
+                        + ns_placeholders + placeholders)
         non_seq_vars = non_seq_vars + implicit
-        inner_non_seqs = inner_non_seqs + placeholders
+        inner_non_seqs = ns_placeholders + placeholders
         # explicit shared-variable updates: tensor-typed targets thread as
         # ordinary TRACED sit-sot states (so gradients flow through them —
         # reference scan threads them as sit-sots; the updates mapping

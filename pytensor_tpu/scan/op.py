@@ -34,6 +34,61 @@ from pytensor_tpu.tensor.basic import (
 from pytensor_tpu.tensor.type import TensorType
 
 
+class _NullInnerGradError(Exception):
+    """Raised while building the reverse scan when an inner gradient is
+    NullType (undefined, e.g. through an RV sample); caught in L_op."""
+
+
+def _op_token(op):
+    """A discriminating string for an op: type + __props__ values (str(op)
+    alone can collide across differently-parameterized ops)."""
+    props = getattr(op, "__props__", None)
+    if props:
+        vals = ",".join(repr(getattr(op, p, None)) for p in props)
+        return f"{type(op).__name__}({vals})"
+    return f"{type(op).__name__}:{op}"
+
+
+def _structural_signature(fgraph):
+    """Structural signature of an inner graph, identity-free except for
+    true orphans (same approach as compile/debug/debugmode._canon_signature
+    but with props-aware op tokens, recursing into inner graphs)."""
+    from pytensor_tpu.graph.op import HasInnerGraph
+
+    in_pos = {v: i for i, v in enumerate(fgraph.inputs)}
+    memo = {}
+
+    def sig(v):
+        if v in memo:
+            return memo[v]
+        if v in in_pos:
+            s = f"in{in_pos[v]}[{v.type}]"
+        elif isinstance(v, Constant):
+            data = v.data
+            try:
+                body = np.asarray(data).tobytes().hex()[:64]
+            except Exception:
+                body = repr(data)
+            s = f"const[{v.type}]{body}"
+        elif v.owner is None:
+            # non-input, non-constant orphan: only identity distinguishes
+            s = f"free[{v.type}]@{id(v)}"
+        else:
+            node = v.owner
+            op = node.op
+            if isinstance(op, HasInnerGraph):
+                op_s = (f"{type(op).__name__}"
+                        f"<{_structural_signature(op.fgraph)}>")
+            else:
+                op_s = _op_token(op)
+            args = ",".join(sig(i) for i in node.inputs)
+            s = f"{op_s}({args})#{node.outputs.index(v)}"
+        memo[v] = s
+        return s
+
+    return ";".join(sig(o) for o in fgraph.outputs)
+
+
 @dataclass(frozen=True)
 class ScanInfo:
     """Static structure of a Scan node.
@@ -85,12 +140,30 @@ class Scan(Op, HasInnerGraph):
                 f"Scan inner graph has {len(fgraph.outputs)} outputs, expected {expected_out}"
             )
 
-    # identity-based equality (inner graphs are unique per construction)
+    # structural equality: two Scan ops with the same static info and
+    # structurally identical inner graphs are interchangeable (reference
+    # scan/op.py __eq__/__hash__ over the frozen inner graph; pinned by
+    # tests/scan/test_basic.py test_hash/test_can_merge).  The signature
+    # is cached on first use — every rewrite in scan/rewriting.py builds
+    # a NEW Scan op, never mutates fgraph in place.
+    @property
+    def _signature(self):
+        sig = getattr(self, "_sig_cache", None)
+        if sig is None:
+            sig = (self.info, self.truncate_gradient, self.unroll,
+                   _structural_signature(self.fgraph))
+            self._sig_cache = sig
+        return sig
+
     def __eq__(self, other):
-        return self is other
+        if self is other:
+            return True
+        if type(other) is not type(self):
+            return NotImplemented
+        return self._signature == other._signature
 
     def __hash__(self):
-        return id(self)
+        return hash(self._signature)
 
     @property
     def inner_inputs(self):
@@ -101,11 +174,20 @@ class Scan(Op, HasInnerGraph):
         return self.fgraph.outputs
 
     def clone(self):
+        # immutable (single frozen inner graph) -> cloning returns self,
+        # mirroring the reference's Scan.clone (test_basic.py:295)
+        return self
+
+    def clone_fresh(self):
+        """A copy with a freshly cloned inner graph (distinct inner
+        variables) — what rewrites that splice several inner graphs
+        together (ScanMerge) need."""
         import copy as _copy
 
         res = _copy.copy(self)
         res.fgraph = self.fgraph.clone()
         res._oracle_fn = None
+        res.__dict__.pop("_sig_cache", None)
         return res
 
     # --- structure helpers ---
@@ -349,18 +431,13 @@ class Scan(Op, HasInnerGraph):
                         self, i, inp, "tensor-typed untraced scan state")
                     for i, inp in enumerate(inputs)
                 ]
-            if info.as_while:
-                return [
-                    grad_not_implemented(
-                        self, i, inp,
-                        "grad through a while-scan with RNG state")
-                    for i, inp in enumerate(inputs)
-                ]
             # RNG keys are non-differentiable, but the reverse pass must
             # REPLAY each step's key to regenerate the same draws inside
             # the pullback.  Re-run the forward with extra nit-sot outputs
             # tracing each step's *consumed* key (cheap: keys are uint32[2])
-            # and feed the reversed key trace to the reverse scan.
+            # and feed the reversed key trace to the reverse scan.  For
+            # while-scans the key trace keeps the frozen-buffer padding —
+            # the reverse pass masks rows past steps_done anyway.
             from pytensor_tpu.graph.fg import FunctionGraph as _FG
             from pytensor_tpu.tensor.random.type import tensor_from_key
 
@@ -369,7 +446,7 @@ class Scan(Op, HasInnerGraph):
                 taps=info.taps,
                 n_nit_sot=info.n_nit_sot + info.n_untraced,
                 n_non_seqs=info.n_non_seqs,
-                as_while=False,
+                as_while=info.as_while,
                 n_untraced=info.n_untraced,
             )
             aug_inner_outputs = (
@@ -377,6 +454,7 @@ class Scan(Op, HasInnerGraph):
                 + list(self.inner_untraced_outs())
                 + list(self.inner_nit_sot_outs())
                 + [tensor_from_key(v) for v in self.inner_untraced_vars()]
+                + ([self.fgraph.outputs[-1]] if info.as_while else [])
             )
             aug_fg = _FG(list(self.fgraph.inputs), aug_inner_outputs,
                          clone=True)
@@ -548,9 +626,31 @@ class Scan(Op, HasInnerGraph):
                 cots.append(g_states[k] + P[k][0])
             cots += g_nits
 
+            # duplicate inner outputs (fn returned the same variable for
+            # several outputs) share one graph node: their cotangents ADD
+            # (reference test_basic.py test_grad_duplicate_outputs; a dict
+            # keyed by variable would silently keep only one)
+            uniq_cots = {}
+            uniq_outs = []
+            for o, c in zip(step_outs, cots):
+                if id(o) in uniq_cots:
+                    uniq_cots[id(o)] = uniq_cots[id(o)] + c
+                else:
+                    uniq_cots[id(o)] = c
+                    uniq_outs.append(o)
+
             wrt = seq_vals + tap_vals + ns_vals
-            igs = pullback(step_outs, wrt, cots,
+            igs = pullback(uniq_outs, wrt,
+                           [uniq_cots[id(o)] for o in uniq_outs],
                            disconnected_inputs="ignore", return_disconnected="zero")
+            for g in igs:
+                if isinstance(getattr(g, "type", None), NullType):
+                    # an inner value on the cost path has an undefined
+                    # gradient (e.g. an RV sample): the whole reverse scan
+                    # is unbuildable — surface as NullType on the outer
+                    # inputs (reference test_basic.py test_crash_nonseq_grad
+                    # pins NullTypeGradError, not a build crash)
+                    raise _NullInnerGradError(g.type.why_null)
             seq_grads = igs[: info.n_seqs]
             tap_grads = igs[info.n_seqs: info.n_seqs + n_taps_total]
             ns_grads = igs[info.n_seqs + n_taps_total:]
@@ -600,18 +700,25 @@ class Scan(Op, HasInnerGraph):
                                      tm.cast(truncate, "int64"))
         else:
             rev_n_steps = n_steps
-        rev_results, _ = scan(
-            reverse_step,
-            sequences=rev_seqs,
-            outputs_info=(
-                [dict(initial=p, taps=[-1]) for p in P0]
-                + [dict(initial=w, taps=[-1]) for w in w0]
-                + [None] * info.n_seqs
-            ),
-            non_sequences=(non_seqs + ([steps_done] if as_while else [])),
-            n_steps=rev_n_steps,
-            name=f"grad_of_{self.name or 'scan'}",
-        )
+        try:
+            rev_results, _ = scan(
+                reverse_step,
+                sequences=rev_seqs,
+                outputs_info=(
+                    [dict(initial=p, taps=[-1]) for p in P0]
+                    + [dict(initial=w, taps=[-1]) for w in w0]
+                    + [None] * info.n_seqs
+                ),
+                non_sequences=(non_seqs + ([steps_done] if as_while else [])),
+                n_steps=rev_n_steps,
+                name=f"grad_of_{self.name or 'scan'}",
+            )
+        except _NullInnerGradError as e:
+            return [
+                grad_undefined(self, i, inp, str(e) or "undefined inner "
+                               "gradient inside scan")
+                for i, inp in enumerate(inputs)
+            ]
         if not isinstance(rev_results, list):
             rev_results = [rev_results]
         P_traces = rev_results[: info.n_states]

@@ -460,7 +460,7 @@ class ScanMerge(GraphRewriter):
         for n in nodes:
             op = n.op
             if id(op) in seen:
-                op = op.clone()
+                op = op.clone_fresh()
             seen.add(id(op))
             ops.append(op)
         infos = [op.info for op in ops]

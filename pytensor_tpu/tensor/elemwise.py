@@ -502,9 +502,12 @@ class CAReduce(Op):
             indic = tm.cast(tm.eq(x, out_b), gz.type.dtype)
             return [gz_b * indic]
         if name in ("and_", "or_", "xor"):
-            from pytensor_tpu.gradient import grad_undefined
+            # reference All/Any.pullback (tensor/math.py:3459,3489): the
+            # gradient of a boolean reduction is defined as zeros, not null
+            from pytensor_tpu.config import config as _cfg
+            from pytensor_tpu.tensor.basic import zeros_like
 
-            return [grad_undefined(self, 0, x, "boolean reduction")]
+            return [zeros_like(x, dtype=_cfg.floatX)]
         from pytensor_tpu.gradient import grad_not_implemented
 
         return [grad_not_implemented(self, 0, x)]

@@ -2137,6 +2137,144 @@ register_specialize(local_sqr_of_sqrt, name="local_sqr_of_sqrt")
 
 
 # ---------------------------------------------------------------------------
+# exp/expm1 of the log family -> closed form guarded by a domain nan-switch
+# (reference rewriting/math.py local_exp_log_nan_switch)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_exp_of_log_nan_switch(fgraph, node):
+    """exp/expm1(log|log1p|log1mexp(x)) -> closed form wrapped in
+    switch(<domain>, value, nan) preserving the inner log's domain error;
+    exp/expm1(softplus(x)) -> 1+exp(x) / exp(x) needs no guard
+    (reference local_exp_log_nan_switch + local_exp_log)."""
+    name = node.op.scalar_op.name
+    if name not in ("exp", "expm1"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Elemwise):
+        return False
+    iname = inner.op.scalar_op.name
+    if iname not in ("log", "log1p", "log1mexp", "softplus"):
+        return False
+    x = inner.inputs[0]
+    nan = np.asarray(np.nan, dtype=node.outputs[0].type.dtype)
+    if iname == "softplus":
+        res = 1 + tm.exp(x) if name == "exp" else tm.exp(x)
+    elif iname == "log":
+        val = x if name == "exp" else x - 1
+        res = tm.switch(tm.ge(x, 0), val, nan)
+    elif iname == "log1p":
+        val = x + 1 if name == "exp" else x
+        res = tm.switch(tm.ge(x, -1), val, nan)
+    else:  # log1mexp
+        val = 1 - tm.exp(x) if name == "exp" else -tm.exp(x)
+        res = tm.switch(tm.le(x, 0), val, nan)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_exp_of_log_nan_switch, name="local_exp_log_nan_switch")
+
+
+@node_rewriter([Elemwise])
+def local_logexp_of_log_nan_switch(fgraph, node):
+    """softplus(log(x)) -> log1p(x); log1mexp(log(x)) -> log1p(-x);
+    log1mexp(log1mexp(x)) -> x — each guarded by the inner log's domain
+    nan-switch (reference local_exp_log_nan_switch tail cases)."""
+    name = node.op.scalar_op.name
+    if name not in ("softplus", "log1mexp"):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Elemwise):
+        return False
+    iname = inner.op.scalar_op.name
+    x = inner.inputs[0]
+    nan = np.asarray(np.nan, dtype=node.outputs[0].type.dtype)
+    if iname == "log":
+        val = tm.log1p(x) if name == "softplus" else tm.log1p(-x)
+        res = tm.switch(tm.ge(x, 0), val, nan)
+    elif iname == "log1mexp" and name == "log1mexp":
+        res = tm.switch(tm.le(x, 0), x, nan)
+    else:
+        return False
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_logexp_of_log_nan_switch,
+                    name="local_logexp_log_nan_switch")
+
+
+@node_rewriter([Elemwise])
+def local_pow_to_nested_squaring(fgraph, node):
+    """pow(x, integer const n) with 2 < |n| <= 512 -> binary-exponentiation
+    multiply/square chain (reference local_pow_to_nested_squaring):
+    ~log2(n) VPU multiplies beat a transcendental pow kernel."""
+    if not _is_ew(node, "pow"):
+        return False
+    x, y = node.inputs
+    u = _unique_value(y)
+    if u is None:
+        return False
+    try:
+        f = float(u)
+    except (TypeError, ValueError):
+        return False
+    if not f.is_integer():
+        return False
+    n = int(f)
+    if not (2 < abs(n) <= 512):
+        return False
+    if n < 0 and x.type.dtype.startswith(("int", "uint")):
+        # numpy raises on negative integer powers of ints; keep the pow so
+        # the oracle raises identically
+        return False
+    m = abs(n)
+    pow2 = x
+    result = None
+    while m:
+        if m & 1:
+            result = pow2 if result is None else result * pow2
+        m >>= 1
+        if m:
+            pow2 = tm.sqr(pow2)
+    if n < 0:
+        result = tm.reciprocal(result)
+    res = _same_type_out(node, result)
+    return [res] if res is not None else False
+
+
+register_specialize(local_pow_to_nested_squaring,
+                    name="local_pow_to_nested_squaring")
+
+
+@node_rewriter([Elemwise])
+def local_mul_minus_one(fgraph, node):
+    """mul(..., -1, ...) -> +-neg(mul(rest)) (reference
+    local_mul_specialize's -1 case)."""
+    if not _is_ew(node, "mul"):
+        return False
+    negs, rest, changed = 0, [], False
+    for i in node.inputs:
+        u = _unique_value(i)
+        if u is not None and u == -1:
+            negs += 1
+            changed = True
+        else:
+            rest.append(i)
+    if not changed or not rest:
+        return False
+    res = rest[0] if len(rest) == 1 else tm.mul(*rest)
+    if negs % 2:
+        res = tm.neg(res)
+    res = _same_type_out(node, res)
+    return [res] if res is not None else False
+
+
+register_specialize(local_mul_minus_one, name="local_mul_minus_one")
+
+
+# ---------------------------------------------------------------------------
 # polygamma specialization + x/abs(x) -> sign(x)
 # ---------------------------------------------------------------------------
 
